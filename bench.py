@@ -1,0 +1,98 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+   "images_per_sec": ..., "tiles_per_sec": ...}
+
+Two workloads:
+  1. driver-testdata queries (the oracle-checked set, heavier subset)
+  2. the engine's own spatial pipeline on synthetic images scaled to sf:
+     datagen -> decode+index kernels -> tile<->AOI assignment (the
+     BASELINE.json headline: images/sec and join rows/sec)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from eoreader_spark import datagen  # noqa: E402
+from eoreader_spark.functions import indices  # noqa: E402
+from eoreader_spark.operators import assign  # noqa: E402
+from eoreader_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "join_revenue",
+    "cell_assign",
+    "pip_window",
+    "knn",
+    "topk_window",
+    "tumbling_window",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", str(max(200, int(20000 * sf)))))
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+    # --- synthetic spatial pipeline (the headline workload) ---
+    t0 = time.perf_counter()
+    images = datagen.gen_images(spark, n_images).persist()
+    n_img = images.count()
+    timings["gen_images"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    stats = indices.index_stats(images, ["NDVI", "NDWI", "EVI"]).count()
+    t_index = time.perf_counter() - t0
+    timings["index_stats"] = round(t_index, 3)
+
+    t0 = time.perf_counter()
+    tiles = datagen.gen_tiles(spark, n_images).persist()
+    n_tiles = tiles.count()
+    aoi = datagen.gen_aoi(spark, n_images)
+    n_assign = assign.assign_tiles(tiles, aoi).count()
+    t_assign = time.perf_counter() - t0
+    timings["tile_assign"] = round(t_assign, 3)
+    images.unpersist()
+    tiles.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_images": n_img,
+        "n_tiles": n_tiles,
+        "n_assignments": n_assign,
+        "n_index_rows": stats,
+        "images_per_sec": round(n_img / t_index, 1),
+        "tiles_per_sec": round(n_tiles / t_assign, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

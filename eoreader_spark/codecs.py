@@ -1,0 +1,172 @@
+"""Deterministic image codecs operating on numpy arrays (Arrow-batch friendly).
+
+Reference analog: eoreader's raster read/write layer
+(/root/reference/eoreader/utils.py:137-299 — rasterio GeoTIFF/JP2 decode,
+COG encode).  The container has no rasterio/PIL/libjpeg, so:
+
+- ``raw8``  : planes.tobytes() of a (PLANES, h, w) uint8 array — exact.
+- ``png``   : a REAL minimal PNG codec (8-bit RGB, zlib, filters 0-2) written
+              here from the public PNG spec — exact round-trip.
+- ``jpeg``  : DETERMINISTIC FAKE lossy codec ("qjpg"): uniform quantization by
+              Q=3 + zlib.  Stands in for libjpeg; quantization error <= 1
+              DN -> PSNR ~ 49 dB, which exercises the PSNR>=40dB (not exact)
+              invariant of BASELINE.json:15 exactly like real JPEG rows would.
+              Clearly marked; swap for a real codec when libjpeg exists.
+
+All images are 3-plane uint8 (planes = spectral bands, e.g. RED/GREEN/NIR per
+the band_map table), row-major (plane, y, x).  Per-image Python here is fine:
+codecs run inside mapInArrow/pandas-UDF batches, one call per image (not per
+pixel), with numpy doing the pixel work.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PLANES = 3
+_QJPG_MAGIC = b"QJPG"
+_QJPG_Q = 3
+
+
+# ---------------------------------------------------------------- pixel oracle
+def pixel_plane(seed: int, plane: int, h: int, w: int) -> np.ndarray:
+    """Closed-form deterministic pixel function (the test oracle).
+
+    value(p, y, x) = (seed*7 + p*31 + x*13 + y*17 + ((x*y) % 29)) % 256
+    Chosen so every kernel (index math, stats, tiles) has an analytic
+    reference computable in numpy or SQL.
+    """
+    y, x = np.mgrid[0:h, 0:w]
+    v = (seed * 7 + plane * 31 + x * 13 + y * 17 + (x * y) % 29) % 256
+    return v.astype(np.uint8)
+
+
+def make_image(seed: int, h: int, w: int) -> np.ndarray:
+    return np.stack([pixel_plane(seed, p, h, w) for p in range(PLANES)])
+
+
+# ---------------------------------------------------------------------- raw8
+def encode_raw8(img: np.ndarray) -> bytes:
+    return np.ascontiguousarray(img, dtype=np.uint8).tobytes()
+
+
+def decode_raw8(data: bytes, h: int, w: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8).reshape(PLANES, h, w)
+
+
+# ----------------------------------------------------------------------- png
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal PNG: 8-bit RGB (color type 2), filter 0 per scanline."""
+    p, h, w = img.shape
+    assert p == PLANES
+    rgb = np.ascontiguousarray(np.transpose(img, (1, 2, 0)))  # (h, w, 3)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rgb.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    """Decode 8-bit RGB PNG with filters 0 (None), 1 (Sub), 2 (Up)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos = 8
+    idat = []
+    width = height = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * 3
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = rows[:, 0]
+    px = rows[:, 1:].astype(np.int32)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(height):
+        f = filters[r]
+        line = px[r]
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub
+            rec = line.copy()
+            for c in range(3, stride):
+                rec[c] = (rec[c] + rec[c - 3]) & 0xFF
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {f} not supported")
+        out[r] = rec.astype(np.uint8)
+        prev = out[r].astype(np.int32)
+    rgb = out.reshape(height, width, 3)
+    return np.ascontiguousarray(np.transpose(rgb, (2, 0, 1)))
+
+
+# ---------------------------------------------------------------- fake lossy
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """DETERMINISTIC FAKE lossy codec (no libjpeg in container).
+
+    Uniform quantization (round to multiples of Q=3) + zlib.  PSNR vs the
+    original ~49 dB — above the 40 dB gate, below exactness, mimicking real
+    JPEG's role in the test matrix.
+    """
+    p, h, w = img.shape
+    q = np.round(img.astype(np.float32) / _QJPG_Q).astype(np.uint8)
+    head = _QJPG_MAGIC + struct.pack(">HHB", w, h, _QJPG_Q)
+    return head + zlib.compress(q.tobytes(), 6)
+
+
+def decode_jpeg(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    assert data[:4] == _QJPG_MAGIC, "not a qjpg payload"
+    w, h, q = struct.unpack(">HHB", data[4:9])
+    arr = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8)
+    arr = arr.reshape(PLANES, h, w).astype(np.int32) * q
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+_ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg}
+_DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg}
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](img)
+
+
+def decode(data: bytes, fmt: str, h: int, w: int) -> np.ndarray:
+    """-> (PLANES, h, w) uint8."""
+    return _DECODERS[fmt](data, h, w)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (the BASELINE.json:15 invariant)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

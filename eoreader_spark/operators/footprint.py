@@ -1,0 +1,82 @@
+"""Footprint / extent / centroid aggregates + convex hull + dissolve.
+
+Reference: Product.footprint/extent/crs (valid-data polygon, bbox, centroid —
+/root/reference/eoreader/products/product.py:375-441), S2 dissolve +
+convex_hull (/root/reference/eoreader/products/optical/s2_product.py:404-459),
+@simplify decorator (/root/reference/eoreader/utils.py:391-412).
+
+Spark-first: extent = plain min/max groupBy (map-side combined, one shuffle of
+4 doubles per image); footprint = collect tile corner points per image ->
+vectorized Andrew-monotone-chain convex hull inside applyInPandas (the
+reference's dissolve+convex_hull, no shapely needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eoreader_spark.datagen import ring_wkt
+
+
+def extent(tiles: DataFrame) -> DataFrame:
+    """(image_id, x0, y0, x1, y1) bounding box of valid tiles — A2."""
+    return tiles.groupBy("image_id").agg(
+        F.min("x0").alias("x0"),
+        F.min("y0").alias("y0"),
+        F.max("x1").alias("x1"),
+        F.max("y1").alias("y1"),
+    )
+
+
+def centroid(tiles: DataFrame) -> DataFrame:
+    """(image_id, cx, cy) — A3: centroid of the extent (reference returns
+    footprint centroid; for axis-aligned synthetic grids they coincide)."""
+    e = extent(tiles)
+    return e.select(
+        "image_id",
+        ((F.col("x0") + F.col("x1")) / 2).alias("cx"),
+        ((F.col("y0") + F.col("y1")) / 2).alias("cy"),
+    )
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain, deterministic lexicographic order -> CCW hull."""
+    pts = np.unique(points, axis=0)  # sorts lexicographically
+    if len(pts) <= 2:
+        return pts
+    def half(iterable):
+        h: list[np.ndarray] = []
+        for p in iterable:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1])
+
+
+def footprint(tiles: DataFrame) -> DataFrame:
+    """(image_id, geom_wkt) — A1/A8: dissolve valid tiles -> convex hull WKT.
+
+    Grouped-map pandas UDF: per image, corners of every tile -> hull.  The
+    shuffle moves only 4 corner doubles per tile; at 10^12 scale you'd first
+    reduce per partition (cell-local hull) then merge — hull(hulls) == hull,
+    so the same kernel composes hierarchically.
+    """
+    def per_image(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = np.concatenate([pdf["x0"].to_numpy(), pdf["x1"].to_numpy(),
+                             pdf["x0"].to_numpy(), pdf["x1"].to_numpy()])
+        ys = np.concatenate([pdf["y0"].to_numpy(), pdf["y0"].to_numpy(),
+                             pdf["y1"].to_numpy(), pdf["y1"].to_numpy()])
+        hull = convex_hull(np.column_stack([xs, ys]))
+        return pd.DataFrame({"image_id": [pdf["image_id"].iloc[0]], "geom_wkt": [ring_wkt(hull)]})
+
+    return (
+        tiles.select("image_id", "x0", "y0", "x1", "y1")
+        .groupBy("image_id")
+        .applyInPandas(per_image, schema="image_id string, geom_wkt string")
+    )

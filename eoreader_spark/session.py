@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for the sandbox (local[N]) but written so the
+same conf works on a multi-executor cluster (AQE, Arrow, adaptive skew-join).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "eoreader_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32.  Shuffle partitions default
+    to the core count — at cluster scale you'd size this to ~2-3x total cores
+    and let AQE coalesce; the knob is exposed for the scaling bench.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,96 @@
+"""Batched ray-casting point-in-polygon over numpy arrays.
+
+Reference analog: eoreader rasterizes vector masks / AOI windows with
+rasterio.features.rasterize and geopandas `within`
+(/root/reference/eoreader/products/optical/s2_product.py:1908-1957,
+/root/reference/eoreader/utils.py:729-761).  Here the same semantics are a
+vectorized even-odd crossing test, the BASELINE.json north_star's
+"batched ray-casting test over Arrow arrays".
+
+Determinism / tie-breaking (bit-for-bit requirement, BASELINE.json:6):
+- Half-open vertical rule: an edge (x1,y1)-(x2,y2) is crossed by the
+  rightward ray from (px,py) iff (y1 > py) != (y2 > py) and
+  px < x_at_py.  Strict `>` on both tests means a vertex exactly at py
+  counts for exactly one of its two edges, and a point exactly ON a
+  horizontal edge is decided by the other edges — the classic consistent
+  even-odd rule.  Pure IEEE double arithmetic, no epsilons, identical on
+  every executor and at every parallelism level.
+- Points exactly on a non-horizontal boundary edge fall OUT (px < xint is
+  strict).  The synthetic generator pins 5% degenerate AOIs to this rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def parse_wkt_polygon(wkt: str) -> np.ndarray:
+    """'POLYGON ((x y, x y, ...))' -> (n, 2) float64 ring (closed or open ok).
+
+    Only single-ring polygons (no holes) — all synthetic fixtures are
+    single-ring, matching eoreader footprints post-dissolve/convex-hull
+    (/root/reference/eoreader/products/product.py:375-393).
+    """
+    s = wkt.strip()
+    assert s.upper().startswith("POLYGON"), f"not a polygon wkt: {s[:30]}"
+    inner = s[s.index("((") + 2 : s.rindex("))")]
+    if ")" in inner:  # holes unsupported
+        inner = inner.split(")")[0]
+    pts = [tuple(map(float, p.strip().split())) for p in inner.split(",")]
+    ring = np.asarray(pts, dtype=np.float64)
+    if np.all(ring[0] == ring[-1]) and len(ring) > 1:
+        ring = ring[:-1]
+    return ring
+
+
+def polygon_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
+    return (
+        float(ring[:, 0].min()),
+        float(ring[:, 1].min()),
+        float(ring[:, 0].max()),
+        float(ring[:, 1].max()),
+    )
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd test: n points vs one ring -> bool[n].
+
+    O(n_points * n_edges) numpy ops — rings here are tiny (4-12 vertices),
+    points come in Arrow batches of thousands; this is the intended shape.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1 = ring[:, 0]
+    y1 = ring[:, 1]
+    x2 = np.roll(ring[:, 0], -1)
+    y2 = np.roll(ring[:, 1], -1)
+    # broadcast points (n,1) vs edges (1,m)
+    pyb = py[:, None]
+    pxb = px[:, None]
+    straddle = (y1[None, :] > pyb) != (y2[None, :] > pyb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1[None, :] + (pyb - y1[None, :]) * (x2 - x1)[None, :] / (y2 - y1)[None, :]
+    crossings = straddle & (pxb < xint)
+    return (crossings.sum(axis=1) % 2).astype(bool)
+
+
+def points_in_polygons_grouped(
+    px: np.ndarray, py: np.ndarray, poly_idx: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Points paired with a per-point polygon index -> bool[n].
+
+    The refine stage of the cell-join: after the coarse cell equi-join each
+    candidate (point, polygon) pair carries poly_idx; we group by polygon and
+    run the batched test once per polygon.
+    """
+    out = np.zeros(len(px), dtype=bool)
+    order = np.argsort(poly_idx, kind="stable")
+    sorted_idx = poly_idx[order]
+    bounds = np.searchsorted(sorted_idx, np.arange(len(rings) + 1))
+    for pi in range(len(rings)):
+        lo, hi = bounds[pi], bounds[pi + 1]
+        if lo == hi:
+            continue
+        sel = order[lo:hi]
+        out[sel] = points_in_polygon(px[sel], py[sel], rings[pi])
+    return out

@@ -1,0 +1,60 @@
+import numpy as np
+
+from eoreader_spark import cells
+
+
+def test_encode_bounds_roundtrip():
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 179.999, 1000)
+    lat = rng.uniform(-89.999, 89.999, 1000)
+    for res in (5, 7, 9):
+        c = cells.encode(lon, lat, res)
+        lo0, la0, lo1, la1 = cells.cell_bounds(c)
+        assert np.all((lo0 <= lon) & (lon < lo1 + 1e-9))
+        assert np.all((la0 - 1e-9 <= lat) & (lat <= la1 + 1e-9))
+
+
+def test_parent_consistency():
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    c9 = cells.encode(lon, lat, 9)
+    c5 = cells.encode(lon, lat, 5)
+    assert np.array_equal(cells.parent(c9, 5), c5)
+
+
+def test_k_ring_contains_neighbors():
+    c = cells.encode(np.array([2.35]), np.array([48.85]), 7)
+    ring = cells.k_ring(c, 1)
+    assert ring.shape == (1, 9)
+    assert c[0] in ring[0]
+    assert len(np.unique(ring[0])) == 9
+
+
+def test_k_ring_wraps_antimeridian():
+    c = cells.encode(np.array([179.99]), np.array([0.0]), 7)
+    ring = np.unique(cells.k_ring(c, 1))
+    west = cells.encode(np.array([-179.99]), np.array([0.0]), 7)
+    assert west[0] in ring
+
+
+def test_cover_bbox_covers_points():
+    lon0, lat0, lon1, lat1 = 1.0, 40.0, 4.0, 43.0
+    _, cc = cells.cover_bbox(
+        np.array([lon0]), np.array([lat0]), np.array([lon1]), np.array([lat1]), 7
+    )
+    cc = set(cc.tolist())
+    rng = np.random.default_rng(3)
+    plon = rng.uniform(lon0, lon1, 200)
+    plat = rng.uniform(lat0, lat1, 200)
+    pc = cells.encode(plon, plat, 7)
+    assert set(pc.tolist()) <= cc
+
+
+def test_determinism_across_chunking():
+    # same inputs, different array chunking -> identical ids (bit-for-bit rule)
+    lon = np.linspace(-170, 170, 997)
+    lat = np.linspace(-80, 80, 997)
+    whole = cells.encode(lon, lat, 9)
+    parts = np.concatenate([cells.encode(lon[i::7], lat[i::7], 9) for i in range(7)])
+    assert set(whole.tolist()) == set(parts.tolist())
