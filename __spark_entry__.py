@@ -303,6 +303,123 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: exact n-gram Jaccard pairs >= 0.5 (inverted-index join)."""
+    from eoreader_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard(docs, n=3, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: MinHash+LSH candidate pairs (rows-only check — the
+    banded-hash plan is not SQL-expressible; exactness is pytest-verified
+    against ngram_jaccard in tests/test_dedup_similarity_text.py)."""
+    from eoreader_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, n_hashes=64, bands=16, shingle=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: simhash near-dup pairs (rows-only check)."""
+    from eoreader_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-heuristic language ID vs labeled lang."""
+    from eoreader_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", textops.lang_id(F.col("text")))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search: brute-force cosine top-3 for 10 query vectors.
+    Vectors cast to double and ranking uses the ROUNDED cosine so ordering is
+    stable across engines' accumulation strategies."""
+    from pyspark.sql import Window
+
+    from eoreader_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sim = similarity._dot("qvec", "embedding") / (
+        similarity._norm("qvec") * similarity._norm("embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        F.broadcast(q)
+        .crossJoin(emb.select("vec_id", "embedding"))
+        .withColumn("cosine", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup family: embedding-cosine near-dup pairs via hyperplane LSH
+    (rows-only: bucket recall is probabilistic by design)."""
+    from eoreader_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(emb, threshold=0.2, n_planes=6).orderBy("id_a", "id_b")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family set ops: customers ordering in both 1995 and 1996 (INTERSECT)
+    and only-1995 (EXCEPT), counted."""
+    o = _t(spark, sf_dir, "orders")
+    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    both = c95.intersect(c96).count()
+    only95 = c95.distinct().exceptAll(c96.distinct()).count()
+    return spark.createDataFrame(
+        [(int(both), int(only95))], "n_both long, n_only95 long"
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set family: ROLLUP over returnflag/linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 quantile guard analog: exact interpolated percentiles per group
+    (the uint16-conversion guard, utils.py:482-492)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.001)"), 4).alias("p_low"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p_med"),
+            F.round(F.expr("percentile(l_extendedprice, 0.999)"), 4).alias("p_high"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -326,6 +443,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue": q_join_revenue,
         "phash_distinct": q_phash_distinct,
         "tumbling_window": q_tumbling_window,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lang_id": q_lang_id,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "percentile": q_percentile,
     }
 
 
@@ -452,5 +578,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    count(*) AS n_events, round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+2], chr(31)) AS g
+                FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM grams a JOIN grams b USING (g)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "lang_id": r"""
+            WITH scored AS (
+                SELECT lang,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> list_contains(['der','die','und','das','ein'], x))) AS s_de,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> list_contains(['the','a','and','of','to'], x))) AS s_en,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> list_contains(['el','la','de','y','que'], x))) AS s_es,
+                  len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                      x -> list_contains(['le','la','et','de','un'], x))) AS s_fr
+                FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   count(*) AS n_docs
+            FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred
+        """,
+        "cosine_topk": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+            cand AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(q.qv, e.v)
+                             / (sqrt(list_dot_product(q.qv, q.qv))
+                                * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+                FROM q CROSS JOIN emb e
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM cand)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """,
+        "set_ops": """
+            WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+                 c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+            SELECT
+              (SELECT count(*) FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96)) AS n_both,
+              (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM c95
+                                     EXCEPT SELECT DISTINCT o_custkey FROM c96)) AS n_only95
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "percentile": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.001), 4) AS p_low,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p_med,
+                   round(quantile_cont(l_extendedprice, 0.999), 4) AS p_high
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (it is single-scene: README.md:15-16); these are
+the distributed-layer additions the engine needs at 10^12-row scale, built on
+the same primitives as the spatial joins (hash bucketing = the cell join,
+banding = the k-ring expand, verify = the PIP refine).
+
+- exact_dedup:        hash-groupBy, deterministic keeper (min id)
+- ngram_jaccard:      exact n-gram Jaccard similarity via inverted-index
+                      self-join (shuffle on ngram, pair-agg) — SQL-expressible
+- minhash_lsh:        shingle -> minhash signature (vectorized universal
+                      hashing) -> LSH band buckets -> candidate pairs ->
+                      exact-Jaccard verify.  The scale path: candidates only,
+                      never the full O(n^2) cross join.
+- simhash:            64-bit simhash + pigeonhole banding (4x16-bit chunks)
+                      -> hamming refine
+- embedding_near_dup: cosine >= threshold via random-hyperplane LSH buckets
+                      -> exact cosine verify
+
+All hashing is closed-form integer math (xxhash64 JVM-side, or numpy uint64
+polynomial hashing inside pandas UDFs) — deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(hash, n_copies, keep_id): exact duplicate groups; keeper = min id."""
+    return (
+        df.withColumn("text_hash", F.xxhash64(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def ngrams_col(tokens, n: int):
+    """Token n-grams via JVM higher-order fns (no UDF): join consecutive
+    token windows with a separator."""
+    k = F.size(tokens) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(tokens, i + 1, n))),
+    ).otherwise(F.array())
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for all pairs above ``threshold``.
+
+    Plan: distinct (id, ngram) -> self-join on ngram (inverted index; the
+    shuffle key is the ngram so common grams fan out — at scale drop the
+    top-0.1% hottest grams like stop-shingles) -> count intersections per
+    pair -> Jaccard from |A|,|B|,|A∩B|.  Output (id_a, id_b, jaccard),
+    id_a < id_b.
+    """
+    toks = tokenize(df, text_col).select(
+        F.col(id_col).alias("id"), F.array_distinct(ngrams_col(F.col("tokens"), n)).alias("gs")
+    )
+    sizes = toks.select("id", F.size("gs").alias("sz"))
+    inv = toks.select("id", F.explode("gs").alias("g"))
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _minhash_batch(n_hashes: int, shingle: int):
+    """Vectorized minhash: shingle token-hash -> universal hash family
+    h_i(x) = (a_i*x + b_i) mod p, min over shingles.  Parameters derive from
+    a fixed seed so signatures are identical everywhere."""
+    rng = np.random.default_rng(1234567)
+    A = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    B = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+
+    def sig_of(text: str) -> np.ndarray:
+        toks = text.split()
+        if len(toks) < shingle:
+            shingles = [" ".join(toks)] if toks else [""]
+        else:
+            shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+        # FNV-1a 64-bit over shingle bytes, vectorized-ish per shingle
+        hs = np.empty(len(shingles), dtype=np.uint64)
+        for j, s in enumerate(shingles):
+            h = np.uint64(1469598103934665603)
+            for ch in s.encode():
+                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+            hs[j] = h
+        x = hs % np.uint64(MERSENNE)
+        vals = (A[:, None] * x[None, :] + B[:, None]) % np.uint64(MERSENNE)
+        return vals.min(axis=1).astype(np.int64)
+
+    return sig_of
+
+
+def minhash_signatures(
+    df: DataFrame, n_hashes: int = 64, shingle: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    sig_of = _minhash_batch(n_hashes, shingle)
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "sig": [sig_of(t) for t in pdf[text_col]]}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema="id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, n_hashes: int = 64, bands: int = 16, shingle: int = 3,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified by signature-estimated
+    Jaccard >= threshold.  Output (id_a, id_b, est_jaccard)."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, n_hashes, shingle, text_col, id_col).persist()
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    buckets = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        bi, F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.lit(
+        float(n_hashes)
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit simhash over whitespace tokens (FNV-1a token hashes)."""
+
+    def sig_of(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = np.uint64(1469598103934665603)
+            for ch in tok.encode():
+                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": [sig_of(t) for t in pdf[text_col]]})
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema="id long, simhash long")
+
+
+def simhash_near_dups(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
+    banding: split 64 bits into 4 chunks of 16; any pair within distance 3
+    agrees exactly on >=1 chunk -> bucket join + popcount refine."""
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    buckets = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(65535)).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cb"),
+    ).select("id", "simhash", "cb.chunk", "cb.val")
+    a = buckets.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "val")
+    b = buckets.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "val")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, n_planes: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Cosine >= threshold pairs: random-hyperplane LSH bucket (one 16-bit
+    signature) -> exact cosine verify inside buckets.  High thresholds give
+    high bucket recall; for guaranteed recall union several plane sets."""
+    rng = np.random.default_rng(424242)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+    @F.pandas_udf("int")
+    def bucket_of(vs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        bits = (m @ planes.T) > 0
+        out = np.zeros(len(vs), dtype=np.int32)
+        for i in range(n_planes):
+            out |= bits[:, i].astype(np.int32) << i
+        return pd.Series(out)
+
+    e = emb.select(id_col, vec_col).withColumn("bucket", bucket_of(F.col(vec_col)))
+    a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket")
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    nrm = lambda c: F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))  # noqa: E731
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (nrm("v_a") * nrm("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,117 @@
+"""Raster tile model: decode images into tile rows + collocation joins.
+
+Reference: eoreader reads rasters into dask-chunked arrays (chunk = {band:1,
+x:1024, y:1024}, /root/reference/eoreader/utils.py:137-239) and collocates
+every loaded band onto the first band's grid so per-pixel math is valid
+("bands MUST BE exactly aligned",
+/root/reference/eoreader/products/product.py:2192-2215).
+
+Spark model: a *tile row* = (image_id, tile_x, tile_y, px array<float>) — the
+chunk analog and the unit of parallelism.  Collocation is an equi-join on
+(image_id, tile_x, tile_y).  Decode runs once per image inside mapInPandas
+and fans out tile rows (the S3 scan analog, SURVEY §2.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eoreader_spark import codecs
+from eoreader_spark.datagen import TILE
+
+TILE_SCHEMA = "image_id string, tile_x int, tile_y int, px array<float>"
+
+
+def tiles_from_images(images: DataFrame, plane: int, tile: int = TILE) -> DataFrame:
+    """Decode `bytes` -> float32 tile rows for one plane (band).
+
+    One decode per image per call; to read several planes, prefer
+    ``multi_plane_tiles`` (decodes once, like the reference's
+    'open them only one time!' product.py:1242-1247).
+    """
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data, fmt, h, w in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]
+            ):
+                arr = codecs.decode(bytes(data), fmt, int(h), int(w))[plane].astype(np.float32)
+                for ty in range(int(h) // tile):
+                    for tx in range(int(w) // tile):
+                        px = arr[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+                        rows.append((iid, tx, ty, px.ravel()))
+            yield pd.DataFrame(rows, columns=["image_id", "tile_x", "tile_y", "px"])
+
+    return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(
+        batch, schema=TILE_SCHEMA
+    )
+
+
+def multi_plane_tiles(images: DataFrame, planes: list[int], tile: int = TILE) -> DataFrame:
+    """Decode once, emit one array column per plane: px_0, px_1, ..."""
+    cols = ", ".join(f"px_{p} array<float>" for p in planes)
+    schema = f"image_id string, tile_x int, tile_y int, {cols}"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data, fmt, h, w in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]
+            ):
+                arr = codecs.decode(bytes(data), fmt, int(h), int(w)).astype(np.float32)
+                for ty in range(int(h) // tile):
+                    for tx in range(int(w) // tile):
+                        sl = arr[:, ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+                        rows.append((iid, tx, ty, *[sl[p].ravel() for p in planes]))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "tile_x", "tile_y", *[f"px_{p}" for p in planes]]
+            )
+
+    return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
+
+
+def collocate(bands: dict[str, DataFrame]) -> DataFrame:
+    """J1 collocation: equi-join band tile DataFrames on the tile key.
+
+    Input: {band_name: tiles DF with px column}; output: one wide DF with a
+    px_<band> column per band.  Inner join = intersection of valid tiles
+    (the reference errors if grids differ; here grids are keyed identically).
+    At scale this join is shuffle-free when all band DFs share the same
+    partitioning (written bucketed by tile key).
+    """
+    renamed = [
+        df.withColumnRenamed("px", f"px_{name}") for name, df in bands.items()
+    ]
+    return reduce(
+        lambda a, b: a.join(b, ["image_id", "tile_x", "tile_y"]), renamed
+    )
+
+
+def tile_stats(tiles: DataFrame, px_col: str = "px") -> DataFrame:
+    """Per-image stats over tile arrays — JVM-side aggregate over array
+    columns via higher-order functions (no Python in the loop)."""
+    s = F.aggregate(px_col, F.lit(0.0), lambda acc, x: acc + x)
+    n = F.size(px_col)
+    return (
+        tiles.select(
+            "image_id",
+            s.alias("s"),
+            n.cast("long").alias("n"),
+            F.array_min(px_col).alias("mn"),
+            F.array_max(px_col).alias("mx"),
+        )
+        .groupBy("image_id")
+        .agg(
+            (F.sum("s") / F.sum("n")).alias("mean"),
+            F.min("mn").alias("min"),
+            F.max("mx").alias("max"),
+            F.sum("n").alias("n_px"),
+        )
+    )

@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eoreader_spark.operators import dedup, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # append exact + near duplicates with known ids
+    rows = base.select("doc_id", "text", "lang", "source", "n_chars").limit(5).collect()
+    extra = []
+    for r in rows:
+        extra.append((10000 + r.doc_id, r.text, r.lang, r.source, r.n_chars))  # exact dup
+        toks = r.text.split()
+        toks[len(toks) // 2] = "PERTURBED"
+        extra.append((20000 + r.doc_id, " ".join(toks), r.lang, r.source, r.n_chars))  # near dup
+    extra_df = spark.createDataFrame(extra, base.schema)
+    return base.unionByName(extra_df).persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs).filter(F.col("n_copies") > 1).collect()
+    dup_keeps = {r.keep_id for r in out}
+    assert dup_keeps == {0, 1, 2, 3, 4}
+    assert all(r.n_copies == 2 for r in out)
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    pairs = dedup.ngram_jaccard(docs, n=3, threshold=0.3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(5):
+        assert (i, 10000 + i) in got  # exact dup -> jaccard 1.0
+        assert (i, 20000 + i) in got  # one-token perturbation
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    for i in range(5):
+        assert j[(i, 10000 + i)] == 1.0
+        assert 0.3 <= j[(i, 20000 + i)] < 1.0
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, n_hashes=64, bands=16, shingle=3, threshold=0.4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 10000 + i) in got
+        assert (i, 20000 + i) in got
+    # sanity: vastly fewer pairs than n^2
+    assert len(got) < 200
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    # signature agreement should approximate true jaccard for the near dups
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in
+             dedup.minhash_lsh_pairs(docs, threshold=0.2).collect()}
+    true = {(r.id_a, r.id_b): r.jaccard for r in
+            dedup.ngram_jaccard(docs, n=3, threshold=0.2).collect()}
+    for k in [(i, 20000 + i) for i in range(5)]:
+        if k in pairs and k in true:
+            assert abs(pairs[k] - true[k]) < 0.35
+
+
+def test_simhash_near_dups(spark, docs):
+    sigs = dedup.simhash_signatures(docs).collect()
+    by_id = {r.id: r.simhash for r in sigs}
+    for i in range(5):
+        assert by_id[i] == by_id[10000 + i]  # identical text -> identical simhash
+        ham = bin((by_id[i] ^ by_id[20000 + i]) & ((1 << 64) - 1)).count("1")
+        assert ham <= 16  # one-token change moves few bits
+    out = {(r.id_a, r.id_b) for r in dedup.simhash_near_dups(docs, max_hamming=3).collect()}
+    for i in range(5):
+        assert (i, 10000 + i) in out
+
+
+def test_embedding_near_dups_and_determinism(spark, emb):
+    dup = emb.selectExpr("vec_id + 100000 as vec_id", "embedding", "label").limit(3)
+    e = emb.unionByName(dup)
+    out1 = {(r.id_a, r.id_b) for r in dedup.embedding_near_dups(e, threshold=0.999).collect()}
+    out2 = {(r.id_a, r.id_b) for r in dedup.embedding_near_dups(e.repartition(7), threshold=0.999).collect()}
+    assert out1 == out2
+    for r in emb.limit(3).collect():
+        assert (r.vec_id, r.vec_id + 100000) in out1
+
+
+def test_cosine_topk_exact_and_ivf_recall(spark, emb):
+    queries = emb.limit(8).selectExpr("vec_id as query_id", "embedding as qvec")
+    exact = similarity.cosine_topk(queries, emb, k=5)
+    ex = {(r.query_id, r.rank): r.vec_id for r in exact.collect()}
+    # rank 1 must be the query itself (cosine 1.0)
+    for q in {k[0] for k in ex}:
+        assert ex[(q, 1)] == q
+    cents, indexed = similarity.ivf_build(emb, n_centroids=8)
+    indexed = indexed.persist()
+    ann = similarity.ivf_topk(queries, indexed, cents, k=5, n_probe=4)
+    an = {}
+    for r in ann.collect():
+        an.setdefault(r.query_id, set()).add(r.vec_id)
+    exact_sets = {}
+    for (q, _), v in ex.items():
+        exact_sets.setdefault(q, set()).add(v)
+    recalls = [len(an.get(q, set()) & s) / len(s) for q, s in exact_sets.items()]
+    assert np.mean(recalls) >= 0.8  # n_probe=4 of 8 lists
+
+
+def test_text_analyzers(spark, docs):
+    out = text.analyze(docs.limit(50)).collect()
+    for r in out:
+        assert r.n_tokens == len(r.text.split())
+        assert r.n_subwords >= r.n_tokens
+        assert 0.0 <= r.quality <= 1.0
+        assert r.lang_pred in {"en", "es", "fr", "de", "unk"}
+    # fingerprint: order-sensitive
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
+    assert fps[1] == fps[3] and fps[1] != fps[2]

@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eoreader_spark import codecs, datagen
+from eoreader_spark.functions import radiometry
+from eoreader_spark.operators import raster, stencil
+
+N = 12  # small: stencil tests reassemble whole images
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return datagen.gen_images(spark, N).persist()
+
+
+@pytest.fixture(scope="module")
+def dem_tiles(spark):
+    # rename z -> px for the stencil API
+    return datagen.gen_dem(spark, N).withColumnRenamed("z", "px").persist()
+
+
+def _image_oracle(i, plane=0):
+    h, w = datagen.image_dims(i)
+    return codecs.make_image(i, h, w)[plane].astype(np.float32), h, w
+
+
+def _reassemble(rows, h, w, tile=datagen.TILE):
+    out = np.full((h, w), np.nan, dtype=np.float32)
+    for r in rows:
+        a = np.asarray(r.px, dtype=np.float32).reshape(tile, tile)
+        out[r.tile_y * tile : (r.tile_y + 1) * tile, r.tile_x * tile : (r.tile_x + 1) * tile] = a
+    return out
+
+
+def test_tiles_from_images_exact(spark, images):
+    tiles = raster.tiles_from_images(images, plane=0).collect()
+    by_img = {}
+    for r in tiles:
+        by_img.setdefault(r.image_id, []).append(r)
+    assert len(by_img) == N
+    for iid, rows in by_img.items():
+        i = int(iid[3:])
+        want, h, w = _image_oracle(i)
+        got = _reassemble(rows, h, w)
+        if datagen.image_fmt(i) == "jpeg":
+            assert codecs.psnr(want, got) >= 40
+        else:
+            assert np.array_equal(want, got)
+
+
+def test_collocate_and_stats(spark, images):
+    mp = raster.multi_plane_tiles(images, [0, 2])
+    b = raster.collocate(
+        {
+            "red": mp.select("image_id", "tile_x", "tile_y", F.col("px_0").alias("px")),
+            "nir": mp.select("image_id", "tile_x", "tile_y", F.col("px_2").alias("px")),
+        }
+    )
+    assert b.columns == ["image_id", "tile_x", "tile_y", "px_red", "px_nir"]
+    n_tiles = mp.count()
+    assert b.count() == n_tiles
+    stats = raster.tile_stats(
+        mp.select("image_id", "tile_x", "tile_y", F.col("px_0").alias("px"))
+    ).collect()
+    for r in stats:
+        i = int(r.image_id[3:])
+        want, h, w = _image_oracle(i)
+        if datagen.image_fmt(i) != "jpeg":
+            assert abs(r["mean"] - want.mean()) < 1e-3
+            assert r["min"] == want.min() and r["max"] == want.max()
+            assert r.n_px == h * w
+
+
+def test_slope_matches_numpy_oracle(spark, dem_tiles):
+    got_rows = stencil.slope(dem_tiles).collect()
+    by_img = {}
+    for r in got_rows:
+        by_img.setdefault(r.image_id, []).append(r)
+    for iid, rows in by_img.items():
+        i = int(iid[3:])
+        h, w = datagen.image_dims(i)
+        yy, xx = np.mgrid[0:h, 0:w]
+        z = (100.0 * np.sin(xx / 5.0) + 2.0 * yy).astype(np.float32)
+        # oracle: same central differences with edge one-sided fallback
+        zc = z.astype(np.float64)
+        right = np.roll(zc, -1, axis=1); right[:, -1] = zc[:, -1]
+        left = np.roll(zc, 1, axis=1); left[:, 0] = zc[:, 0]
+        down = np.roll(zc, -1, axis=0); down[-1, :] = zc[-1, :]
+        up = np.roll(zc, 1, axis=0); up[0, :] = zc[0, :]
+        want = np.degrees(np.arctan(np.sqrt(((right - left) / 2) ** 2 + ((down - up) / 2) ** 2)))
+        got = _reassemble(rows, h, w)
+        assert not np.isnan(got).any(), iid
+        assert np.allclose(got, want, atol=2e-3), iid
+
+
+def test_hillshade_range_and_determinism(spark, dem_tiles):
+    hs1 = {(r.image_id, r.tile_x, r.tile_y): tuple(r.px) for r in stencil.hillshade(dem_tiles, 315.0, 45.0).collect()}
+    hs2 = {(r.image_id, r.tile_x, r.tile_y): tuple(r.px) for r in stencil.hillshade(dem_tiles.repartition(13), 315.0, 45.0).collect()}
+    assert hs1 == hs2  # halo exchange independent of partitioning
+    vals = np.array([v for px in hs1.values() for v in px])
+    assert vals.min() >= 0.0 and vals.max() <= 1.0
+
+
+def test_despeckle_reduces_variance(spark, images):
+    tiles = raster.tiles_from_images(images.limit(4), plane=0)
+    out = stencil.despeckle(tiles, noise_var=500.0)
+    j = tiles.withColumnRenamed("px", "px_in").join(out, ["image_id", "tile_x", "tile_y"])
+    row = j.select(
+        F.avg(F.expr("aggregate(px_in, 0D, (a,x) -> a + double(x))") / F.size("px_in")).alias("m_in"),
+    ).first()
+    # smoke: output exists for every tile and means are preserved-ish
+    assert out.count() == tiles.count()
+    assert row.m_in is not None
+
+
+def test_gap_fill_x(spark):
+    t = datagen.TILE
+    a = np.arange(t * t, dtype=np.float32).reshape(t, t)
+    a[3, 5:12] = np.nan   # 7-gap: fillable (limit 10)
+    a[4, 20:45] = np.nan  # 25-gap: fill 10 from left + 10 from right, 5 stay
+    pdf_rows = [("imgX", 0, 0, a.ravel().tolist())]
+    df = spark.createDataFrame(pdf_rows, "image_id string, tile_x int, tile_y int, px array<float>")
+    got = np.asarray(stencil.gap_fill_x(df, limit=10).first().px, dtype=np.float32).reshape(t, t)
+    assert not np.isnan(got[3]).any()
+    assert np.isnan(got[4, 30:35]).all()
+    assert not np.isnan(got[4, 20:30]).any() and not np.isnan(got[4, 35:45]).any()
+    # forward fill uses last valid on the left
+    assert got[3, 5] == a[3, 4]
+
+
+def test_radiometry_array_functions(spark, images):
+    tiles = raster.tiles_from_images(images.limit(3), plane=0)
+    df = (
+        tiles.withColumn("refl", radiometry.dn_to_reflectance("px", 0.0, 255.0))
+        .withColumn("clipped", radiometry.clip_reflectance("refl"))
+        .withColumn("db", radiometry.to_db(radiometry.dn_to_reflectance("px", 1.0, 1.0)))
+    )
+    r = df.first()
+    px = np.asarray(r.px)
+    assert np.allclose(np.asarray(r.refl), px / 255.0, atol=1e-6)
+    assert np.asarray(r.clipped).min() >= 0.0
+    assert np.allclose(np.asarray(r.db), 10 * np.log10(px + 1.0), atol=1e-4)
+
+
+def test_clean_invalid_masks_pixels(spark, images):
+    qa = datagen.gen_qa_masks(spark, N)
+    tiles = raster.tiles_from_images(images, plane=0)
+    cleaned = radiometry.clean_invalid(tiles, qa, method="clean")
+    r = cleaned.first()
+    i = int(r.image_id[3:])
+    p0 = codecs.pixel_plane(i, 0, datagen.TILE, datagen.TILE).astype(np.int32)
+    mask = (p0 % 97 == 0) | (p0 % 89 == 0) | (p0 > 250)
+    got = np.asarray(r.px, dtype=np.float32).reshape(datagen.TILE, datagen.TILE)
+    assert np.isnan(got[mask]).all() or (got[mask] is not None and np.isnan(got[mask]).all())
+    if datagen.image_fmt(i) != "jpeg":
+        assert np.array_equal(got[~mask].astype(np.uint8), p0[~mask].astype(np.uint8))
+    # raw method is a no-op
+    assert radiometry.clean_invalid(tiles, qa, method="raw") is tiles
+
+
+def test_convert_to_uint16(spark, images):
+    tiles = raster.tiles_from_images(images.limit(3), plane=0)
+    refl = tiles.withColumn("px", radiometry.dn_to_reflectance("px"))
+    out = radiometry.convert_to_uint16(refl)
+    r = out.first()
+    assert r.dtype == "uint16"
+    vals = np.asarray(r.px)
+    assert vals.min() >= 0 and vals.max() <= 65535
