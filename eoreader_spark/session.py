@@ -25,6 +25,11 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # one BLAS/OMP thread per Python worker: the workers ARE the parallelism;
+    # nested BLAS pools oversubscribe cores N_workers x N_cores deep
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
