@@ -420,6 +420,50 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NAME_CASE = """
+    CASE WHEN user_id % 5 = 0 THEN 'garbage_' || cast(user_id as string)
+         WHEN user_id % 4 = 0 THEN 'S2A_MSIL2A_20240116T105309_N0510_R051_T31TCJ'
+         WHEN user_id % 4 = 1 THEN 'S1A_IW_GRDH_1SDV_20191215T060906'
+         WHEN user_id % 4 = 2 THEN 'LC08_L1TP_200030_20201220_20210310_02_T1'
+         ELSE 'DS_PHR1A_201006181052297_FR1_PX_E001N43_0612_03143' END
+"""
+
+
+def q_reader_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 constellation-detection scan: regex dispatch over synthesized
+    product names (sources/reader.py), counts per constellation."""
+    from eoreader_spark.sources import reader
+
+    ev = _t(spark, sf_dir, "events").selectExpr(f"{_NAME_CASE} as product_name")
+    return (
+        reader.detect(ev)
+        .groupBy("constellation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("constellation").asc_nulls_first())
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 NaN-interpolation SQL analog: forward-fill NULLs with the last
+    valid value within 10 preceding rows (last ignorenulls window)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("user_id") % 7 != 0, F.col("value"))
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(-10, 0)
+    filled = F.last(v, ignorenulls=True).over(w)
+    return (
+        ev.select("event_type", v.alias("v"), filled.alias("filled"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v").alias("n_valid"),
+            F.count("filled").alias("n_after_fill"),
+            F.round(F.sum("filled"), 4).alias("sum_filled"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -452,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "rollup": q_rollup,
         "percentile": q_percentile,
+        "reader_dispatch": q_reader_dispatch,
+        "gap_fill": q_gap_fill,
     }
 
 
@@ -661,5 +707,37 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.5), 4) AS p_med,
                    round(quantile_cont(l_extendedprice, 0.999), 4) AS p_high
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "reader_dispatch": rf"""
+            WITH named AS (SELECT {_NAME_CASE} AS product_name FROM events),
+            tagged AS (
+                SELECT CASE
+                    WHEN regexp_matches(product_name, '^S2[ABC]_MSIL(1C|2A)_\d{{8}}T\d{{6}}') THEN 'S2'
+                    WHEN regexp_matches(product_name, '^S1[ABC]_(IW|EW|SM|WV)_(GRD|SLC|OCN)') THEN 'S1'
+                    WHEN regexp_matches(product_name, '^L[CO]08_L[12][A-Z]{{2}}_\d{{6}}_\d{{8}}') THEN 'L8'
+                    WHEN regexp_matches(product_name, '^DS_PHR1[AB]_\d{{15}}') THEN 'PLD'
+                    WHEN regexp_matches(product_name, '^S3[AB]_(OL|SL)_[12]_') THEN 'S3'
+                    ELSE NULL END AS constellation
+                FROM named
+            )
+            SELECT constellation, count(*) AS n FROM tagged
+            GROUP BY constellation ORDER BY constellation NULLS FIRST
+        """,
+        "gap_fill": """
+            WITH t AS (
+                SELECT event_type, event_id,
+                       CASE WHEN user_id % 7 != 0 THEN value END AS v
+                FROM events
+            ),
+            f AS (
+                SELECT event_type, v,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS filled
+                FROM t
+            )
+            SELECT event_type, count(v) AS n_valid, count(filled) AS n_after_fill,
+                   round(sum(filled), 4) AS sum_filled
+            FROM f GROUP BY event_type ORDER BY event_type
         """,
     }

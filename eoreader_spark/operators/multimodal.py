@@ -1,0 +1,105 @@
+"""Multimodal (image/audio/video) column plumbing for training pipelines.
+
+Payloads are opaque `binary` columns with typed metadata; the Spark side —
+schema, partitioning, Arrow batch shape, kernel signatures — is real and
+tested.  The image path uses the engine's own codecs (real decode).  Audio
+and video DECODE are STUBBED: this container has no libsndfile/ffmpeg, so
+the stub raises NotImplementedError unless `fake=True`, in which case a
+clearly-marked deterministic fake (closed-form synthesis from the payload
+hash) stands in so the distributed plumbing is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from eoreader_spark import codecs
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, bytes binary, fmt string,"
+    " w int, h int, sample_rate int, n_frames int"
+)
+
+
+def _fake_signal(data: bytes, n: int) -> np.ndarray:
+    """DETERMINISTIC FAKE decode: pseudo-signal derived from the payload
+    digest — stands in for libsndfile/ffmpeg output."""
+    seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n).astype(np.float32)
+
+
+def image_features(media: DataFrame, resize: int = 8) -> DataFrame:
+    """REAL path: decode image bytes, box-resize to (resize x resize), emit a
+    flat feature vector per row.  mapInPandas, one decode per image."""
+    schema = "media_id string, features array<float>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data, fmt, w, h in zip(
+                pdf["media_id"], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                img = codecs.decode(bytes(data), fmt, int(h), int(w)).astype(np.float32)
+                p, hh, ww = img.shape
+                bh, bw = hh // resize, ww // resize
+                feat = (
+                    img[:, : bh * resize, : bw * resize]
+                    .reshape(p, resize, bh, resize, bw)
+                    .mean(axis=(2, 4))
+                )
+                rows.append((mid, feat.ravel()))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return media.filter("kind = 'image'").mapInPandas(batch, schema=schema)
+
+
+def audio_features(media: DataFrame, n_mels: int = 16, fake: bool = False) -> DataFrame:
+    """STUB: audio decode needs libsndfile (absent).  With fake=True a
+    deterministic pseudo-signal exercises the full Spark plumbing (schema,
+    batching, windowed energy features)."""
+    schema = "media_id string, features array<float>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data, sr in zip(pdf["media_id"], pdf["bytes"], pdf["sample_rate"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires libsndfile/ffmpeg (not in container); "
+                        "pass fake=True for the deterministic stand-in"
+                    )
+                sig = _fake_signal(bytes(data), int(sr))  # 1 second
+                frames = sig[: len(sig) // n_mels * n_mels].reshape(n_mels, -1)
+                rows.append((mid, np.sqrt((frames**2).mean(axis=1))))
+            yield pd.DataFrame(rows, columns=["media_id", "features"])
+
+    return media.filter("kind = 'audio'").mapInPandas(batch, schema=schema)
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
+    """STUB: video decode needs ffmpeg (absent).  Emits one row per sampled
+    frame with a per-frame feature vector; with fake=True frames are
+    deterministic pseudo-images."""
+    schema = "media_id string, frame_idx int, features array<float>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data, nf in zip(pdf["media_id"], pdf["bytes"], pdf["n_frames"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg (not in container); "
+                        "pass fake=True for the deterministic stand-in"
+                    )
+                for fi in range(0, int(nf), every_n):
+                    sig = _fake_signal(bytes(data) + fi.to_bytes(4, "big"), 16)
+                    rows.append((mid, fi, sig))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "features"])
+
+    return media.filter("kind = 'video'").mapInPandas(batch, schema=schema)

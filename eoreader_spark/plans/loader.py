@@ -1,0 +1,298 @@
+"""The load/stack plan builder — the engine's Product.load analog.
+
+Reference lifecycle (/root/reference/eoreader/products/product.py:1076-1330):
+  load(bands, window=...) = normalize + alias-resolve (P1, product.py:2664-2701)
+  -> validate (P2 has_band, product.py:1611-1763)
+  -> classify into spectral/index/dem/mask lists (P3, product.py:1177-1231)
+  -> expand index band needs (NEEDED_BANDS, product.py:1238-1240)
+  -> read + clean + to-reflectance (optical_product.py:268-353)
+  -> compute indices on collocated bands (product.py:1254)
+  -> DEM derivatives (product.py:1495-1549)
+  -> masks/clouds (optical_product.py:579-697)
+  -> collocate + reorder -> Dataset (product.py:1303-1330)
+and stack(bands) materializes a single multi-band raster with optional uint16
+conversion (product.py:2217-2297, utils.py:461-546).
+
+Spark form: the plan is built ONCE on the driver and emits a single
+DataFrame of wide tile rows (image_id, tile_x, tile_y, px_<BAND> ...).
+Everything after decode is JVM array expressions (zip_with/transform,
+whole-stage codegen); decode itself is one mapInPandas pass that reads every
+needed plane once (the reference's 'open them only one time!' CSE,
+product.py:1242-1247).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eoreader_spark.datagen import TILE
+from eoreader_spark.functions import radiometry
+from eoreader_spark.operators import raster, stencil
+
+SPECTRAL = {"RED": 0, "GREEN": 1, "NIR": 2}  # plane map (band_map table T7)
+ALIASES = {
+    "B04": "RED", "04": "RED", "B03": "GREEN", "03": "GREEN",
+    "B08": "NIR", "08": "NIR", "Oa08": "RED", "Oa06": "GREEN", "Oa17": "NIR",
+}
+DEM_BANDS = {"DEM", "SLOPE", "HILLSHADE"}
+MASK_BANDS = {"NODATA_MASK", "CLOUD_MASK", "SHADOW_MASK", "ALL_MASK"}
+_MASK_BITS = {"NODATA_MASK": [0], "CLOUD_MASK": [5], "SHADOW_MASK": [6], "ALL_MASK": [0, 1, 2, 5, 6]}
+
+# index -> (needed spectral bands, array-expression builder over px columns)
+def _nd(a: Column, b: Column) -> Column:
+    # normalized difference with the same epsilon as functions/indices.py
+    return F.zip_with(a, b, lambda x, y: (x - y) / (x + y + F.lit(1e-12)))
+
+
+INDEX_EXPRS = {
+    "NDVI": (["NIR", "RED"], lambda c: _nd(c["NIR"], c["RED"])),
+    "NDWI": (["GREEN", "NIR"], lambda c: _nd(c["GREEN"], c["NIR"])),
+    "GNDVI": (["NIR", "GREEN"], lambda c: _nd(c["NIR"], c["GREEN"])),
+    "SAVI": (
+        ["NIR", "RED"],
+        lambda c: F.zip_with(
+            c["NIR"], c["RED"],
+            lambda n, r: (F.lit(1.5)) * (n - r) / (n + r + F.lit(0.5) + F.lit(1e-12)),
+        ),
+    ),
+    "EVI": (
+        ["NIR", "RED"],
+        lambda c: F.zip_with(
+            c["NIR"], c["RED"],
+            lambda n, r: F.lit(2.5) * (n - r) / (n + F.lit(6.0) * r + F.lit(1.0) + F.lit(1e-12)),
+        ),
+    ),
+    "TCBRI": (
+        ["RED", "GREEN", "NIR"],
+        lambda c: F.zip_with(
+            F.zip_with(c["RED"], c["GREEN"], lambda r, g: F.lit(0.3037) * r + F.lit(0.2793) * g),
+            c["NIR"],
+            lambda acc, n: acc + F.lit(0.3279) * n,
+        ),
+    ),
+}
+
+
+class BandError(ValueError):
+    """Invalid band request (reference: InvalidTypeError in product.py:1130)."""
+
+
+def to_band(name: str) -> str:
+    """P1 alias resolution: 'B04'/'04'/'red' -> 'RED'; index/dem/mask names
+    pass through canonically uppercased."""
+    key = str(name).strip()
+    up = key.upper()
+    if up in SPECTRAL or up in DEM_BANDS or up in MASK_BANDS or up in INDEX_EXPRS:
+        return up
+    if key in ALIASES:
+        return ALIASES[key]
+    if up in ALIASES:
+        return ALIASES[up]
+    raise BandError(f"cannot resolve band: {name!r}")
+
+
+@dataclass
+class LoadPlan:
+    """P3 classification result — driver-side IR of one load() call."""
+
+    spectral: list[str] = field(default_factory=list)
+    indices: list[str] = field(default_factory=list)
+    dem: list[str] = field(default_factory=list)
+    masks: list[str] = field(default_factory=list)
+    order: list[str] = field(default_factory=list)
+    needed_planes: list[int] = field(default_factory=list)
+
+
+def classify(bands: list[str]) -> LoadPlan:
+    plan = LoadPlan()
+    seen = set()
+    for b in bands:
+        cb = to_band(b)
+        if cb in seen:  # U4 dedup: open them only one time
+            continue
+        seen.add(cb)
+        plan.order.append(cb)
+        if cb in SPECTRAL:
+            plan.spectral.append(cb)
+        elif cb in INDEX_EXPRS:
+            plan.indices.append(cb)
+        elif cb in DEM_BANDS:
+            plan.dem.append(cb)
+        elif cb in MASK_BANDS:
+            plan.masks.append(cb)
+    # NEEDED_BANDS expansion
+    needed = set(plan.spectral)
+    for idx in plan.indices:
+        needed.update(INDEX_EXPRS[idx][0])
+    plan.needed_planes = sorted(SPECTRAL[b] for b in needed)
+    return plan
+
+
+class ImageEngine:
+    """Per-table engine: the Product analog over an images table.
+
+    Parameters mirror the reference's product inputs: the images table (T1),
+    optional qa_masks (T8), optional dem tiles (T6), and scene metadata for
+    sun angles (T2).
+    """
+
+    def __init__(
+        self,
+        images: DataFrame,
+        qa_masks: DataFrame | None = None,
+        dem: DataFrame | None = None,
+        sun_azimuth: float = 315.0,
+        sun_zenith: float = 45.0,
+        tile: int = TILE,
+    ) -> None:
+        self.images = images
+        self.qa_masks = qa_masks
+        self.dem = dem
+        self.sun_azimuth = sun_azimuth
+        self.sun_zenith = sun_zenith
+        self.tile = tile
+
+    # ----------------------------------------------------------- predicates
+    def has_band(self, band: str) -> bool:
+        """P2: is this band loadable given the attached side tables?"""
+        try:
+            cb = to_band(band)
+        except BandError:
+            return False
+        if cb in DEM_BANDS:
+            return self.dem is not None
+        if cb in MASK_BANDS:
+            return self.qa_masks is not None
+        return True
+
+    def has_bands(self, bands: list[str]) -> bool:
+        return all(self.has_band(b) for b in bands)
+
+    # ----------------------------------------------------------------- load
+    def load(
+        self,
+        bands: list[str],
+        clean: str = "clean",
+        window: tuple[float, float, float, float] | None = None,
+        reflectance: bool = True,
+    ) -> DataFrame:
+        """-> wide tile rows (image_id, tile_x, tile_y, px_<BAND>...) in the
+        requested band order (O2 reorder, product.py:1313-1315).
+
+        ``window`` = (tx0, ty0, tx1, ty1) tile-coordinate window (P7): applied
+        BEFORE kernels so decode work is pruned (the rasterio-window analog;
+        with cell-partitioned tables Catalyst turns it into partition pruning).
+        """
+        plan = classify(bands)
+        for b in plan.order:
+            if not self.has_band(b):
+                raise BandError(f"band {b} not available (missing side table)")
+
+        # 1. decode every needed plane once
+        if plan.needed_planes:
+            wide = raster.multi_plane_tiles(self.images, plan.needed_planes, tile=self.tile)
+        else:
+            base = self.qa_masks if self.qa_masks is not None else self.dem
+            wide = base.select("image_id", "tile_x", "tile_y").distinct()
+        if window is not None:
+            tx0, ty0, tx1, ty1 = window
+            wide = wide.filter(
+                (F.col("tile_x") >= tx0) & (F.col("tile_x") <= tx1)
+                & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
+            )
+
+        name_of = {SPECTRAL[b]: b for b in SPECTRAL}
+        for p in plan.needed_planes:
+            wide = wide.withColumnRenamed(f"px_{p}", f"px_{name_of[p]}")
+
+        # 2. cleaning (P4/P5) on every decoded plane
+        if clean != "raw" and plan.needed_planes:
+            if self.qa_masks is None:
+                raise BandError("clean method needs qa_masks (use clean='raw')")
+            wide = wide.join(self.qa_masks, ["image_id", "tile_x", "tile_y"], "left")
+            bits = [0] if clean == "nodata" else [0, 1, 2]
+            mask = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
+            for p in plan.needed_planes:
+                col = f"px_{name_of[p]}"
+                wide = wide.withColumn(
+                    col,
+                    F.when(F.col("qa").isNull(), F.col(col)).otherwise(
+                        radiometry.apply_mask(col, mask)
+                    ),
+                )
+            wide = wide.drop("qa")
+
+        # 3. DN -> reflectance (F2) + clip (P6)
+        if reflectance:
+            for p in plan.needed_planes:
+                col = f"px_{name_of[p]}"
+                wide = wide.withColumn(
+                    col,
+                    radiometry.clip_reflectance(radiometry.dn_to_reflectance(col)),
+                )
+
+        # 4. indices as JVM array expressions over collocated planes (F1/J1 —
+        # collocation is implicit: planes share the tile row)
+        for idx in plan.indices:
+            needs, builder = INDEX_EXPRS[idx]
+            cols = {b: F.col(f"px_{b}") for b in needs}
+            wide = wide.withColumn(f"px_{idx}", builder(cols))
+
+        # 5. DEM derivatives (J3 + W1/W2): stencil jobs joined back on tile key
+        if plan.dem:
+            dem_px = self.dem.withColumnRenamed("z", "px")
+            if "DEM" in plan.dem:
+                wide = wide.join(
+                    dem_px.withColumnRenamed("px", "px_DEM"),
+                    ["image_id", "tile_x", "tile_y"],
+                )
+            if "SLOPE" in plan.dem:
+                s = stencil.slope(dem_px, tile=self.tile).withColumnRenamed("px", "px_SLOPE")
+                wide = wide.join(s, ["image_id", "tile_x", "tile_y"])
+            if "HILLSHADE" in plan.dem:
+                h = stencil.hillshade(
+                    dem_px, self.sun_azimuth, self.sun_zenith, tile=self.tile
+                ).withColumnRenamed("px", "px_HILLSHADE")
+                wide = wide.join(h, ["image_id", "tile_x", "tile_y"])
+
+        # 6. masks as uint8-ish int arrays (optical_product.py:440-441)
+        for m in plan.masks:
+            bits = _MASK_BITS[m]
+            mask_col = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
+            qa = self.qa_masks.select(
+                "image_id", "tile_x", "tile_y", mask_col.alias(f"px_{m}")
+            )
+            wide = wide.join(qa, ["image_id", "tile_x", "tile_y"])
+
+        # 7. stable reorder to the user's band order (O2)
+        return wide.select(
+            "image_id", "tile_x", "tile_y", *[f"px_{b}" for b in plan.order]
+        )
+
+    # ---------------------------------------------------------------- stack
+    def stack(
+        self,
+        bands: list[str],
+        out_path: str | None = None,
+        as_uint16: bool = True,
+        **load_kw,
+    ) -> DataFrame:
+        """Materialize a multi-band stack (product.py:2217-2297): wide load,
+        nodata fill, optional uint16 conversion (S10), optional parquet sink
+        (S9)."""
+        wide = self.load(bands, **load_kw)
+        order = [to_band(b) for b in bands]
+        if as_uint16:
+            for b in order:
+                col = f"px_{b}"
+                if b in MASK_BANDS:
+                    continue  # masks are already small ints
+                wide = radiometry.convert_to_uint16(wide.withColumnRenamed(col, "px"))
+                wide = wide.withColumnRenamed("px", col).drop("dtype")
+        if out_path:
+            wide.write.mode("overwrite").parquet(out_path)
+            return wide.sparkSession.read.parquet(out_path)
+        return wide

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from eoreader_spark import codecs, datagen
+from eoreader_spark.plans import loader
+
+N = 12
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    images = datagen.gen_images(spark, N).persist()
+    qa = datagen.gen_qa_masks(spark, N).persist()
+    dem = datagen.gen_dem(spark, N).persist()
+    return loader.ImageEngine(images, qa_masks=qa, dem=dem)
+
+
+def test_to_band_aliases():
+    assert loader.to_band("B04") == "RED"
+    assert loader.to_band("04") == "RED"
+    assert loader.to_band("red") == "RED"
+    assert loader.to_band("ndvi") == "NDVI"
+    assert loader.to_band("SLOPE") == "SLOPE"
+    with pytest.raises(loader.BandError):
+        loader.to_band("B99")
+
+
+def test_classify_and_dedup():
+    plan = loader.classify(["RED", "B04", "NDVI", "SLOPE", "CLOUD_MASK"])
+    assert plan.order == ["RED", "NDVI", "SLOPE", "CLOUD_MASK"]  # U4 dedup
+    assert plan.spectral == ["RED"]
+    assert plan.indices == ["NDVI"]
+    assert plan.needed_planes == [0, 2]  # RED + NIR for NDVI
+
+
+def test_has_band(spark):
+    images = datagen.gen_images(spark, 2)
+    bare = loader.ImageEngine(images)  # no side tables
+    assert bare.has_band("RED") and bare.has_band("NDVI")
+    assert not bare.has_band("SLOPE") and not bare.has_band("CLOUD_MASK")
+    assert not bare.has_band("NOPE")
+
+
+def test_load_end_to_end(spark, engine):
+    wide = engine.load(["RED", "NDVI", "DEM", "SLOPE", "CLOUD_MASK"], clean="raw")
+    cols = wide.columns
+    assert cols == ["image_id", "tile_x", "tile_y", "px_RED", "px_NDVI",
+                    "px_DEM", "px_SLOPE", "px_CLOUD_MASK"]
+    rows = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    t = datagen.TILE
+    red_dn = codecs.pixel_plane(0, 0, t, t).astype(np.float64)
+    nir_dn = codecs.pixel_plane(0, 2, t, t).astype(np.float64)
+    red = np.clip(red_dn / 255.0, 0, None)
+    nir = np.clip(nir_dn / 255.0, 0, None)
+    assert np.allclose(np.asarray(r.px_RED).reshape(t, t), red, atol=1e-6)
+    want_ndvi = (nir - red) / (nir + red + 1e-12)
+    assert np.allclose(np.asarray(r.px_NDVI).reshape(t, t), want_ndvi, atol=1e-5)
+    # DEM closed form
+    yy, xx = np.mgrid[0:t, 0:t]
+    assert np.allclose(
+        np.asarray(r.px_DEM).reshape(t, t), 100 * np.sin(xx / 5.0) + 2.0 * yy, atol=1e-3
+    )
+    # mask is the cloud bit of the closed-form qa
+    p0 = codecs.pixel_plane(0, 0, t, t).astype(np.int32)
+    assert np.array_equal(np.asarray(r.px_CLOUD_MASK).reshape(t, t), (p0 > 200).astype(int))
+
+
+def test_load_clean_masks_invalid(spark, engine):
+    wide = engine.load(["RED"], clean="clean", reflectance=False)
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    p0 = codecs.pixel_plane(0, 0, t, t).astype(np.int32)
+    invalid = (p0 % 97 == 0) | (p0 % 89 == 0) | (p0 > 250)
+    got = np.asarray(r.px_RED, dtype=np.float64).reshape(t, t)
+    assert np.isnan(got[invalid]).all()
+    assert np.array_equal(got[~invalid], p0[~invalid].astype(np.float64))
+
+
+def test_load_window_prunes_tiles(spark, engine):
+    all_tiles = engine.load(["RED"], clean="raw").count()
+    windowed = engine.load(["RED"], clean="raw", window=(0, 0, 0, 0))
+    assert windowed.count() == N  # one tile per image
+    assert windowed.count() < all_tiles
+    assert windowed.select("tile_x", "tile_y").distinct().collect()[0][0:2] == (0, 0)
+
+
+def test_stack_uint16(spark, engine):
+    st = engine.stack(["RED", "NDVI"], as_uint16=True, clean="raw")
+    r = st.first()
+    red = np.asarray(r.px_RED)
+    assert red.dtype.kind == "i"
+    assert red.min() >= 0 and red.max() <= 65535
+
+
+def test_invalid_band_raises(spark, engine):
+    with pytest.raises(loader.BandError):
+        engine.load(["RED", "BOGUS"])

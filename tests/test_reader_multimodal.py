@@ -1,0 +1,75 @@
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from eoreader_spark import codecs, datagen
+from eoreader_spark.operators import multimodal
+from eoreader_spark.sources import reader
+
+
+def test_constellation_detection(spark):
+    names = [
+        ("S2A_MSIL2A_20240116T105309_N0510_R051_T31TCJ", "S2"),
+        ("S2B_MSIL1C_20200114T065229_N0208_R020_T40REQ", "S2"),
+        ("S1A_IW_GRDH_1SDV_20191215T060906", "S1"),
+        ("LC08_L1TP_200030_20201220_20210310_02_T1", "L8"),
+        ("DS_PHR1A_201006181052297_FR1_PX_E001N43_0612_03143", "PLD"),
+        ("S3B_SL_1_RBT____20191115T233722", "S3"),
+        ("random_garbage_file", None),
+    ]
+    df = spark.createDataFrame([(n,) for n, _ in names], "product_name string")
+    got = {r.product_name: r.constellation for r in reader.detect(df).collect()}
+    for n, want in names:
+        assert got[n] == want, n
+
+
+def test_acq_datetime(spark):
+    df = spark.createDataFrame(
+        [("S2A_MSIL2A_20240116T105309_N0510",)], "product_name string"
+    )
+    r = df.select(reader.acq_datetime("product_name").alias("dt")).first()
+    assert r.dt == dt.datetime(2024, 1, 16, 10, 53, 9)
+
+
+def test_dispatch_joins_band_map(spark):
+    bm = datagen.gen_band_map(spark)
+    df = spark.createDataFrame(
+        [("S2A_MSIL2A_20240116T105309_N0510",), ("S1A_IW_GRDH_1SDV_20191215T060906",)],
+        "product_name string",
+    )
+    out = reader.dispatch(df, bm).collect()
+    s2 = [r for r in out if r.constellation == "S2"]
+    assert {r.band_name for r in s2} == {"RED", "GREEN", "NIR"}
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    img = codecs.make_image(5, 64, 64)
+    rows = [
+        ("m1", "image", codecs.encode(img, "png"), "png", 64, 64, 0, 0),
+        ("m2", "image", codecs.encode(img, "raw8"), "raw8", 64, 64, 0, 0),
+        ("a1", "audio", b"\x01\x02\x03fakewav", "wav", 0, 0, 16000, 0),
+        ("v1", "video", b"\x09\x08fakemp4", "mp4", 0, 0, 0, 30),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_image_features_real(spark, media):
+    out = {r.media_id: np.asarray(r.features) for r in multimodal.image_features(media).collect()}
+    assert set(out) == {"m1", "m2"}
+    assert out["m1"].shape == (3 * 8 * 8,)
+    assert np.allclose(out["m1"], out["m2"])  # png and raw8 encode the same image
+
+
+def test_audio_stub_raises_without_fake(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|libsndfile"):
+        multimodal.audio_features(media).collect()
+
+
+def test_audio_video_fake_deterministic(spark, media):
+    a1 = {r.media_id: tuple(r.features) for r in multimodal.audio_features(media, fake=True).collect()}
+    a2 = {r.media_id: tuple(r.features) for r in multimodal.audio_features(media.repartition(5), fake=True).collect()}
+    assert a1 == a2 and set(a1) == {"a1"}
+    v = multimodal.video_frame_sample(media, every_n=10, fake=True).collect()
+    assert {(r.media_id, r.frame_idx) for r in v} == {("v1", 0), ("v1", 10), ("v1", 20)}

@@ -1,0 +1,79 @@
+import time
+
+from pyspark.sql import functions as F
+
+from eoreader_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage_events(spark, tmp_path, parts=2):
+    """Copy the events table into a stream-input dir in two chunks."""
+    src = spark.read.parquet(f"{SF}/events.parquet")
+    half = src.count() // 2
+    a = src.orderBy("event_id").limit(half)
+    b = src.orderBy("event_id").exceptAll(a)
+    in_dir = str(tmp_path / "in")
+    a.coalesce(1).write.mode("append").parquet(in_dir)
+    b.coalesce(1).write.mode("append").parquet(in_dir)
+    return in_dir, src
+
+
+def test_windowed_stream_matches_batch(spark, tmp_path):
+    in_dir, src = _stage_events(spark, tmp_path)
+    metrics = ev.run_windowed_to_lineage(spark, in_dir, str(tmp_path / "ck"))
+    assert metrics["batches"] >= 1
+
+    from eoreader_spark.lineage import LineageStore
+
+    store = LineageStore(spark, str(tmp_path / "ck"))
+    got = store.read_stage("stream_windows")
+    want = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    g = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in got.collect()
+    }
+    w = {
+        (r.w.start, r.event_type): (r.n, round(r.s, 6)) for r in want.collect()
+    }
+    assert g == w
+    # lineage rows committed per hour bucket
+    assert store.completed_keys("stream_windows").count() > 0
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    # synthetic: user 1 has two bursts 2h apart; user 2 one burst.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for m in (0, 5, 10):  # burst A user 1
+        rows.append((eid, base + dt.timedelta(minutes=m), 1, "x", 1.0, "{}")); eid += 1
+    for m in (180, 185):  # burst B user 1 (gap 170min > 30min)
+        rows.append((eid, base + dt.timedelta(minutes=m), 1, "x", 1.0, "{}")); eid += 1
+    for m in (0, 1):
+        rows.append((eid, base + dt.timedelta(minutes=m), 2, "x", 1.0, "{}")); eid += 1
+    # late sentinel far in the future so the watermark closes everything
+    rows.append((eid, base + dt.timedelta(days=2), 99, "x", 1.0, "{}"))
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, ev.EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        ev.sessionize(ev.read_events_stream(spark, in_dir), gap_minutes=30, watermark="1 minute")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).filter("user_id is not null").collect()
+    sessions = {(r.user_id, r.n_events) for r in got}
+    assert (1, 3) in sessions  # burst A closed
+    assert (2, 2) in sessions
