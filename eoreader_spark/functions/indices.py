@@ -78,6 +78,79 @@ INDEX_REGISTRY: dict[str, tuple[list[str], Callable[..., np.ndarray]]] = {
     "GNDVI": ([GREEN, NIR], _gndvi),
 }
 
+# the remainder of the spyndex-style catalog definable over the 3-plane
+# (RED/GREEN/NIR) model — each a one-line vectorized kernel, same pattern as
+# the reference's generated indices (/root/reference/eoreader/bands/
+# indices.py:102-159 pulls these formulas from spyndex/Awesome Spectral
+# Indices; constants below are the published defaults)
+_EXTRA = {
+    "DVI": ([NIR, RED], lambda b: b[NIR] - b[RED]),
+    "RVI": ([NIR, RED], lambda b: b[NIR] / (b[RED] + _EPS)),
+    "SR": ([NIR, RED], lambda b: b[NIR] / (b[RED] + _EPS)),
+    "IPVI": ([NIR, RED], lambda b: b[NIR] / (b[NIR] + b[RED] + _EPS)),
+    "EVI2": ([NIR, RED], lambda b: 2.5 * (b[NIR] - b[RED]) / (b[NIR] + 2.4 * b[RED] + 1.0)),
+    "OSAVI": ([NIR, RED], lambda b: (b[NIR] - b[RED]) / (b[NIR] + b[RED] + 0.16)),
+    "MSAVI": (
+        [NIR, RED],
+        lambda b: 0.5
+        * (2 * b[NIR] + 1 - np.sqrt(np.maximum((2 * b[NIR] + 1) ** 2 - 8 * (b[NIR] - b[RED]), 0.0))),
+    ),
+    "RDVI": (
+        [NIR, RED],
+        lambda b: (b[NIR] - b[RED]) / np.sqrt(np.maximum(b[NIR] + b[RED], _EPS)),
+    ),
+    "MSR": (
+        [NIR, RED],
+        lambda b: (b[NIR] / (b[RED] + _EPS) - 1)
+        / np.sqrt(np.maximum(b[NIR] / (b[RED] + _EPS) + 1, _EPS)),
+    ),
+    "TVI": (
+        [NIR, RED],
+        lambda b: np.sqrt(np.maximum((b[NIR] - b[RED]) / (b[NIR] + b[RED] + _EPS) + 0.5, 0.0)),
+    ),
+    "NLI": ([NIR, RED], lambda b: (b[NIR] ** 2 - b[RED]) / (b[NIR] ** 2 + b[RED] + _EPS)),
+    "MNLI": (
+        [NIR, RED],
+        lambda b: 1.5 * (b[NIR] ** 2 - b[RED]) / (b[NIR] ** 2 + b[RED] + 0.5 + _EPS),
+    ),
+    "GRVI": ([GREEN, RED], lambda b: (b[GREEN] - b[RED]) / (b[GREEN] + b[RED] + _EPS)),
+    "NGRDI": ([GREEN, RED], lambda b: (b[GREEN] - b[RED]) / (b[GREEN] + b[RED] + _EPS)),
+    "RGR": ([GREEN, RED], lambda b: b[RED] / (b[GREEN] + _EPS)),
+    "CIG": ([NIR, GREEN], lambda b: b[NIR] / (b[GREEN] + _EPS) - 1.0),
+    "GCVI": ([NIR, GREEN], lambda b: b[NIR] / (b[GREEN] + _EPS) - 1.0),
+    "GRNDVI": (
+        [NIR, GREEN, RED],
+        lambda b: (b[NIR] - (b[GREEN] + b[RED])) / (b[NIR] + b[GREEN] + b[RED] + _EPS),
+    ),
+    "CVI": ([NIR, RED, GREEN], lambda b: b[NIR] * b[RED] / (b[GREEN] ** 2 + _EPS)),
+    "GARI": (
+        [NIR, GREEN, RED],
+        lambda b: (b[NIR] - (b[GREEN] - 1.7 * (b[RED] - b[GREEN])))
+        / (b[NIR] + (b[GREEN] - 1.7 * (b[RED] - b[GREEN])) + _EPS),
+    ),
+    "GBNDVI": (
+        [NIR, GREEN, RED],
+        lambda b: (b[NIR] - (b[GREEN] + b[RED])) / (b[NIR] + b[GREEN] + b[RED] + _EPS),
+    ),
+    "AVI": (
+        [NIR, RED],
+        lambda b: np.cbrt(np.maximum(b[NIR] * (1.0 - b[RED]) * (b[NIR] - b[RED]), 0.0)),
+    ),
+    "SIPI2": (
+        [NIR, GREEN, RED],
+        lambda b: (b[NIR] - b[GREEN]) / (b[NIR] - b[RED] + _EPS),
+    ),
+    "TCGRE": (
+        [RED, GREEN, NIR],
+        lambda b: -0.2848 * b[RED] - 0.2435 * b[GREEN] + 0.5436 * b[NIR],
+    ),
+    "TCWET": (
+        [RED, GREEN, NIR],
+        lambda b: 0.1509 * b[RED] + 0.1973 * b[GREEN] + 0.3279 * b[NIR],
+    ),
+}
+INDEX_REGISTRY.update(_EXTRA)
+
 
 def register_index(name: str, needs: list[str], fn: Callable[..., np.ndarray]) -> None:
     """X1 extension point: user-registered index kernels

@@ -1,0 +1,230 @@
+"""Warp / orthorectification / swath geocoding — the coordinate-transform
+join family (SURVEY §2.3 J3-J6).
+
+Reference:
+- plain warp to UTM: WarpedVRT reprojection
+  (/root/reference/eoreader/products/product.py:2911-2973)
+- RPC/GCP orthorectification for VHR products
+  (/root/reference/eoreader/products/product.py:2842-2909,
+   /root/reference/eoreader/products/optical/vhr_product.py:129-183)
+- DEM warp onto the product grid (product.py:1898-2010)
+- Sentinel-3 swath geocoding: nearest / bilinear resampling from tie-point
+  lat/lon to the target grid (s3_product.py:584-683)
+
+Spark form: a warp is a PER-TILE COORDINATE KERNEL with broadcast transform
+parameters (affine matrix or RPC-lite rational coefficients) + an optional
+DEM height term, followed by resampling.  The transform itself is closed
+form, so output pixels are bit-stable across partitionings.  Swath geocoding
+composes the kNN join (operators/knn.py) with inverse-distance/bilinear
+weights computed JVM-side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from eoreader_spark.datagen import TILE
+
+
+@dataclass(frozen=True)
+class Affine:
+    """Ground = A @ pixel + b (the rasterio affine analog)."""
+
+    a: float  # dx/dcol
+    b: float  # dx/drow
+    c: float  # x offset
+    d: float  # dy/dcol
+    e: float  # dy/drow
+    f: float  # y offset
+
+    def apply(self, col: np.ndarray, row: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return self.a * col + self.b * row + self.c, self.d * col + self.e * row + self.f
+
+    def inverse(self) -> "Affine":
+        det = self.a * self.e - self.b * self.d
+        ia, ib, id_, ie = self.e / det, -self.b / det, -self.d / det, self.a / det
+        return Affine(ia, ib, -(ia * self.c + ib * self.f), id_, ie, -(id_ * self.c + ie * self.f))
+
+
+@dataclass(frozen=True)
+class RpcLite:
+    """Rational-polynomial-lite camera model (the .rpc coefficient analog,
+    /root/reference/eoreader/utils.py:326-388): ground(x,y) -> pixel
+    (col,row) as a first-order rational with a height term.
+
+    col = (c0 + c1*x + c2*y + c3*h) / (1 + c4*x + c5*y)
+    row = (r0 + r1*x + r2*y + r3*h) / (1 + r4*x + r5*y)
+    """
+
+    c: tuple[float, float, float, float, float, float]
+    r: tuple[float, float, float, float, float, float]
+
+    def ground_to_pixel(
+        self, x: np.ndarray, y: np.ndarray, h: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        c, r = self.c, self.r
+        col = (c[0] + c[1] * x + c[2] * y + c[3] * h) / (1.0 + c[4] * x + c[5] * y)
+        row = (r[0] + r[1] * x + r[2] * y + r[3] * h) / (1.0 + r[4] * x + r[5] * y)
+        return col, row
+
+
+def _resample(
+    src: np.ndarray, col: np.ndarray, row: np.ndarray, method: str
+) -> np.ndarray:
+    """Sample src (h, w) at fractional (col, row); outside -> NaN."""
+    h, w = src.shape
+    out = np.full(col.shape, np.nan, dtype=np.float32)
+    if method == "nearest":
+        ci = np.round(col).astype(np.int64)
+        ri = np.round(row).astype(np.int64)
+        ok = (ci >= 0) & (ci < w) & (ri >= 0) & (ri < h)
+        out[ok] = src[ri[ok], ci[ok]]
+    elif method == "bilinear":
+        c0 = np.floor(col).astype(np.int64)
+        r0 = np.floor(row).astype(np.int64)
+        fc = (col - c0).astype(np.float64)
+        fr = (row - r0).astype(np.float64)
+        ok = (c0 >= 0) & (c0 < w - 1) & (r0 >= 0) & (r0 < h - 1)
+        c0k, r0k, fck, frk = c0[ok], r0[ok], fc[ok], fr[ok]
+        v = (
+            src[r0k, c0k] * (1 - fck) * (1 - frk)
+            + src[r0k, c0k + 1] * fck * (1 - frk)
+            + src[r0k + 1, c0k] * (1 - fck) * frk
+            + src[r0k + 1, c0k + 1] * fck * frk
+        )
+        out[ok] = v
+    else:
+        raise ValueError(f"unknown resampling: {method}")
+    return out
+
+
+def warp_affine(
+    tiles: DataFrame,
+    src_transform: Affine,
+    dst_transform: Affine,
+    method: str = "bilinear",
+    tile: int = TILE,
+    px_col: str = "px",
+) -> DataFrame:
+    """J6 plain warp: resample each output tile from ITS OWN image's source
+    grid under dst->ground->src coordinate mapping.
+
+    Works tile-local when the transform displacement is under one tile (the
+    common warp-to-UTM case); larger displacements need the halo/mosaic path.
+    Transform params are broadcast literals; kernel is one vectorized numpy
+    pass per tile.
+    """
+    inv = src_transform.inverse()
+    schema = f"image_id string, tile_x int, tile_y int, {px_col} array<float>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:tile, 0:tile]
+        for pdf in it:
+            rows = []
+            for iid, tx, ty, px in zip(pdf["image_id"], pdf["tile_x"], pdf["tile_y"], pdf[px_col]):
+                src = np.asarray(px, dtype=np.float32).reshape(tile, tile)
+                gcol = int(tx) * tile + xx
+                grow = int(ty) * tile + yy
+                gx, gy = dst_transform.apply(gcol.astype(np.float64), grow.astype(np.float64))
+                scol, srow = inv.apply(gx, gy)
+                out = _resample(src, scol - int(tx) * tile, srow - int(ty) * tile, method)
+                rows.append((iid, int(tx), int(ty), out.ravel()))
+            yield pd.DataFrame(rows, columns=["image_id", "tile_x", "tile_y", px_col])
+
+    return tiles.mapInPandas(batch, schema=schema)
+
+
+def orthorectify(
+    tiles: DataFrame,
+    dem: DataFrame,
+    rpc: RpcLite,
+    dst_transform: Affine,
+    method: str = "bilinear",
+    tile: int = TILE,
+    px_col: str = "px",
+) -> DataFrame:
+    """J5 orthorectification: for each output pixel, ground coords via the
+    target grid, height from the collocated DEM tile (J3 equi-join on the
+    tile key), RPC ground->pixel, resample the source tile.
+
+    RPC coefficients are broadcast; the DEM rides the tile-key join.
+    """
+    joined = tiles.join(
+        dem.withColumnRenamed("z", "__dem"), ["image_id", "tile_x", "tile_y"]
+    )
+    schema = f"image_id string, tile_x int, tile_y int, {px_col} array<float>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:tile, 0:tile]
+        for pdf in it:
+            rows = []
+            for iid, tx, ty, px, z in zip(
+                pdf["image_id"], pdf["tile_x"], pdf["tile_y"], pdf[px_col], pdf["__dem"]
+            ):
+                src = np.asarray(px, dtype=np.float32).reshape(tile, tile)
+                h = np.asarray(z, dtype=np.float64).reshape(tile, tile)
+                gcol = (int(tx) * tile + xx).astype(np.float64)
+                grow = (int(ty) * tile + yy).astype(np.float64)
+                gx, gy = dst_transform.apply(gcol, grow)
+                scol, srow = rpc.ground_to_pixel(gx, gy, h)
+                out = _resample(src, scol - int(tx) * tile, srow - int(ty) * tile, method)
+                rows.append((iid, int(tx), int(ty), out.ravel()))
+            yield pd.DataFrame(rows, columns=["image_id", "tile_x", "tile_y", px_col])
+
+    return joined.mapInPandas(batch, schema=schema)
+
+
+def geocode_swath(
+    swath: DataFrame,
+    grid: DataFrame,
+    k: int = 4,
+    res: int = 7,
+    k_cells: int = 1,
+    method: str = "idw",
+) -> DataFrame:
+    """J4 swath geocoding: resample irregular swath points (point_id, lon,
+    lat, value) onto target grid cells (grid_id, lon, lat).
+
+    kNN join (H3 k-ring expand + refine, operators/knn.py) then JVM-side
+    weights: 'nearest' takes rank 1; 'idw' inverse-distance-weights the k
+    neighbours (the bilinear-LUT analog of pyresample, s3_product.py:584-683).
+    """
+    from eoreader_spark.operators import knn
+
+    q = grid.selectExpr("grid_id as query_id", "lon", "lat")
+    p = swath.selectExpr("point_id as image_id", "lon", "lat")
+    nn = knn.knn_join(q, p, k=k, res=res, k_cells=k_cells)
+    vals = swath.selectExpr("point_id as image_id", "value")
+    j = nn.join(vals, "image_id")
+    if method == "nearest":
+        return j.filter(F.col("rank") == 1).selectExpr(
+            "query_id as grid_id", "value", "dist"
+        )
+    w = 1.0 / (F.col("dist") + F.lit(1e-12))
+    agg = j.groupBy("query_id").agg(
+        (F.sum(w * F.col("value")) / F.sum(w)).alias("value"),
+        F.min("dist").alias("dist"),
+    )
+    return agg.withColumnRenamed("query_id", "grid_id")
+
+
+def mosaic(tile_dfs: list[DataFrame], order_col: str | None = None) -> DataFrame:
+    """S12 VRT-mosaic analog: lazy union of tile DataFrames; overlapping tile
+    keys resolved deterministically (first source wins, or by ``order_col``)."""
+    from functools import reduce
+
+    tagged = [df.withColumn("__src", F.lit(i)) for i, df in enumerate(tile_dfs)]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    order = [F.col(order_col).asc()] if order_col else []
+    w = Window.partitionBy("image_id", "tile_x", "tile_y").orderBy(*order, F.col("__src").asc())
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -1,0 +1,124 @@
+import io
+import json
+import zipfile
+
+import numpy as np
+import pytest
+
+from eoreader_spark import datagen
+from eoreader_spark.operators import warp
+from eoreader_spark.sources import archive, stac
+
+T = datagen.TILE
+
+
+@pytest.fixture(scope="module")
+def one_tile(spark):
+    yy, xx = np.mgrid[0:T, 0:T]
+    px = (xx * 2.0 + yy * 3.0).astype(np.float32)
+    return spark.createDataFrame(
+        [("imgA", 0, 0, px.ravel().tolist())],
+        "image_id string, tile_x int, tile_y int, px array<float>",
+    ), px
+
+
+def test_warp_affine_identity(spark, one_tile):
+    df, px = one_tile
+    ident = warp.Affine(1, 0, 0, 0, 1, 0)
+    out = warp.warp_affine(df, ident, ident, method="nearest")
+    got = np.asarray(out.first().px, dtype=np.float32).reshape(T, T)
+    assert np.array_equal(got, px)
+
+
+def test_warp_affine_shift_bilinear(spark, one_tile):
+    df, px = one_tile
+    ident = warp.Affine(1, 0, 0, 0, 1, 0)
+    # source grid shifted by +0.5 px in x: dst pixel c samples src at c-0.5...
+    src_t = warp.Affine(1, 0, 0.5, 0, 1, 0)
+    out = warp.warp_affine(df, src_t, ident, method="bilinear")
+    got = np.asarray(out.first().px, dtype=np.float32).reshape(T, T)
+    # interior: linear surface -> exact interpolation of the shifted sample
+    want = (np.mgrid[0:T, 0:T][1] - 0.5) * 2.0 + np.mgrid[0:T, 0:T][0] * 3.0
+    interior = ~np.isnan(got)
+    assert interior[1:-1, 1:-1].all()
+    assert np.allclose(got[interior], want[interior], atol=1e-4)
+
+
+def test_orthorectify_with_flat_dem_matches_affine(spark, one_tile):
+    df, px = one_tile
+    dem = df.selectExpr("image_id", "tile_x", "tile_y", "transform(px, x -> float(0.0)) as z")
+    ident = warp.Affine(1, 0, 0, 0, 1, 0)
+    # RPC that reduces to identity at h=0
+    rpc = warp.RpcLite(c=(0, 1, 0, 0.001, 0, 0), r=(0, 0, 1, 0.002, 0, 0))
+    out = warp.orthorectify(df, dem, rpc, ident, method="nearest")
+    got = np.asarray(out.first().px, dtype=np.float32).reshape(T, T)
+    assert np.array_equal(got, px)
+
+
+def test_geocode_swath_nearest_and_idw(spark):
+    # swath: dense deterministic points with value = closed fn of position
+    pts = [(i, 1.0 + (i % 40) * 0.01, 45.0 + (i // 40) * 0.01, float((i % 40) + (i // 40)))
+           for i in range(1600)]
+    swath = spark.createDataFrame(pts, "point_id long, lon double, lat double, value double")
+    grid = spark.createDataFrame(
+        [(g, 1.0 + (g % 10) * 0.04 + 0.002, 45.0 + (g // 10) * 0.04 + 0.002) for g in range(100)],
+        "grid_id long, lon double, lat double",
+    )
+    nn = warp.geocode_swath(swath, grid, k=1, res=9, k_cells=2, method="nearest")
+    assert nn.count() == 100
+    idw = warp.geocode_swath(swath, grid, k=4, res=9, k_cells=2, method="idw")
+    rows = {r.grid_id: r.value for r in idw.collect()}
+    assert len(rows) == 100
+    # idw of a near-linear field stays within the local value range
+    nnv = {r.grid_id: r.value for r in nn.collect()}
+    for g in rows:
+        assert abs(rows[g] - nnv[g]) < 3.0
+
+
+def test_mosaic_first_wins(spark, one_tile):
+    df, px = one_tile
+    other = df.selectExpr("image_id", "tile_x", "tile_y", "transform(px, x -> float(-1.0)) as px")
+    extra = spark.createDataFrame(
+        [("imgA", 1, 0, [7.0] * (T * T))],
+        "image_id string, tile_x int, tile_y int, px array<float>",
+    )
+    m = warp.mosaic([df, other.unionByName(extra)])
+    rows = {(r.tile_x, r.tile_y): np.asarray(r.px) for r in m.collect()}
+    assert len(rows) == 2
+    assert np.array_equal(rows[(0, 0)].reshape(T, T), px)  # first source won
+    assert rows[(1, 0)][0] == 7.0  # gap filled from second source
+
+
+def _make_zip(files: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in files.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+def test_archive_scan(spark):
+    z1 = _make_zip({"GRANULE/MTD_TL.xml": b"<xml/>", "GRANULE/IMG/B04.jp2": b"\x01" * 10})
+    z2 = _make_zip({"metadata.xml": b"<m/>", "img/B08.jp2": b"\x02" * 5})
+    df = spark.createDataFrame(
+        [("a1", z1), ("a2", z2)], "archive_id string, bytes binary"
+    )
+    members = {(r.archive_id, r.member): r.size for r in archive.list_members(df).collect()}
+    assert members[("a1", "GRANULE/IMG/B04.jp2")] == 10
+    assert len(members) == 4
+    got = archive.read_members(df, "*.jp2").collect()
+    by = {(r.archive_id, r.member): bytes(r.content) for r in got}
+    assert by[("a1", "GRANULE/IMG/B04.jp2")] == b"\x01" * 10
+    assert by[("a2", "img/B08.jp2")] == b"\x02" * 5
+
+
+def test_stac_items(spark):
+    scenes = datagen.gen_scenes(spark, 5)
+    fps = datagen.gen_footprints(spark, 5)
+    out = stac.to_stac_items(scenes, fps).collect()
+    assert len(out) == 5
+    item = json.loads(out[0].stac_json)
+    assert item["type"] == "Feature"
+    assert item["properties"]["constellation"] in {"S2", "L8", "S1", "PLD"}
+    assert "proj:epsg" in item["properties"]
+    assert item["geometry_wkt"].startswith("POLYGON")
