@@ -48,6 +48,13 @@ def main() -> None:
     n_images = int(os.environ.get("SPARK_GRAFT_N_IMAGES", str(max(200, int(20000 * sf)))))
 
     spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    # warm the JVM and the Python UDF workers: per-cluster fixed costs, not
+    # query throughput (same rule as tools/bench_scaling.py)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(cpus * 8, numPartitions=cpus * 4).mapInPandas(
+        lambda it: (p for p in it), schema="id long"
+    ).count()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
 

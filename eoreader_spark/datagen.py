@@ -349,6 +349,31 @@ def gen_qa_masks(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
 
 
+def parent_cell_udf(parent_res: int):
+    """Vectorized cell->parent-cell column (partition-key derivation)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def parent_of(c: pd.Series) -> pd.Series:
+        return pd.Series(cells.parent(c.to_numpy(np.int64), parent_res))
+
+    return parent_of
+
+
+def write_tiles_partitioned(
+    spark: SparkSession, out_dir: str, n_images: int, parent_res: int = 3
+) -> None:
+    """North_rule layout: tiles written PARTITIONED BY the parent cell of
+    their res-7 cell — Catalyst partition-prunes any query carrying a
+    parent-cell predicate (tests/test_partition_layout.py)."""
+    from pyspark.sql import functions as F
+
+    tiles = gen_tiles(spark, n_images).withColumn(
+        "cell_parent", parent_cell_udf(parent_res)(F.col("cell_r7"))
+    )
+    tiles.write.mode("overwrite").partitionBy("cell_parent").parquet(out_dir)
+
+
 def write_all(spark: SparkSession, out_dir: str, n_images: int) -> None:
     """Materialize every table as parquet, images partitioned by scene cell
     parent (res 3) — the 'partition by H3 parent cell' layout (north_rule)."""

@@ -147,6 +147,7 @@ class ImageEngine:
         sun_azimuth: float = 315.0,
         sun_zenith: float = 45.0,
         tile: int = TILE,
+        gains: dict[str, tuple[float, float]] | None = None,
     ) -> None:
         self.images = images
         self.qa_masks = qa_masks
@@ -154,6 +155,9 @@ class ImageEngine:
         self.sun_azimuth = sun_azimuth
         self.sun_zenith = sun_zenith
         self.tile = tile
+        # X4 CustomProduct analog: per-band (gain, bias) applied at load time
+        # (/root/reference/eoreader/products/custom_product.py:304-430)
+        self.gains = {to_band(k): v for k, v in (gains or {}).items()}
 
     # ----------------------------------------------------------- predicates
     def has_band(self, band: str) -> bool:
@@ -225,14 +229,15 @@ class ImageEngine:
                 )
             wide = wide.drop("qa")
 
-        # 3. DN -> reflectance (F2) + clip (P6)
+        # 3. DN -> reflectance (F2) + user gain/bias (X4) + clip (P6)
         if reflectance:
             for p in plan.needed_planes:
                 col = f"px_{name_of[p]}"
-                wide = wide.withColumn(
-                    col,
-                    radiometry.clip_reflectance(radiometry.dn_to_reflectance(col)),
-                )
+                expr = radiometry.dn_to_reflectance(col)
+                if name_of[p] in self.gains:
+                    g, b = self.gains[name_of[p]]
+                    expr = F.transform(expr, lambda x: x * F.lit(float(g)) + F.lit(float(b)))
+                wide = wide.withColumn(col, radiometry.clip_reflectance(expr))
 
         # 4. indices as JVM array expressions over collocated planes (F1/J1 —
         # collocation is implicit: planes share the tile row)
