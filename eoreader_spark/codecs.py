@@ -106,6 +106,9 @@ def decode_png(data: bytes, h: int | None = None, w: int | None = None) -> np.nd
     stride = width * 3
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = rows[:, 0]
+    if not filters.any():  # all filter-0 scanlines (our encoder's output): one slice
+        rgb = rows[:, 1:].reshape(height, width, 3)
+        return np.ascontiguousarray(np.transpose(rgb, (2, 0, 1)))
     px = rows[:, 1:].astype(np.int32)
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
