@@ -73,10 +73,25 @@ def _assign_broadcast(tiles: DataFrame, aoi: DataFrame) -> DataFrame:
     rows = aoi.select("aoi_id", "geom_wkt", "cells_r7").collect()
     ring_list = [pip.parse_wkt_polygon(r.geom_wkt) for r in rows]
     bc = spark.sparkContext.broadcast(ring_list)
-    pairs = [(i, r.aoi_id, int(c)) for i, r in enumerate(rows) for c in r.cells_r7]
-    ac = spark.createDataFrame(pairs, "aoi_idx int, aoi_id string, cell_r7 long")
+    pairs = [
+        (i, r.aoi_id, int(c), *pip.polygon_bbox(ring_list[i]))
+        for i, r in enumerate(rows)
+        for c in r.cells_r7
+    ]
+    ac = spark.createDataFrame(
+        pairs, "aoi_idx int, aoi_id string, cell_r7 long,"
+        " bx0 double, by0 double, bx1 double, by1 double"
+    )
 
-    cand = tiles.join(F.broadcast(ac), "cell_r7")
+    # conservative bbox prefilter runs JVM-side (Tungsten predicate) so only
+    # plausible candidates reach the Python ray-cast — PIP-inside is a subset
+    # of the closed bbox, so results are unchanged
+    ccx = (F.col("x0") + F.col("x1")) * 0.5
+    ccy = (F.col("y0") + F.col("y1")) * 0.5
+    cand = tiles.join(F.broadcast(ac), "cell_r7").filter(
+        (ccx >= F.col("bx0")) & (ccx <= F.col("bx1"))
+        & (ccy >= F.col("by0")) & (ccy <= F.col("by1"))
+    )
 
     @F.pandas_udf("boolean")
     def inside(aoi_idx: pd.Series, cx: pd.Series, cy: pd.Series) -> pd.Series:
@@ -119,7 +134,11 @@ def _assign_salted(
 ) -> DataFrame:
     """Distributed path for huge AOI tables: shuffle join with explicit
     hot-cell salting from the cell histogram."""
-    ac = aoi_cells_exploded(aoi)
+    @F.pandas_udf("array<double>")
+    def wkt_bbox(wkts: pd.Series) -> pd.Series:
+        return pd.Series([list(pip.polygon_bbox(pip.parse_wkt_polygon(w))) for w in wkts])
+
+    ac = aoi_cells_exploded(aoi).withColumn("__bbox", wkt_bbox(F.col("geom_wkt")))
     hist = cell_histogram(tiles)
     med = hist.agg(F.expr("percentile_approx(n_tiles, 0.5)")).first()[0] or 1
     hot = [r["cell_r7"] for r in hist.filter(F.col("n_tiles") > skew_factor * med).collect()]
@@ -144,7 +163,13 @@ def _assign_salted(
             ),
         )
         cand = t.join(a, ["cell_r7", "salt"]).drop("salt")
-    cand = cand.select(
+    # same conservative bbox prefilter as the broadcast path, JVM-side
+    ccx = (F.col("x0") + F.col("x1")) * 0.5
+    ccy = (F.col("y0") + F.col("y1")) * 0.5
+    cand = cand.filter(
+        (ccx >= F.col("__bbox")[0]) & (ccx <= F.col("__bbox")[2])
+        & (ccy >= F.col("__bbox")[1]) & (ccy <= F.col("__bbox")[3])
+    ).select(
         "aoi_id", "image_id", "tile_x", "tile_y", "cell_r7", "x0", "y0", "x1", "y1", "geom_wkt"
     )
     return cand.mapInPandas(_refine_wkt, schema=_REFINE_SCHEMA)
