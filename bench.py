@@ -54,6 +54,8 @@ def main() -> None:
     spark.range(cpus * 8, numPartitions=cpus * 4).mapInPandas(
         lambda it: (p for p in it), schema="id long"
     ).count()
+    # warm the parquet reader / codegen paths on a tiny table (JIT, not data)
+    spark.read.parquet(f"{sf_dir}/region.parquet").groupBy("r_name").count().collect()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

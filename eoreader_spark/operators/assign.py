@@ -60,8 +60,9 @@ def cell_histogram(tiles: DataFrame) -> DataFrame:
     return tiles.groupBy("cell_r7").agg(F.count(F.lit(1)).alias("n_tiles"))
 
 
-def _assign_broadcast(tiles: DataFrame, aoi: DataFrame) -> DataFrame:
+def _assign_broadcast(tiles: DataFrame, aoi) -> DataFrame:
     """Driver-sized AOI path: rings via sc.broadcast, narrow join keys.
+    ``aoi`` may be the AOI DataFrame or pre-collected Rows (strategy probe).
 
     The refine is a vectorized BOOLEAN pandas UDF over (aoi_idx int, cx, cy
     doubles) only — string columns stay in the JVM and the filter applies
@@ -70,7 +71,7 @@ def _assign_broadcast(tiles: DataFrame, aoi: DataFrame) -> DataFrame:
     numeric-only legs scale cleanly.
     """
     spark = tiles.sparkSession
-    rows = aoi.select("aoi_id", "geom_wkt", "cells_r7").collect()
+    rows = aoi.select("aoi_id", "geom_wkt", "cells_r7").collect() if not isinstance(aoi, list) else aoi
     ring_list = [pip.parse_wkt_polygon(r.geom_wkt) for r in rows]
     bc = spark.sparkContext.broadcast(ring_list)
     pairs = [
@@ -188,8 +189,13 @@ def assign_tiles(
     from the AOI table size stat)."""
     strategy = force_strategy
     if strategy is None:
-        n_aoi = aoi.count()  # at scale: table-metadata row count, free
-        strategy = "broadcast" if n_aoi <= broadcast_limit else "salted"
+        # one probe job: fetch up to limit+1 AOI rows; under the limit the
+        # same rows feed the broadcast path directly (at scale this is a
+        # table-metadata row count, free)
+        probe = aoi.select("aoi_id", "geom_wkt", "cells_r7").limit(broadcast_limit + 1).collect()
+        if len(probe) <= broadcast_limit:
+            return _assign_broadcast(tiles, probe)
+        strategy = "salted"
     if strategy == "broadcast":
         return _assign_broadcast(tiles, aoi)
     return _assign_salted(tiles, aoi, skew_factor, n_salts)

@@ -101,22 +101,22 @@ def knn_join(
     )
     ranked = _topk(cand, q_id, p_id, k)
 
-    # resolution test: k-th hit inside the guarantee radius of the ring
+    # resolution test: k-th hit inside the guarantee radius of the ring —
+    # computed with plain window functions over the already-partitioned
+    # ranked rows (no extra aggregate exchange; reuses the rank window's
+    # partitioning)
     cell_deg = 180.0 / (1 << res)
     g = F.lit(float(k_cells) * cell_deg)
     if coslat:
         g = g * F.cos(F.radians(F.col("qlat")))
     guarantee = g * g
-    per_q = ranked.groupBy(q_id).agg(
-        F.count(F.lit(1)).alias("n_hits"),
-        F.max("dist").alias("kth_d2"),
-        F.first("qlat").alias("qlat"),
+    wq = Window.partitionBy(q_id)
+    ranked = ranked.withColumn("n_hits", F.count(F.lit(1)).over(wq)).withColumn(
+        "kth_d2", F.max("dist").over(wq)
     )
-    resolved_q = per_q.filter(
-        (F.col("n_hits") >= k) & (F.col("kth_d2") < guarantee)
-    ).select(q_id)
-
-    exact_part = ranked.join(F.broadcast(resolved_q), q_id, "left_semi")
+    is_resolved = (F.col("n_hits") >= k) & (F.col("kth_d2") < guarantee)
+    exact_part = ranked.filter(is_resolved)
+    resolved_q = exact_part.select(q_id).distinct()
     unresolved = queries.join(F.broadcast(resolved_q), q_id, "left_anti")
     fallback = knn_brute(unresolved, points, k=k, q_id=q_id, p_id=p_id, coslat=coslat)
     return exact_part.select(q_id, p_id, "dist", "rank").unionByName(fallback)
