@@ -464,6 +464,106 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 semi/anti family: customers with orders (semi) and without (anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
+    return spark.createDataFrame([(int(with_orders), int(without))], "n_with long, n_without long")
+
+
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style EXISTS: orders having a lineitem shipped >60d after
+    the order date, counted per priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_db_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 dB family: 10*log10 over positive values, grouped stats."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    db = F.lit(10.0) * F.log10("value")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg(db), 4).alias("avg_db"), F.round(F.max(db), 4).alias("max_db"))
+        .orderBy("event_type")
+    )
+
+
+def q_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: BPE-ish subword estimate (ceil(len/4) per token)."""
+    from eoreader_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textops.subword_count(F.col("text")).alias("sw"))
+        .groupBy("lang")
+        .agg(F.sum("sw").alias("total_subwords"), F.round(F.avg("sw"), 4).alias("avg_subwords"))
+        .orderBy("lang")
+    )
+
+
+def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/simhash family cross-engine: hamming distance via bit_count(xor)
+    between derived 64-bit signatures of the first 40 documents."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sig = (F.col("n_chars") * F.lit(2654435761)).cast("long")
+    d = docs.select("doc_id", sig.alias("sig"))
+    a = d.selectExpr("doc_id as id_a", "sig as sig_a")
+    b = d.selectExpr("doc_id as id_b", "sig as sig_b")
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine addition; absent upstream): for each of 50 query
+    cutoffs (derived from event ids, spanning the order-date range), the
+    latest order at or before the cutoff."""
+    from pyspark.sql import Window
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 50)
+        .selectExpr(
+            "event_id",
+            "timestamp'1995-01-01 00:00:00'"
+            " + make_dt_interval(cast(event_id * 37 % 2000 as int), 0, 0, 0) as cutoff",
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice")
+    cand = ev.join(o, o.o_orderdate <= ev.cutoff)
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_order"),
+            F.round("o_totalprice", 2).alias("asof_price"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -498,6 +598,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile": q_percentile,
         "reader_dispatch": q_reader_dispatch,
         "gap_fill": q_gap_fill,
+        "anti_semi": q_anti_semi,
+        "late_orders": q_late_orders,
+        "db_conversion": q_db_conversion,
+        "subwords": q_subwords,
+        "hamming_pairs": q_hamming_pairs,
+        "asof_join": q_asof_join,
     }
 
 
@@ -739,5 +845,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(v) AS n_valid, count(filled) AS n_after_fill,
                    round(sum(filled), 4) AS sum_filled
             FROM f GROUP BY event_type ORDER BY event_type
+        """,
+        "anti_semi": """
+            SELECT
+              (SELECT count(*) FROM customer
+               WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with,
+              (SELECT count(*) FROM customer
+               WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without
+        """,
+        "late_orders": """
+            SELECT o_orderpriority, count(*) AS n_late
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND date_diff('day', o_orderdate, l_shipdate) > 60)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "db_conversion": """
+            SELECT event_type,
+                   round(avg(10 * log10(value)), 4) AS avg_db,
+                   round(max(10 * log10(value)), 4) AS max_db
+            FROM events WHERE value > 0
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "subwords": r"""
+            WITH t AS (
+                SELECT lang,
+                       list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                x -> cast(ceil(length(x) / 4.0) as bigint))) AS sw
+                FROM documents
+            )
+            SELECT lang, sum(sw) AS total_subwords, round(avg(sw), 4) AS avg_subwords
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "hamming_pairs": """
+            WITH d AS (
+                SELECT doc_id, cast(n_chars * 2654435761 as bigint) AS sig
+                FROM documents WHERE doc_id < 40
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig)) AS hamming
+            FROM d a CROSS JOIN d b
+            WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 8
+            ORDER BY id_a, id_b
+        """,
+        "asof_join": """
+            WITH q AS (
+                SELECT event_id,
+                       TIMESTAMP '1995-01-01 00:00:00'
+                         + to_days(cast(event_id * 37 % 2000 as int)) AS cutoff
+                FROM events WHERE event_id < 50
+            ),
+            ranked AS (
+                SELECT q.event_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY q.event_id
+                                          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                FROM q JOIN orders o ON o.o_orderdate <= q.cutoff
+            )
+            SELECT event_id, o_orderkey AS asof_order,
+                   round(o_totalprice, 2) AS asof_price
+            FROM ranked WHERE rn = 1 ORDER BY event_id
         """,
     }
