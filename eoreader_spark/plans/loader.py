@@ -82,9 +82,13 @@ class BandError(ValueError):
 
 def to_band(name: str) -> str:
     """P1 alias resolution: 'B04'/'04'/'red' -> 'RED'; index/dem/mask names
-    pass through canonically uppercased."""
+    pass through canonically uppercased; '<band>_DSPK' resolves its base band
+    (the VV_DSPK despeckle-routing pattern,
+    /root/reference/eoreader/products/sar/sar_product.py:509-552)."""
     key = str(name).strip()
     up = key.upper()
+    if up.endswith("_DSPK"):
+        return to_band(up[:-5]) + "_DSPK"
     if up in SPECTRAL or up in DEM_BANDS or up in MASK_BANDS or up in INDEX_EXPRS:
         return up
     if key in ALIASES:
@@ -102,6 +106,7 @@ class LoadPlan:
     indices: list[str] = field(default_factory=list)
     dem: list[str] = field(default_factory=list)
     masks: list[str] = field(default_factory=list)
+    despeckle: list[str] = field(default_factory=list)  # base bands (P8)
     order: list[str] = field(default_factory=list)
     needed_planes: list[int] = field(default_factory=list)
 
@@ -123,8 +128,10 @@ def classify(bands: list[str]) -> LoadPlan:
             plan.dem.append(cb)
         elif cb in MASK_BANDS:
             plan.masks.append(cb)
+        elif cb.endswith("_DSPK"):
+            plan.despeckle.append(cb[:-5])  # P8: _DSPK requires its base band
     # NEEDED_BANDS expansion
-    needed = set(plan.spectral)
+    needed = set(plan.spectral) | set(plan.despeckle)
     for idx in plan.indices:
         needed.update(INDEX_EXPRS[idx][0])
     plan.needed_planes = sorted(SPECTRAL[b] for b in needed)
@@ -262,6 +269,16 @@ class ImageEngine:
                     dem_px, self.sun_azimuth, self.sun_zenith, tile=self.tile
                 ).withColumnRenamed("px", "px_HILLSHADE")
                 wide = wide.join(h, ["image_id", "tile_x", "tile_y"])
+
+        # 5b. despeckled bands (W3 stencil keyed back onto the tile row, P8)
+        for base in plan.despeckle:
+            band_tiles = wide.select(
+                "image_id", "tile_x", "tile_y", F.col(f"px_{base}").alias("px")
+            )
+            d = stencil.despeckle(band_tiles, tile=self.tile).withColumnRenamed(
+                "px", f"px_{base}_DSPK"
+            )
+            wide = wide.join(d, ["image_id", "tile_x", "tile_y"])
 
         # 6. masks as uint8-ish int arrays (optical_product.py:440-441)
         for m in plan.masks:

@@ -97,3 +97,18 @@ def test_stack_uint16(spark, engine):
 def test_invalid_band_raises(spark, engine):
     with pytest.raises(loader.BandError):
         engine.load(["RED", "BOGUS"])
+
+
+def test_despeckle_band_routing(spark, engine):
+    # P8: RED_DSPK pulls in RED and runs the Lee stencil keyed to tile rows
+    assert loader.to_band("red_dspk") == "RED_DSPK"
+    plan = loader.classify(["RED_DSPK"])
+    assert plan.despeckle == ["RED"] and plan.needed_planes == [0]
+    wide = engine.load(["RED", "RED_DSPK"], clean="raw", reflectance=False)
+    assert wide.columns[-2:] == ["px_RED", "px_RED_DSPK"]
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    raw = np.asarray(r.px_RED)
+    dspk = np.asarray(r.px_RED_DSPK)
+    assert dspk.shape == raw.shape and np.isfinite(dspk).all()
+    # despeckle smooths: variance must not increase
+    assert dspk.std() <= raw.std() + 1e-3
