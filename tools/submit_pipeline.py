@@ -67,7 +67,7 @@ def main() -> int:
 
     aoi = datagen.gen_aoi(spark, args.n_images)
     assigned = assign.assign_tiles(store.read_stage("tiles"), aoi).withColumn(
-        "cell_parent", datagen.parent_cell_udf(pipelines.PARENT_RES)(F.col("cell_r7"))
+        "cell_parent", datagen.parent_cell_udf(pipelines.ASSIGN_PARENT_RES)(F.col("cell_r7"))
     )
     out["assign"] = store.run_stage("assign", assigned, "cell_parent")
     if args.die_after == "assign":
