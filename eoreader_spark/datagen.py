@@ -333,9 +333,12 @@ def gen_qa_masks(spark: SparkSession, n: int) -> DataFrame:
                 i = int(i)
                 h, w = image_dims(i)
                 iid = f"img{i:012d}"
+                full = codecs.pixel_plane(i, 0, h, w).astype(np.int32)  # whole image once
                 for ty in range(h // TILE):
                     for tx in range(w // TILE):
-                        p0 = codecs.pixel_plane(i, 0, TILE, TILE).astype(np.int32)
+                        # slice the image's ACTUAL pixels for this tile so qa
+                        # bits line up with the decoded plane everywhere
+                        p0 = full[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE]
                         qa = (
                             ((p0 % 97 == 0).astype(np.int32))  # bit0 nodata
                             | ((p0 % 89 == 0).astype(np.int32) << 1)  # bit1 dropped

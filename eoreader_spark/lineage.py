@@ -37,10 +37,27 @@ class LineageStore:
         self.lineage_dir = f"{self.root}/_lineage"
 
     def lineage(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.lineage_dir)
-        except Exception:  # noqa: BLE001 — first run, no lineage yet
+        """Raw lineage rows.  A key may appear more than once (upsert_stage
+        re-commits); readers that need one row per key use latest-wins.
+        Only the missing-directory case maps to 'no lineage yet' — any other
+        read failure must fail loudly, not silently trigger recomputation."""
+        import os
+
+        if not os.path.exists(self.lineage_dir):
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        return self.spark.read.parquet(self.lineage_dir)
+
+    def lineage_latest(self) -> DataFrame:
+        """One row per (stage, part_key): the most recent commit."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("stage", "part_key").orderBy(F.col("committed_at").desc())
+        return (
+            self.lineage()
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def completed_keys(self, stage: str) -> DataFrame:
         return self.lineage().filter(F.col("stage") == stage).select("part_key").distinct()
@@ -97,14 +114,45 @@ class LineageStore:
         todo.unpersist()
         return {"stage": stage, "rows_written": n, "keys_committed": keys, "skipped": False}
 
+    def upsert_stage(self, stage: str, df: DataFrame, key_col: str) -> dict:
+        """Streaming variant: OVERWRITE the partitions present in ``df`` and
+        re-commit their lineage (no pending anti-join) — for sinks that
+        re-emit corrected aggregates for already-seen keys (late data /
+        complete-mode windows).  Latest lineage row wins in reads."""
+        rows = df.persist()
+        n = rows.count()
+        if n == 0:
+            rows.unpersist()
+            return {"stage": stage, "rows_written": 0, "keys_committed": 0, "skipped": True}
+        (
+            rows.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(key_col)
+            .parquet(f"{self.root}/{stage}")
+        )
+        stats_rows = (
+            rows.groupBy(F.col(key_col).cast("long").alias("part_key"))
+            .agg(F.count(F.lit(1)).alias("row_count"))
+            .withColumn("bytes", F.lit(0).cast("long"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("committed_at", F.lit(time.time()))
+            .select("stage", "part_key", "row_count", "bytes", "committed_at")
+            .collect()
+        )
+        self.spark.createDataFrame(stats_rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+            self.lineage_dir
+        )
+        rows.unpersist()
+        return {"stage": stage, "rows_written": n, "keys_committed": len(stats_rows), "skipped": False}
+
     def read_stage(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(f"{self.root}/{stage}")
 
     def metrics(self) -> DataFrame:
-        """Per-stage rollup of committed lineage — the 'metrics' half of the
-        north_rule requirement."""
+        """Per-stage rollup of committed lineage (latest commit per key) —
+        the 'metrics' half of the north_rule requirement."""
         return (
-            self.lineage()
+            self.lineage_latest()
             .groupBy("stage")
             .agg(
                 F.count(F.lit(1)).alias("n_partitions"),

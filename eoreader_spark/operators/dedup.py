@@ -30,7 +30,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: with x, a, b < p the product a*x < 2^62 fits uint64
+# EXACTLY, and wraps p many times, so (a*x + b) mod p is a well-mixed
+# universal hash — 2^61-1 would overflow uint64 or (with shrunken a) barely
+# wrap, collapsing min-wise independence
+MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -102,7 +106,10 @@ def ngram_jaccard(
 def _minhash_batch(n_hashes: int, shingle: int):
     """Vectorized minhash: shingle token-hash -> universal hash family
     h_i(x) = (a_i*x + b_i) mod p, min over shingles.  Parameters derive from
-    a fixed seed so signatures are identical everywhere."""
+    a fixed seed so signatures are identical everywhere.
+
+    Overflow-safe by construction: a, b, x < p = 2^31-1, so a*x + b < 2^62
+    stays inside uint64 and the mod-p arithmetic is exact."""
     rng = np.random.default_rng(1234567)
     A = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
     B = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
@@ -219,23 +226,26 @@ def simhash_near_dups(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
-    banding: split 64 bits into 4 chunks of 16; any pair within distance 3
-    agrees exactly on >=1 chunk -> bucket join + popcount refine."""
+    banding: the 64 bits split into (max_hamming + 1) chunks — a pair within
+    the distance bound must agree exactly on >= 1 chunk (pigeonhole), so the
+    bucket join has full recall for ANY max_hamming; popcount refines."""
+    n_chunks = min(max_hamming + 1, 64)
+    # chunk bit boundaries: as even as 64 allows
+    bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
     sigs = simhash_signatures(df, text_col, id_col).persist()
-    buckets = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(65535)).alias("val"),
-                    )
-                    for c in range(4)
-                ]
+    chunk_structs = []
+    for c in range(n_chunks):
+        lo, hi = bounds[c], bounds[c + 1]
+        width = hi - lo
+        mask = (1 << width) - 1
+        chunk_structs.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", lo).bitwiseAND(F.lit(mask)).alias("val"),
             )
-        ).alias("cb"),
+        )
+    buckets = sigs.select(
+        "id", "simhash", F.explode(F.array(*chunk_structs)).alias("cb")
     ).select("id", "simhash", "cb.chunk", "cb.val")
     a = buckets.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk", "val")
     b = buckets.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk", "val")

@@ -201,12 +201,13 @@ def geocode_swath(
     p = swath.selectExpr("point_id as image_id", "lon", "lat")
     nn = knn.knn_join(q, p, k=k, res=res, k_cells=k_cells)
     vals = swath.selectExpr("point_id as image_id", "value")
-    j = nn.join(vals, "image_id")
+    # knn_join's dist is SQUARED scaled degrees; expose true distance
+    j = nn.join(vals, "image_id").withColumn("dist", F.sqrt("dist"))
     if method == "nearest":
         return j.filter(F.col("rank") == 1).selectExpr(
             "query_id as grid_id", "value", "dist"
         )
-    w = 1.0 / (F.col("dist") + F.lit(1e-12))
+    w = 1.0 / (F.col("dist") + F.lit(1e-12))  # standard power-1 IDW
     agg = j.groupBy("query_id").agg(
         (F.sum(w * F.col("value")) / F.sum(w)).alias("value"),
         F.min("dist").alias("dist"),

@@ -35,26 +35,38 @@ def run_pipeline(
     root: str,
     n_images: int,
     index_names: list[str] | None = None,
+    die_after: str | None = None,
 ) -> dict:
     """Run (or RESUME) the full pipeline under ``root``; returns per-stage
-    resume metrics.  Safe to re-invoke after a kill at any point."""
+    resume metrics.  Safe to re-invoke after a kill at any point.
+    ``die_after`` ('images'|'tiles'|'assign') is the deterministic kill-point
+    hook: raise SystemExit(1) after that stage commits — used by the
+    spark-submit kill/resume tests."""
     store = LineageStore(spark, root)
     index_names = index_names or ["NDVI", "NDWI"]
     out = {}
 
+    def _maybe_die(stage: str) -> None:
+        if die_after == stage:
+            print(f"DIE_AFTER {stage}", flush=True)
+            raise SystemExit(1)
+
     images = datagen.gen_images(spark, n_images).withColumn("bucket", _bucket("image_id"))
     out["images"] = store.run_stage("images", images, "bucket", payload_col="bytes")
+    _maybe_die("images")
 
     tiles = datagen.gen_tiles(spark, n_images).withColumn(
         "cell_parent", datagen.parent_cell_udf(PARENT_RES)(F.col("cell_r7"))
     )
     out["tiles"] = store.run_stage("tiles", tiles, "cell_parent")
+    _maybe_die("tiles")
 
     aoi = datagen.gen_aoi(spark, n_images)
     assigned = assign.assign_tiles(store.read_stage("tiles"), aoi).withColumn(
         "cell_parent", datagen.parent_cell_udf(ASSIGN_PARENT_RES)(F.col("cell_r7"))
     )
     out["assign"] = store.run_stage("assign", assigned, "cell_parent")
+    _maybe_die("assign")
 
     stats = pyscan.index_stats_scan(spark, f"{root}/images", index_names).withColumn(
         "bucket", _bucket("image_id")

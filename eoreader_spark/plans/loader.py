@@ -256,6 +256,14 @@ class ImageEngine:
         # 5. DEM derivatives (J3 + W1/W2): stencil jobs joined back on tile key
         if plan.dem:
             dem_px = self.dem.withColumnRenamed("z", "px")
+            if window is not None:
+                # prune the stencil side too — expanded by 1 tile so halo
+                # rows at the window border stay correct
+                tx0, ty0, tx1, ty1 = window
+                dem_px = dem_px.filter(
+                    (F.col("tile_x") >= tx0 - 1) & (F.col("tile_x") <= tx1 + 1)
+                    & (F.col("tile_y") >= ty0 - 1) & (F.col("tile_y") <= ty1 + 1)
+                )
             if "DEM" in plan.dem:
                 wide = wide.join(
                     dem_px.withColumnRenamed("px", "px_DEM"),
@@ -308,12 +316,31 @@ class ImageEngine:
         wide = self.load(bands, **load_kw)
         order = [to_band(b) for b in bands]
         if as_uint16:
-            for b in order:
+            px_bands = [b for b in order if b not in MASK_BANDS]
+            # ONE action computes every band's quantile guard on a cached
+            # plan (convert_to_uint16's per-band .first() would re-execute
+            # the whole decode pipeline once per band)
+            wide = wide.persist()
+            guards = wide.select(
+                *[
+                    F.expr(f"percentile_approx(array_min(px_{b}), 0.001)").alias(b)
+                    for b in px_bands
+                ]
+            ).first()
+            for b in px_bands:
                 col = f"px_{b}"
-                if b in MASK_BANDS:
-                    continue  # masks are already small ints
-                wide = radiometry.convert_to_uint16(wide.withColumnRenamed(col, "px"))
-                wide = wide.withColumnRenamed("px", col).drop("dtype")
+                q = guards[b]
+                if q is not None and q < -0.1:
+                    continue  # keep float semantics (utils.py:482-492)
+                wide = wide.withColumn(
+                    col,
+                    F.transform(
+                        col,
+                        lambda x: F.when(x.isNull() | F.isnan(x), F.lit(radiometry.UINT16_NODATA))
+                        .otherwise(F.least(F.round(x * radiometry.UINT16_SCALE), F.lit(65534.0)))
+                        .cast("int"),
+                    ),
+                )
         if out_path:
             wide.write.mode("overwrite").parquet(out_path)
             return wide.sparkSession.read.parquet(out_path)

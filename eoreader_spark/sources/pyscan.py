@@ -57,8 +57,8 @@ def scan(
     """Distribute parquet splits; each Python task reads its split locally
     and applies ``kernel`` (batch DataFrame -> batch DataFrame)."""
     splits = parquet_splits(path)
-    sdf = spark.createDataFrame(splits, "file string, rg0 int, rg1 int")
-    n_part = partitions or min(len(splits), 256)
+    sdf = spark.createDataFrame(splits or [], "file string, rg0 int, rg1 int")
+    n_part = partitions or max(1, min(len(splits), 256))
     sdf = sdf.repartition(n_part, "file", "rg0")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

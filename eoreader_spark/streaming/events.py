@@ -66,7 +66,10 @@ def run_windowed_to_lineage(
         out = batch_df.withColumn(
             "bucket", (F.unix_timestamp("window_start") / 3600).cast("long")
         )
-        r = store.run_stage("stream_windows", out, "bucket")
+        # complete-mode re-emits CORRECTED totals for already-seen windows, so
+        # the sink must upsert (overwrite + re-commit lineage), never skip
+        # committed buckets — run_stage's anti-join would freeze stale counts
+        r = store.upsert_stage("stream_windows", out, "bucket")
         metrics["batches"] += 1
         metrics["rows"] += r["rows_written"]
 

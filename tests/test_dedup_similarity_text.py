@@ -123,3 +123,31 @@ def test_text_analyzers(spark, docs):
     )
     fps = {r.doc_id: r.fp for r in df.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
     assert fps[1] == fps[3] and fps[1] != fps[2]
+
+
+def test_simhash_pigeonhole_recall_beyond_3(spark):
+    """Pairs at hamming 4-8 with flipped bits spread one-per-16-bit-chunk
+    must still be found (the fixed banding uses max_hamming+1 chunks)."""
+    base = 0x0123456789ABCDEF
+    # flip 8 bits, one in each old 16-bit chunk and beyond: 0,9,17,25,33,41,49,57
+    flipped = base
+    for b in (0, 9, 17, 25, 33, 41, 49, 57):
+        flipped ^= 1 << b
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = spark.createDataFrame(
+        [(1, to_i64(base)), (2, to_i64(flipped))], "id long, simhash long"
+    )
+    # drive the banding logic directly via a monkeypatched signature source
+    import eoreader_spark.operators.dedup as dd
+
+    orig = dd.simhash_signatures
+    dd.simhash_signatures = lambda df, t, i: sigs
+    try:
+        out = {(r.id_a, r.id_b): r.hamming for r in
+               dd.simhash_near_dups(sigs, max_hamming=8).collect()}
+    finally:
+        dd.simhash_signatures = orig
+    assert out == {(1, 2): 8}

@@ -167,3 +167,21 @@ def test_convert_to_uint16(spark, images):
     assert r.dtype == "uint16"
     vals = np.asarray(r.px)
     assert vals.min() >= 0 and vals.max() <= 65535
+
+
+def test_qa_masks_align_off_origin_tiles(spark):
+    """QA bits must match the image's ACTUAL pixels on every tile, not just
+    tile (0,0) (regression: generator used tile-local coords)."""
+    # image 4 is multi-tile (dims cycle through 128/256)
+    i = next(j for j in range(20) if datagen.image_dims(j)[1] >= 128)
+    qa_rows = datagen.gen_qa_masks(spark, i + 1).filter(
+        f"image_id = 'img{i:012d}' and tile_x = 1 and tile_y = 0"
+    ).collect()
+    assert qa_rows
+    h, w = datagen.image_dims(i)
+    full = codecs.pixel_plane(i, 0, h, w).astype(np.int32)
+    t = datagen.TILE
+    p0 = full[0:t, t : 2 * t]
+    want_cloud = (p0 > 200).astype(np.int32)
+    qa = np.asarray(qa_rows[0].qa, dtype=np.int32).reshape(t, t)
+    assert np.array_equal((qa >> 5) & 1, want_cloud)

@@ -77,3 +77,30 @@ def test_sessionize_stateful(spark, tmp_path):
     sessions = {(r.user_id, r.n_events) for r in got}
     assert (1, 3) in sessions  # burst A closed
     assert (2, 2) in sessions
+
+
+def test_windowed_stream_multi_batch_upserts(spark, tmp_path):
+    """Two micro-batches touching the SAME hour: the sink must upsert the
+    corrected totals, not freeze the first batch's counts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 10, 0, 0)
+    in_dir = str(tmp_path / "in")
+    r1 = [(1, base, 7, "x", 1.0, "{}"), (2, base + dt.timedelta(minutes=5), 7, "x", 1.0, "{}")]
+    spark.createDataFrame(r1, ev.EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    ck = str(tmp_path / "ck")
+    ev.run_windowed_to_lineage(spark, in_dir, ck)
+
+    # second file: 3 more events in the SAME hour
+    r2 = [(3 + i, base + dt.timedelta(minutes=10 + i), 7, "x", 1.0, "{}") for i in range(3)]
+    spark.createDataFrame(r2, ev.EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    ev.run_windowed_to_lineage(spark, in_dir, ck)
+
+    from eoreader_spark.lineage import LineageStore
+
+    store = LineageStore(spark, ck)
+    got = store.read_stage("stream_windows").filter("event_type = 'x'").collect()
+    assert len(got) == 1 and got[0].n_events == 5  # corrected, not frozen at 2
+    # metrics dedupe by latest commit
+    m = {r.stage: r for r in store.metrics().collect()}
+    assert m["stream_windows"].rows == 1

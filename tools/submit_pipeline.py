@@ -8,8 +8,10 @@ Usage:
 
 Re-running the same command after a kill resumes from the last committed
 partition (see eoreader_spark/lineage.py).  ``--die-after STAGE`` is the
-deterministic kill-point hook used by tests to simulate a mid-run crash
-between a stage's commit and the next stage.
+deterministic kill-point hook used by tests to simulate a mid-run crash.
+The pipeline body lives in eoreader_spark.pipelines.run_pipeline — this
+file is only arg parsing + session setup, so library and spark-submit
+paths can never drift.
 """
 
 from __future__ import annotations
@@ -39,46 +41,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from pyspark.sql import functions as F
+    from eoreader_spark import pipelines
 
-    from eoreader_spark import datagen, pipelines
-    from eoreader_spark.lineage import LineageStore
-    from eoreader_spark.operators import assign
-    from eoreader_spark.sources import pyscan
-
-    store = LineageStore(spark, args.root)
-    out: dict[str, dict] = {}
-
-    images = datagen.gen_images(spark, args.n_images).withColumn(
-        "bucket", pipelines._bucket("image_id")
+    out = pipelines.run_pipeline(
+        spark, args.root, args.n_images, die_after=args.die_after
     )
-    out["images"] = store.run_stage("images", images, "bucket", payload_col="bytes")
-    if args.die_after == "images":
-        print("DIE_AFTER images", flush=True)
-        return 1
-
-    tiles = datagen.gen_tiles(spark, args.n_images).withColumn(
-        "cell_parent", datagen.parent_cell_udf(pipelines.PARENT_RES)(F.col("cell_r7"))
-    )
-    out["tiles"] = store.run_stage("tiles", tiles, "cell_parent")
-    if args.die_after == "tiles":
-        print("DIE_AFTER tiles", flush=True)
-        return 1
-
-    aoi = datagen.gen_aoi(spark, args.n_images)
-    assigned = assign.assign_tiles(store.read_stage("tiles"), aoi).withColumn(
-        "cell_parent", datagen.parent_cell_udf(pipelines.ASSIGN_PARENT_RES)(F.col("cell_r7"))
-    )
-    out["assign"] = store.run_stage("assign", assigned, "cell_parent")
-    if args.die_after == "assign":
-        print("DIE_AFTER assign", flush=True)
-        return 1
-
-    stats = pyscan.index_stats_scan(spark, f"{args.root}/images", ["NDVI", "NDWI"]).withColumn(
-        "bucket", pipelines._bucket("image_id")
-    )
-    out["index"] = store.run_stage("index_stats", stats, "bucket")
-
     print("PIPELINE_RESULT " + json.dumps(out))
     return 0
 
