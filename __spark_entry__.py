@@ -22,7 +22,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+# workers forked before this import won't see the sys.path insert; make the
+# package importable regardless of the driver's cwd / session creation order
+import os as _os
+
+_os.environ["PYTHONPATH"] = f"{_REPO}:{_os.environ.get('PYTHONPATH', '')}"
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship eoreader_spark to executors via addPyFile (idempotent per
+    session) so pandas-UDF workers can import it even when the driver was
+    launched from another directory or the session predates this import."""
+    key = id(spark.sparkContext)
+    if key in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = Path(tempfile.gettempdir()) / "eoreader_spark_pkg.zip"
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for f in (_REPO / "eoreader_spark").rglob("*.py"):
+                z.write(f, f.relative_to(_REPO))
+    spark.sparkContext.addPyFile(str(zpath))
+    _PKG_SHIPPED.add(key)
 
 # coordinates derived from user_id (identical closed form in Spark + DuckDB;
 # integer math first, then ONE double division -> bit-identical across engines)
@@ -567,11 +593,21 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
+    _ensure_package(spark)
     return q_cell_assign(spark, "/root/testdata/sf0.001")
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         "pricing_summary": q_pricing_summary,
         "extent": q_extent,
         "cell_assign": q_cell_assign,
@@ -605,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_pairs": q_hamming_pairs,
         "asof_join": q_asof_join,
     }
+    return {k: _wrap(v) for k, v in qs.items()}
 
 
 _PTS = f"(SELECT event_id, event_type, value, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM events)"
