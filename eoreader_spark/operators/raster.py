@@ -94,6 +94,41 @@ def collocate(bands: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def quicklook(images: DataFrame, factor: int = 4, fmt: str = "png") -> DataFrame:
+    """S13 quicklook + decimated-read analog: decode, box-downsample by
+    ``factor``, re-encode small previews (the reference renders RGB
+    quicklooks and computes footprints on 10x-decimated reads —
+    /root/reference/eoreader/products/product.py:2581-2644,
+    /root/reference/eoreader/products/sar/sar_product.py:301-307).
+
+    Output rows: (image_id, w, h, fmt, bytes) — a thumbnail column suitable
+    for a preview/pyramid table."""
+    from eoreader_spark import codecs as _codecs
+
+    schema = "image_id string, w int, h int, fmt string, bytes binary"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data, f, h, w in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]
+            ):
+                img = _codecs.decode(bytes(data), f, int(h), int(w))
+                p, hh, ww = img.shape
+                th, tw = hh // factor, ww // factor
+                small = (
+                    img[:, : th * factor, : tw * factor]
+                    .reshape(p, th, factor, tw, factor)
+                    .mean(axis=(2, 4))
+                    .round()
+                    .astype(np.uint8)
+                )
+                rows.append((iid, tw, th, fmt, _codecs.encode(small, fmt)))
+            yield pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "bytes"])
+
+    return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
+
+
 def tile_stats(tiles: DataFrame, px_col: str = "px") -> DataFrame:
     """Per-image stats over tile arrays — JVM-side aggregate over array
     columns via higher-order functions (no Python in the loop)."""

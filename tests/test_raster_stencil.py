@@ -185,3 +185,33 @@ def test_qa_masks_align_off_origin_tiles(spark):
     want_cloud = (p0 > 200).astype(np.int32)
     qa = np.asarray(qa_rows[0].qa, dtype=np.int32).reshape(t, t)
     assert np.array_equal((qa >> 5) & 1, want_cloud)
+
+
+def test_quicklook_decimated(spark, images):
+    ql = {r.image_id: r for r in raster.quicklook(images.limit(6), factor=4).collect()}
+    assert len(ql) == 6
+    for iid, r in ql.items():
+        i = int(iid[3:])
+        h, w = datagen.image_dims(i)
+        assert (r.h, r.w) == (h // 4, w // 4)
+        small = codecs.decode(bytes(r.bytes), "png", r.h, r.w)
+        want_full = codecs.make_image(i, h, w)
+        want = (
+            want_full[:, : r.h * 4, : r.w * 4]
+            .reshape(3, r.h, 4, r.w, 4)
+            .mean(axis=(2, 4))
+            .round()
+        )
+        tol = 3 if datagen.image_fmt(i) == "jpeg" else 0.51
+        assert np.abs(small.astype(float) - want).max() <= tol
+
+
+def test_centroid(spark):
+    from eoreader_spark.operators import footprint
+
+    tiles = datagen.gen_tiles(spark, 8)
+    cent = {r.image_id: (r.cx, r.cy) for r in footprint.centroid(tiles).collect()}
+    for i in range(8):
+        lon, lat = datagen.scene_center(np.array([i]))
+        got = cent[f"img{i:012d}"]
+        assert abs(got[0] - lon[0]) < 1e-9 and abs(got[1] - lat[0]) < 1e-9
