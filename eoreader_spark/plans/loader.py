@@ -85,11 +85,16 @@ def to_band(name: str) -> str:
     pass through canonically uppercased; '<band>_DSPK' resolves its base band
     (the VV_DSPK despeckle-routing pattern,
     /root/reference/eoreader/products/sar/sar_product.py:509-552)."""
+    from eoreader_spark.functions import indices as _idx
+
     key = str(name).strip()
     up = key.upper()
     if up.endswith("_DSPK"):
         return to_band(up[:-5]) + "_DSPK"
-    if up in SPECTRAL or up in DEM_BANDS or up in MASK_BANDS or up in INDEX_EXPRS:
+    if (
+        up in SPECTRAL or up in DEM_BANDS or up in MASK_BANDS
+        or up in INDEX_EXPRS or up in _idx.INDEX_REGISTRY
+    ):
         return up
     if key in ALIASES:
         return ALIASES[key]
@@ -112,6 +117,8 @@ class LoadPlan:
 
 
 def classify(bands: list[str]) -> LoadPlan:
+    from eoreader_spark.functions import indices as _idx
+
     plan = LoadPlan()
     seen = set()
     for b in bands:
@@ -122,7 +129,7 @@ def classify(bands: list[str]) -> LoadPlan:
         plan.order.append(cb)
         if cb in SPECTRAL:
             plan.spectral.append(cb)
-        elif cb in INDEX_EXPRS:
+        elif cb in INDEX_EXPRS or cb in _idx.INDEX_REGISTRY:
             plan.indices.append(cb)
         elif cb in DEM_BANDS:
             plan.dem.append(cb)
@@ -133,7 +140,9 @@ def classify(bands: list[str]) -> LoadPlan:
     # NEEDED_BANDS expansion
     needed = set(plan.spectral) | set(plan.despeckle)
     for idx in plan.indices:
-        needed.update(INDEX_EXPRS[idx][0])
+        needed.update(
+            INDEX_EXPRS[idx][0] if idx in INDEX_EXPRS else _idx.INDEX_REGISTRY[idx][0]
+        )
     plan.needed_planes = sorted(SPECTRAL[b] for b in needed)
     return plan
 
@@ -246,12 +255,37 @@ class ImageEngine:
                     expr = F.transform(expr, lambda x: x * F.lit(float(g)) + F.lit(float(b)))
                 wide = wide.withColumn(col, radiometry.clip_reflectance(expr))
 
-        # 4. indices as JVM array expressions over collocated planes (F1/J1 —
-        # collocation is implicit: planes share the tile row)
+        # 4. indices over collocated planes (F1/J1 — collocation is implicit:
+        # planes share the tile row).  JVM zip_with expressions where defined
+        # (whole-stage codegen); any other registry index (incl. user-
+        # registered X1 kernels) falls back to a vectorized pandas UDF over
+        # the plane arrays — the full 32-index catalog is loadable.
+        from eoreader_spark.functions import indices as _idx
+
         for idx in plan.indices:
-            needs, builder = INDEX_EXPRS[idx]
-            cols = {b: F.col(f"px_{b}") for b in needs}
-            wide = wide.withColumn(f"px_{idx}", builder(cols))
+            if idx in INDEX_EXPRS:
+                needs, builder = INDEX_EXPRS[idx]
+                cols = {b: F.col(f"px_{b}") for b in needs}
+                wide = wide.withColumn(f"px_{idx}", builder(cols))
+            else:
+                needs, fn = _idx.INDEX_REGISTRY[idx]
+                needs = list(needs)
+
+                @F.pandas_udf("array<float>")
+                def kernel(*cols, _fn=fn, _needs=tuple(needs)):
+                    import numpy as _np
+                    import pandas as _pd
+
+                    mats = {
+                        b: _np.stack([_np.asarray(v, dtype=_np.float32) for v in c])
+                        for b, c in zip(_needs, cols)
+                    }
+                    out = _fn(mats).astype(_np.float32)
+                    return _pd.Series(list(out))
+
+                wide = wide.withColumn(
+                    f"px_{idx}", kernel(*[F.col(f"px_{b}") for b in needs])
+                )
 
         # 5. DEM derivatives (J3 + W1/W2): stencil jobs joined back on tile key
         if plan.dem:

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the deterministic core — the
+bit-for-bit claims must hold for ARBITRARY inputs, not just the seeded
+fixtures."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from eoreader_spark import cells, codecs
+from eoreader_spark.spatial import pip
+
+finite_lon = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+finite_lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=finite_lon, lat=finite_lat, res=st.integers(min_value=0, max_value=15))
+def test_cell_contains_its_point(lon, lat, res):
+    c = cells.encode(np.array([lon]), np.array([lat]), res)
+    lo0, la0, lo1, la1 = cells.cell_bounds(c)
+    assert lo0[0] - 1e-9 <= lon <= lo1[0] + 1e-9
+    assert la0[0] - 1e-9 <= lat <= la1[0] + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon=finite_lon, lat=finite_lat,
+       r1=st.integers(min_value=2, max_value=12), dr=st.integers(min_value=1, max_value=6))
+def test_parent_commutes_with_encode(lon, lat, r1, dr):
+    fine = cells.encode(np.array([lon]), np.array([lat]), r1 + dr)
+    coarse = cells.encode(np.array([lon]), np.array([lat]), r1)
+    assert cells.parent(fine, r1)[0] == coarse[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**9),
+       h=st.sampled_from([8, 16, 64]), w=st.sampled_from([8, 32, 64]))
+def test_png_roundtrip_any_image(seed, h, w):
+    img = codecs.make_image(seed, h, w)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10**9))
+def test_lossy_always_within_psnr_gate(seed):
+    img = codecs.make_image(seed, 32, 32)
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert codecs.psnr(img, dec) >= 40.0
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.data())
+def test_pip_matches_scalar_reference(data):
+    n = data.draw(st.integers(min_value=3, max_value=8))
+    pts = data.draw(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=-10, max_value=10, allow_nan=False),
+                st.floats(min_value=-10, max_value=10, allow_nan=False),
+            ),
+            min_size=n, max_size=n, unique=True,
+        )
+    )
+    ring = np.asarray(pts, dtype=np.float64)
+    px = np.asarray(
+        data.draw(st.lists(st.floats(min_value=-12, max_value=12, allow_nan=False),
+                           min_size=20, max_size=20))
+    )
+    py = np.asarray(
+        data.draw(st.lists(st.floats(min_value=-12, max_value=12, allow_nan=False),
+                           min_size=20, max_size=20))
+    )
+    got = pip.points_in_polygon(px, py, ring)
+
+    def scalar(x, y):
+        inside = False
+        m = len(ring)
+        for i in range(m):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % m]
+            if (y1 > y) != (y2 > y):
+                if x < x1 + (y - y1) * (x2 - x1) / (y2 - y1):
+                    inside = not inside
+        return inside
+
+    want = np.array([scalar(px[i], py[i]) for i in range(20)])
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    lon0=st.floats(min_value=-170, max_value=160, allow_nan=False),
+    lat0=st.floats(min_value=-80, max_value=70, allow_nan=False),
+    dlon=st.floats(min_value=0.01, max_value=10, allow_nan=False),
+    dlat=st.floats(min_value=0.01, max_value=10, allow_nan=False),
+    res=st.integers(min_value=3, max_value=9),
+)
+def test_cover_bbox_is_a_cover(lon0, lat0, dlon, dlat, res):
+    lon1, lat1 = lon0 + dlon, lat0 + dlat
+    _, cc = cells.cover_bbox(
+        np.array([lon0]), np.array([lat0]), np.array([lon1]), np.array([lat1]), res
+    )
+    cover = set(cc.tolist())
+    # every interior sample point's cell is covered
+    for fx in (0.001, 0.5, 0.999):
+        for fy in (0.001, 0.5, 0.999):
+            p = cells.encode(
+                np.array([lon0 + fx * dlon]), np.array([lat0 + fy * dlat]), res
+            )
+            assert p[0] in cover
