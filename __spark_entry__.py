@@ -590,6 +590,35 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship raster path (rows-only: PNG decode is not SQL-expressible;
+    pixel exactness is pytest/golden-verified): synthesize 12 deterministic
+    images, run the full load plan (decode -> clean -> reflectance -> NDVI ->
+    DEM slope -> cloud mask), reduce to per-image NDVI means."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    eng = loader.ImageEngine(
+        datagen.gen_images(spark, 12),
+        qa_masks=datagen.gen_qa_masks(spark, 12),
+        dem=datagen.gen_dem(spark, 12),
+    )
+    wide = eng.load(["RED", "NDVI", "SLOPE", "CLOUD_MASK"], clean="clean")
+    mean_ndvi = F.aggregate(
+        F.filter("px_NDVI", lambda x: ~F.isnan(x) & x.isNotNull()),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.greatest(
+        F.size(F.filter("px_NDVI", lambda x: ~F.isnan(x) & x.isNotNull())), F.lit(1)
+    )
+    return (
+        wide.select("image_id", mean_ndvi.alias("tile_ndvi"))
+        .groupBy("image_id")
+        .agg(F.round(F.avg("tile_ndvi"), 6).alias("mean_ndvi"), F.count(F.lit(1)).alias("n_tiles"))
+        .orderBy("image_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -640,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subwords": q_subwords,
         "hamming_pairs": q_hamming_pairs,
         "asof_join": q_asof_join,
+        "raster_load": q_raster_load,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
