@@ -42,11 +42,13 @@ def _ensure_package(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    zpath = Path(tempfile.gettempdir()) / "eoreader_spark_pkg.zip"
-    if not zpath.exists():
-        with zipfile.ZipFile(zpath, "w") as z:
-            for f in (_REPO / "eoreader_spark").rglob("*.py"):
-                z.write(f, f.relative_to(_REPO))
+    # fresh zip per process: a cached /tmp zip from an older session would
+    # ship STALE code that shadows the repo inside workers
+    zdir = Path(tempfile.mkdtemp(prefix="eoreader_spark_pkg_"))
+    zpath = zdir / "eoreader_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in (_REPO / "eoreader_spark").rglob("*.py"):
+            z.write(f, f.relative_to(_REPO))
     spark.sparkContext.addPyFile(str(zpath))
     _PKG_SHIPPED.add(key)
 
