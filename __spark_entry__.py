@@ -28,15 +28,16 @@ sys.path.insert(0, str(_REPO))
 # package importable regardless of the driver's cwd / session creation order
 import os as _os
 
-_os.environ["PYTHONPATH"] = f"{_REPO}:{_os.environ.get('PYTHONPATH', '')}"
-_PKG_SHIPPED: set[int] = set()
+_prev_pp = _os.environ.get("PYTHONPATH", "")
+_os.environ["PYTHONPATH"] = f"{_REPO}:{_prev_pp}" if _prev_pp else str(_REPO)
+_PKG_SHIPPED: set[str] = set()
 
 
 def _ensure_package(spark: SparkSession) -> None:
     """Ship eoreader_spark to executors via addPyFile (idempotent per
     session) so pandas-UDF workers can import it even when the driver was
     launched from another directory or the session predates this import."""
-    key = id(spark.sparkContext)
+    key = spark.sparkContext.applicationId  # id() could be recycled post-stop
     if key in _PKG_SHIPPED:
         return
     import tempfile
@@ -606,12 +607,10 @@ def q_raster_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         dem=datagen.gen_dem(spark, 12),
     )
     wide = eng.load(["RED", "NDVI", "SLOPE", "CLOUD_MASK"], clean="clean")
-    mean_ndvi = F.aggregate(
-        F.filter("px_NDVI", lambda x: ~F.isnan(x) & x.isNotNull()),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    ) / F.greatest(
-        F.size(F.filter("px_NDVI", lambda x: ~F.isnan(x) & x.isNotNull())), F.lit(1)
+    # materialize the filtered array once; higher-order lambdas aren't CSE'd
+    wide = wide.withColumn("valid", F.filter("px_NDVI", lambda x: ~F.isnan(x) & x.isNotNull()))
+    mean_ndvi = F.aggregate("valid", F.lit(0.0), lambda a, x: a + x) / F.greatest(
+        F.size("valid"), F.lit(1)
     )
     return (
         wide.select("image_id", mean_ndvi.alias("tile_ndvi"))

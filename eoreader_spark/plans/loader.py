@@ -89,8 +89,13 @@ def to_band(name: str) -> str:
 
     key = str(name).strip()
     up = key.upper()
+    if key in _idx.INDEX_REGISTRY:  # user-registered names resolve verbatim
+        return key
     if up.endswith("_DSPK"):
-        return to_band(up[:-5]) + "_DSPK"
+        base = to_band(up[:-5])
+        if base not in SPECTRAL:  # despeckle applies to spectral bands only
+            raise BandError(f"_DSPK requires a spectral base band, got {base!r}")
+        return base + "_DSPK"
     if (
         up in SPECTRAL or up in DEM_BANDS or up in MASK_BANDS
         or up in INDEX_EXPRS or up in _idx.INDEX_REGISTRY
@@ -143,6 +148,9 @@ def classify(bands: list[str]) -> LoadPlan:
         needed.update(
             INDEX_EXPRS[idx][0] if idx in INDEX_EXPRS else _idx.INDEX_REGISTRY[idx][0]
         )
+    bad = [b for b in needed if b not in SPECTRAL]
+    if bad:
+        raise BandError(f"index/despeckle dependencies must be spectral bands, got {bad}")
     plan.needed_planes = sorted(SPECTRAL[b] for b in needed)
     return plan
 

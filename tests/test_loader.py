@@ -112,3 +112,36 @@ def test_despeckle_band_routing(spark, engine):
     assert dspk.shape == raw.shape and np.isfinite(dspk).all()
     # despeckle smooths: variance must not increase
     assert dspk.std() <= raw.std() + 1e-3
+
+
+def test_registry_index_fallback_and_errors(spark, engine):
+    # registry-only indices (no JVM expr) load via the pandas-UDF fallback
+    wide = engine.load(["DVI", "OSAVI"], clean="raw")
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    img = codecs.make_image(0, t, t).astype(np.float64)
+    red = np.clip(img[0] / 255.0, 0, None)
+    nir = np.clip(img[2] / 255.0, 0, None)
+    assert np.allclose(np.asarray(r.px_DVI).reshape(t, t), nir - red, atol=1e-5)
+    assert np.allclose(
+        np.asarray(r.px_OSAVI).reshape(t, t), (nir - red) / (nir + red + 0.16), atol=1e-5
+    )
+    # user-registered lowercase name resolves verbatim
+    from eoreader_spark.functions import indices as idx
+
+    idx.register_index("myidx", ["RED"], lambda b: b["RED"] * 2.0)
+    try:
+        assert loader.to_band("myidx") == "myidx"
+        got = engine.load(["myidx"], clean="raw").first()
+        assert got is not None
+    finally:
+        del idx.INDEX_REGISTRY["myidx"]
+    # invalid combos fail with BandError, not KeyError
+    idx.register_index("DEMIDX", ["DEM"], lambda b: b["DEM"])
+    try:
+        with pytest.raises(loader.BandError):
+            engine.load(["DEMIDX"])
+    finally:
+        del idx.INDEX_REGISTRY["DEMIDX"]
+    with pytest.raises(loader.BandError):
+        loader.to_band("NDVI_DSPK")  # despeckle needs a spectral base
