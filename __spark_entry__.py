@@ -730,7 +730,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": r"""
             SELECT lang,
-                   sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+                   cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
                    round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
@@ -756,10 +756,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_type,
-                   sum((qa // 32) % 2) AS n_cloud,
-                   sum((qa // 64) % 2) AS n_shadow,
-                   sum(qa % 2) AS n_nodata,
-                   sum(greatest((qa // 32) % 2, (qa // 64) % 2, qa % 2)) AS n_masked
+                   cast(sum((qa // 32) % 2) AS BIGINT) AS n_cloud,
+                   cast(sum((qa // 64) % 2) AS BIGINT) AS n_shadow,
+                   cast(sum(qa % 2) AS BIGINT) AS n_nodata,
+                   cast(sum(greatest((qa // 32) % 2, (qa // 64) % 2, qa % 2)) AS BIGINT) AS n_masked
             FROM t GROUP BY event_type ORDER BY event_type
         """,
         "date_buckets": """
@@ -944,7 +944,7 @@ def oracle_sql() -> dict[str, str]:
                                 x -> cast(ceil(length(x) / 4.0) as bigint))) AS sw
                 FROM documents
             )
-            SELECT lang, sum(sw) AS total_subwords, round(avg(sw), 4) AS avg_subwords
+            SELECT lang, cast(sum(sw) AS BIGINT) AS total_subwords, round(avg(sw), 4) AS avg_subwords
             FROM t GROUP BY lang ORDER BY lang
         """,
         "hamming_pairs": """

@@ -29,17 +29,25 @@ TABLES = [
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns/rows only. Deliberately does NOT coerce numeric dtypes:
+    the driver's value-hash distinguishes int from float (e.g. DuckDB
+    ``sum(<int>)`` returns HUGEINT → pandas float64, which hash-mismatches a
+    Spark BIGINT even when values are equal). Coercing here masked exactly
+    that class of failure in round 1."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype(np.float64)
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype(np.int64)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def dtype_kind(dt) -> str:
+    """Collapse integer widths (the driver tolerates int32 vs int64) but keep
+    int vs float vs bool vs string distinct (the driver does not)."""
+    k = np.dtype(dt).kind if dt != object else "O"
+    return {"u": "i"}.get(k, k)
 
 
 def main(sf_dir: str) -> int:
@@ -73,6 +81,17 @@ def main(sf_dir: str) -> int:
             continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            failures += 1
+            continue
+        kind_bad = [
+            c for c in got.columns
+            if dtype_kind(got[c].dtype) != dtype_kind(want[c].dtype)
+        ]
+        if kind_bad:
+            detail = ", ".join(
+                f"{c}: spark {got[c].dtype} vs duckdb {want[c].dtype}" for c in kind_bad
+            )
+            print(f"FAIL {name}: dtype kind mismatch ({detail})")
             failures += 1
             continue
         mismatch = None
