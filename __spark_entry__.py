@@ -620,6 +620,62 @@ def q_raster_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nbr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multispectral load path, VALUE-EXACT: decode 14-plane S2-L2A-layout
+    images (raw8, lossless), run ImageEngine.load(['NBR']) (NIR/SWIR_2
+    planes -> reflectance -> JVM zip_with index), reduce to per-image
+    floor-scaled integer stats.  The DuckDB oracle regenerates the closed-form
+    pixel function with generate_series — every compared column is BIGINT, so
+    no float-sum ordering hazard."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12, layout="S2_L2A").filter(F.col("fmt") == "raw8")
+    eng = loader.ImageEngine(images, band_map="S2_L2A")
+    wide = eng.load(["NBR"], clean="raw")
+    scaled = F.transform("px_NBR", lambda x: F.floor(x * 10000).cast("long"))
+    return (
+        wide.select(
+            "image_id",
+            F.aggregate(scaled, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+            F.array_min(scaled).alias("mn"),
+            F.array_max(scaled).alias("mx"),
+            F.size("px_NBR").cast("long").alias("n"),
+        )
+        .groupBy("image_id")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("s").alias("nbr_scaled_sum"),
+            F.min("mn").alias("nbr_scaled_min"),
+            F.max("mx").alias("nbr_scaled_max"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def q_scl_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCL scene-classification analog, VALUE-EXACT: the derived S2-L2A SCL
+    band (public class codes 0/1/3/4/9 from the QA bitfield) counted per
+    image; oracle recomputes the QA closed form in SQL."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12, layout="S2_L2A").filter(F.col("fmt") == "raw8")
+    qa = datagen.gen_qa_masks(spark, 12).join(
+        F.broadcast(images.select("image_id")), "image_id"
+    )
+    eng = loader.ImageEngine(images, qa_masks=qa, band_map="S2_L2A")
+    wide = eng.load(["SCL"], clean="raw")
+    def eq(c):  # NB: a `lambda x, c=c` would be read by Spark as an
+        return lambda x: x == F.lit(c)  # (element, index) 2-arg lambda
+
+    aggs = [
+        F.sum(F.size(F.filter("px_SCL", eq(c)))).cast("long").alias(f"n_cls{c}")
+        for c in (0, 1, 3, 4, 9)
+    ]
+    return wide.groupBy("image_id").agg(*aggs).orderBy("image_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -671,6 +727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_pairs": q_hamming_pairs,
         "asof_join": q_asof_join,
         "raster_load": q_raster_load,
+        "nbr_stats": q_nbr_stats,
+        "scl_hist": q_scl_hist,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -974,5 +1032,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, o_orderkey AS asof_order,
                    round(o_totalprice, 2) AS asof_price
             FROM ranked WHERE rn = 1 ORDER BY event_id
+        """,
+        # nbr_stats / scl_hist: the Spark side decodes REAL 14-plane raw8
+        # images through ImageEngine; the oracle regenerates datagen's
+        # closed-form pixel function value(p,y,x) = (seed*7 + p*31 + x*13 +
+        # y*17 + (x*y)%29) % 256 over generate_series.  Image dims are the
+        # deterministic datagen.image_dims values for the 6 raw8 seeds.
+        # S2_L2A plane order: NIR=plane 7, SWIR_2=plane 11 (bands.LAYOUTS).
+        "nbr_stats": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000002', 2, 64, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000008', 8, 256, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       ((seed*7 + 7*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS nr,
+                       ((seed*7 + 11*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS sr
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            ),
+            v AS (
+                SELECT image_id,
+                       cast(floor((nr - sr) / (nr + sr + 1e-12) * 10000) AS BIGINT) AS s
+                FROM px
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   cast(sum(s) AS BIGINT) AS nbr_scaled_sum,
+                   min(s) AS nbr_scaled_min,
+                   max(s) AS nbr_scaled_max
+            FROM v GROUP BY image_id ORDER BY image_id
+        """,
+        "scl_hist": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000002', 2, 64, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000008', 8, 256, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       ((seed*7 + x*13 + y*17 + (x*y) % 29) % 256) AS p0
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            ),
+            scl AS (
+                SELECT image_id,
+                       CASE WHEN p0 % 97 = 0 THEN 0
+                            WHEN p0 > 250 THEN 1
+                            WHEN p0 > 200 THEN 9
+                            WHEN p0 < 10 THEN 3
+                            ELSE 4 END AS c
+                FROM px
+            )
+            SELECT image_id,
+                   cast(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls0,
+                   cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls1,
+                   cast(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls3,
+                   cast(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls4,
+                   cast(sum(CASE WHEN c = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls9
+            FROM scl GROUP BY image_id ORDER BY image_id
         """,
     }

@@ -13,10 +13,14 @@ COG encode).  The container has no rasterio/PIL/libjpeg, so:
               invariant of BASELINE.json:15 exactly like real JPEG rows would.
               Clearly marked; swap for a real codec when libjpeg exists.
 
-All images are 3-plane uint8 (planes = spectral bands, e.g. RED/GREEN/NIR per
-the band_map table), row-major (plane, y, x).  Per-image Python here is fine:
-codecs run inside mapInArrow/pandas-UDF batches, one call per image (not per
-pixel), with numpy doing the pixel work.
+Images are N-plane uint8 (planes = spectral bands per the band_map table),
+row-major (plane, y, x).  The legacy default is 3 planes (RED/GREEN/NIR);
+multispectral layouts (see eoreader_spark.bands) carry up to 14.  raw8 infers
+the plane count from the payload size; qjpg stores it in the header when
+planes != 3 (legacy 3-plane payloads stay byte-identical so golden fixtures
+hold); png is RGB-only (3 planes) by the spec.  Per-image Python here is
+fine: codecs run inside mapInArrow/pandas-UDF batches, one call per image
+(not per pixel), with numpy doing the pixel work.
 """
 
 from __future__ import annotations
@@ -26,8 +30,9 @@ import zlib
 
 import numpy as np
 
-PLANES = 3
+PLANES = 3  # legacy default plane count (RED/GREEN/NIR)
 _QJPG_MAGIC = b"QJPG"
+_QJPG_MAGIC_N = b"QJPN"  # n-plane variant: header carries the plane count
 _QJPG_Q = 3
 
 
@@ -44,8 +49,8 @@ def pixel_plane(seed: int, plane: int, h: int, w: int) -> np.ndarray:
     return v.astype(np.uint8)
 
 
-def make_image(seed: int, h: int, w: int) -> np.ndarray:
-    return np.stack([pixel_plane(seed, p, h, w) for p in range(PLANES)])
+def make_image(seed: int, h: int, w: int, planes: int = PLANES) -> np.ndarray:
+    return np.stack([pixel_plane(seed, p, h, w) for p in range(planes)])
 
 
 # ---------------------------------------------------------------------- raw8
@@ -54,7 +59,8 @@ def encode_raw8(img: np.ndarray) -> bytes:
 
 
 def decode_raw8(data: bytes, h: int, w: int) -> np.ndarray:
-    return np.frombuffer(data, dtype=np.uint8).reshape(PLANES, h, w)
+    planes = len(data) // (h * w)  # headerless: plane count from payload size
+    return np.frombuffer(data, dtype=np.uint8).reshape(planes, h, w)
 
 
 # ----------------------------------------------------------------------- png
@@ -137,19 +143,30 @@ def encode_jpeg(img: np.ndarray) -> bytes:
 
     Uniform quantization (round to multiples of Q=3) + zlib.  PSNR vs the
     original ~49 dB — above the 40 dB gate, below exactness, mimicking real
-    JPEG's role in the test matrix.
+    JPEG's role in the test matrix.  3-plane payloads keep the legacy QJPG
+    header byte-for-byte; other plane counts use the QJPN header which adds
+    a plane-count byte.
     """
     p, h, w = img.shape
     q = np.round(img.astype(np.float32) / _QJPG_Q).astype(np.uint8)
-    head = _QJPG_MAGIC + struct.pack(">HHB", w, h, _QJPG_Q)
+    if p == PLANES:
+        head = _QJPG_MAGIC + struct.pack(">HHB", w, h, _QJPG_Q)
+    else:
+        head = _QJPG_MAGIC_N + struct.pack(">HHBB", w, h, _QJPG_Q, p)
     return head + zlib.compress(q.tobytes(), 6)
 
 
 def decode_jpeg(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
-    assert data[:4] == _QJPG_MAGIC, "not a qjpg payload"
-    w, h, q = struct.unpack(">HHB", data[4:9])
-    arr = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8)
-    arr = arr.reshape(PLANES, h, w).astype(np.int32) * q
+    if data[:4] == _QJPG_MAGIC:
+        w, h, q = struct.unpack(">HHB", data[4:9])
+        p, body = PLANES, data[9:]
+    elif data[:4] == _QJPG_MAGIC_N:
+        w, h, q, p = struct.unpack(">HHBB", data[4:10])
+        body = data[10:]
+    else:
+        raise AssertionError("not a qjpg payload")
+    arr = np.frombuffer(zlib.decompress(body), dtype=np.uint8)
+    arr = arr.reshape(p, h, w).astype(np.int32) * q
     return np.clip(arr, 0, 255).astype(np.uint8)
 
 

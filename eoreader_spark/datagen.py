@@ -115,8 +115,17 @@ def caption_of(i: int) -> str:
 
 
 # ------------------------------------------------------------------- tables
-def gen_images(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """T1 `images` — the authoritative input shape (BASELINE.json:15)."""
+def gen_images(
+    spark: SparkSession, n: int, partitions: int | None = None, layout: str = "LEGACY3"
+) -> DataFrame:
+    """T1 `images` — the authoritative input shape (BASELINE.json:15).
+
+    ``layout`` names a plane layout from eoreader_spark.bands.LAYOUTS; the
+    default LEGACY3 keeps the round-1 3-plane bytes identical.  Non-3-plane
+    layouts alternate raw8/qjpg (png is RGB-only by spec)."""
+    from eoreader_spark import bands as bands_mod
+
+    planes = len(bands_mod.LAYOUTS[layout])
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -125,8 +134,8 @@ def gen_images(spark: SparkSession, n: int, partitions: int | None = None) -> Da
             for i in pdf["id"].astype("int64"):
                 i = int(i)
                 h, w = image_dims(i)
-                img = codecs.make_image(i, h, w)
-                fmt = image_fmt(i)
+                img = codecs.make_image(i, h, w, planes=planes)
+                fmt = image_fmt(i) if planes == 3 else ["raw8", "jpeg"][i % 2]
                 rows.append(
                     (
                         f"img{i:012d}",
@@ -306,15 +315,31 @@ def gen_dem(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
 
 
-def gen_band_map(spark: SparkSession) -> DataFrame:
+def gen_band_map(spark: SparkSession, full: bool = False) -> DataFrame:
     """T7 `band_map` — broadcast dictionary (reference:
-    /root/reference/eoreader/products/optical/s2_product.py:279-348)."""
-    rows = []
-    for const in CONSTELLATIONS:
-        for plane, (name, bid, gsd) in enumerate(
-            [("RED", "04", 10.0), ("GREEN", "03", 10.0), ("NIR", "08", 10.0)]
-        ):
-            rows.append((const, name, bid, gsd, plane))
+    /root/reference/eoreader/products/optical/s2_product.py:279-348).
+
+    ``full=False`` (default) keeps the legacy 3-band rows per constellation.
+    ``full=True`` emits each constellation's real layout from bands.LAYOUTS
+    with S2-style band ids — the per-product band-number table."""
+    if not full:
+        rows = []
+        for const in CONSTELLATIONS:
+            for plane, (name, bid, gsd) in enumerate(
+                [("RED", "04", 10.0), ("GREEN", "03", 10.0), ("NIR", "08", 10.0)]
+            ):
+                rows.append((const, name, bid, gsd, plane))
+    else:
+        from eoreader_spark import bands as bands_mod
+
+        layout_of = {"S2": "S2_L2A", "L8": "L8_OLI", "S1": "S1_GRD", "PLD": "PLD_MS"}
+        # canonical -> common id (inverse of the S2-id alias table)
+        id_of = {v: k for k, v in bands_mod.ALIASES.items() if k.startswith("B") and len(k) == 3}
+        gsd_of = {"S2": 10.0, "L8": 30.0, "S1": 10.0, "PLD": 0.5}
+        rows = []
+        for const in CONSTELLATIONS:
+            for plane, name in enumerate(bands_mod.LAYOUTS[layout_of[const]]):
+                rows.append((const, name, id_of.get(name, name), gsd_of[const], plane))
     return spark.createDataFrame(
         rows, "constellation string, band_name string, band_id string, gsd double, plane int"
     )

@@ -24,8 +24,14 @@ from pyspark.sql import DataFrame
 
 from eoreader_spark import codecs
 
-# plane order fixed by band_map (datagen.gen_band_map): 0=RED 1=GREEN 2=NIR
+# legacy default plane order (datagen.gen_images): 0=RED 1=GREEN 2=NIR.
+# Multispectral layouts (bands.LAYOUTS) provide richer maps via the
+# plane_map parameter of index_stats / ImageEngine(band_map=...).
 RED, GREEN, NIR = "RED", "GREEN", "NIR"
+CA, BLUE, YELLOW = "CA", "BLUE", "YELLOW"
+VRE_1, VRE_2, VRE_3 = "VRE_1", "VRE_2", "VRE_3"
+NARROW_NIR, WV = "NARROW_NIR", "WV"
+SWIR_1, SWIR_2, TIR_1 = "SWIR_1", "SWIR_2", "TIR_1"
 PLANE_OF = {RED: 0, GREEN: 1, NIR: 2}
 
 # DN -> reflectance affine, the S2-style (DN + offset)/quantif
@@ -152,6 +158,294 @@ _EXTRA = {
 INDEX_REGISTRY.update(_EXTRA)
 
 
+def _ndr(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Normalized difference with the registry's epsilon guard."""
+    return (x - y) / (x + y + _EPS)
+
+
+# Full-vocabulary catalog (needs BLUE/CA/VRE/SWIR/TIR planes — loadable under
+# the multispectral layouts in eoreader_spark.bands.LAYOUTS).  Formulas are
+# the published Awesome-Spectral-Indices / spyndex defaults, the same public
+# catalog the reference generates its ~130 indices from
+# (/root/reference/eoreader/bands/indices.py:102-159 iterates spyndex.indices;
+# :162-373 hand-writes the non-spyndex ones).  Kernels are whole-plane numpy —
+# vectorized, Arrow-batch friendly.
+_CATALOG = {
+    # headline SWIR indices (also JVM zip_with exprs in plans/loader.py)
+    "NBR": ([NIR, SWIR_2], lambda b: _ndr(b[NIR], b[SWIR_2])),
+    "NDMI": ([NIR, SWIR_1], lambda b: _ndr(b[NIR], b[SWIR_1])),
+    "NDSI": ([GREEN, SWIR_1], lambda b: _ndr(b[GREEN], b[SWIR_1])),
+    "NDBI": ([SWIR_1, NIR], lambda b: _ndr(b[SWIR_1], b[NIR])),
+    "NDRE": ([NIR, VRE_1], lambda b: _ndr(b[NIR], b[VRE_1])),
+    # ------------------------------------------------------------ vegetation
+    "ARVI": ([NIR, RED, BLUE], lambda b: _ndr(b[NIR], 2 * b[RED] - b[BLUE])),
+    "ATSAVI": (
+        [NIR, RED],
+        lambda b: 1.22 * (b[NIR] - 1.22 * b[RED] - 0.03)
+        / (1.22 * b[NIR] + b[RED] - 1.22 * 0.03 + 0.08 * (1 + 1.22**2) + _EPS),
+    ),
+    "BNDVI": ([NIR, BLUE], lambda b: _ndr(b[NIR], b[BLUE])),
+    "BWDRVI": ([NIR, BLUE], lambda b: _ndr(0.1 * b[NIR], b[BLUE])),
+    "CIRE": ([NIR, VRE_1], lambda b: b[NIR] / (b[VRE_1] + _EPS) - 1.0),
+    "EVI3": (  # full 3-band EVI (blue term), reference EVI
+        [NIR, RED, BLUE],
+        lambda b: 2.5 * (b[NIR] - b[RED]) / (b[NIR] + 6 * b[RED] - 7.5 * b[BLUE] + 1.0 + _EPS),
+    ),
+    "ExG": ([GREEN, RED, BLUE], lambda b: 2 * b[GREEN] - b[RED] - b[BLUE]),
+    "ExR": ([RED, GREEN], lambda b: 1.3 * b[RED] - b[GREEN]),
+    "ExGR": (
+        [GREEN, RED, BLUE],
+        lambda b: (2 * b[GREEN] - b[RED] - b[BLUE]) - (1.3 * b[RED] - b[GREEN]),
+    ),
+    "GEMI": (
+        [NIR, RED],
+        lambda b: (
+            lambda eta: eta * (1 - 0.25 * eta) - (b[RED] - 0.125) / (1 - b[RED] + _EPS)
+        )((2 * (b[NIR] ** 2 - b[RED] ** 2) + 1.5 * b[NIR] + 0.5 * b[RED]) / (b[NIR] + b[RED] + 0.5)),
+    ),
+    "GLI": (
+        [GREEN, RED, BLUE],
+        lambda b: (2 * b[GREEN] - b[RED] - b[BLUE]) / (2 * b[GREEN] + b[RED] + b[BLUE] + _EPS),
+    ),
+    "GOSAVI": ([NIR, GREEN], lambda b: (b[NIR] - b[GREEN]) / (b[NIR] + b[GREEN] + 0.16)),
+    "GSAVI": ([NIR, GREEN], lambda b: 1.5 * (b[NIR] - b[GREEN]) / (b[NIR] + b[GREEN] + 0.5)),
+    "MCARI": (
+        [VRE_1, RED, GREEN],
+        lambda b: ((b[VRE_1] - b[RED]) - 0.2 * (b[VRE_1] - b[GREEN])) * (b[VRE_1] / (b[RED] + _EPS)),
+    ),
+    "MCARI1": (
+        [NIR, RED, GREEN],
+        lambda b: 1.2 * (2.5 * (b[NIR] - b[RED]) - 1.3 * (b[NIR] - b[GREEN])),
+    ),
+    "MTVI1": (
+        [NIR, GREEN, RED],
+        lambda b: 1.2 * (1.2 * (b[NIR] - b[GREEN]) - 2.5 * (b[RED] - b[GREEN])),
+    ),
+    "MGRVI": (
+        [GREEN, RED],
+        lambda b: (b[GREEN] ** 2 - b[RED] ** 2) / (b[GREEN] ** 2 + b[RED] ** 2 + _EPS),
+    ),
+    "NDREI": ([NIR, VRE_1], lambda b: _ndr(b[NIR], b[VRE_1])),
+    "NDREI2": ([NIR, VRE_2], lambda b: _ndr(b[NIR], b[VRE_2])),
+    "NIRV": ([NIR, RED], lambda b: _ndr(b[NIR], b[RED]) * b[NIR]),
+    "NORMG": ([GREEN, NIR, RED], lambda b: b[GREEN] / (b[NIR] + b[GREEN] + b[RED] + _EPS)),
+    "NORMNIR": ([NIR, GREEN, RED], lambda b: b[NIR] / (b[NIR] + b[GREEN] + b[RED] + _EPS)),
+    "NORMR": ([RED, NIR, GREEN], lambda b: b[RED] / (b[NIR] + b[GREEN] + b[RED] + _EPS)),
+    "RGBVI": (
+        [GREEN, RED, BLUE],
+        lambda b: (b[GREEN] ** 2 - b[BLUE] * b[RED]) / (b[GREEN] ** 2 + b[BLUE] * b[RED] + _EPS),
+    ),
+    "SELI": ([NARROW_NIR, VRE_1], lambda b: _ndr(b[NARROW_NIR], b[VRE_1])),
+    "S2REP": (
+        [RED, VRE_1, VRE_2, VRE_3],
+        lambda b: 705.0
+        + 35.0 * ((b[RED] + b[VRE_3]) / 2 - b[VRE_1]) / (b[VRE_2] - b[VRE_1] + _EPS),
+    ),
+    "TCARI": (
+        [VRE_1, RED, GREEN],
+        lambda b: 3 * ((b[VRE_1] - b[RED]) - 0.2 * (b[VRE_1] - b[GREEN]) * (b[VRE_1] / (b[RED] + _EPS))),
+    ),
+    "TGI": (
+        [RED, GREEN, BLUE],
+        lambda b: -0.5 * (190.0 * (b[RED] - b[GREEN]) - 120.0 * (b[RED] - b[BLUE])),
+    ),
+    "VARI": ([GREEN, RED, BLUE], lambda b: (b[GREEN] - b[RED]) / (b[GREEN] + b[RED] - b[BLUE] + _EPS)),
+    "VIG": ([GREEN, RED], lambda b: _ndr(b[GREEN], b[RED])),
+    "IRECI": (
+        [VRE_3, RED, VRE_1, VRE_2],
+        lambda b: (b[VRE_3] - b[RED]) * b[VRE_2] / (b[VRE_1] + _EPS),
+    ),
+    "CCCI": (
+        [NIR, VRE_1, RED],
+        lambda b: _ndr(b[NIR], b[VRE_1]) / (_ndr(b[NIR], b[RED]) + _EPS),
+    ),
+    "PSRI": ([RED, BLUE, VRE_2], lambda b: (b[RED] - b[BLUE]) / (b[VRE_2] + _EPS)),
+    "ARI": ([GREEN, VRE_1], lambda b: 1 / (b[GREEN] + _EPS) - 1 / (b[VRE_1] + _EPS)),
+    "MARI": (
+        [GREEN, VRE_1, NIR],
+        lambda b: (1 / (b[GREEN] + _EPS) - 1 / (b[VRE_1] + _EPS)) * b[NIR],
+    ),
+    "SIPI": ([NIR, CA, RED], lambda b: (b[NIR] - b[CA]) / (b[NIR] - b[RED] + _EPS)),
+    "REDSI": (
+        [VRE_3, RED, VRE_1],
+        lambda b: (705.0 - 665.0) * (b[VRE_3] - b[RED])
+        - (783.0 - 665.0) * (b[VRE_1] - b[RED]),
+    ),
+    "NDYI": ([GREEN, BLUE], lambda b: _ndr(b[GREEN], b[BLUE])),
+    "BCC": ([BLUE, RED, GREEN], lambda b: b[BLUE] / (b[RED] + b[GREEN] + b[BLUE] + _EPS)),
+    "GCC": ([GREEN, RED, BLUE], lambda b: b[GREEN] / (b[RED] + b[GREEN] + b[BLUE] + _EPS)),
+    "RCC": ([RED, GREEN, BLUE], lambda b: b[RED] / (b[RED] + b[GREEN] + b[BLUE] + _EPS)),
+    "GBNDVI2": ([NIR, GREEN, BLUE], lambda b: _ndr(b[NIR], b[GREEN] + b[BLUE])),
+    "RBNDVI": ([NIR, RED, BLUE], lambda b: _ndr(b[NIR], b[RED] + b[BLUE])),
+    "PNDVI": (
+        [NIR, GREEN, RED, BLUE],
+        lambda b: _ndr(b[NIR], b[GREEN] + b[RED] + b[BLUE]),
+    ),
+    "VDVI": (
+        [GREEN, RED, BLUE],
+        lambda b: (2 * b[GREEN] - b[RED] - b[BLUE]) / (2 * b[GREEN] + b[RED] + b[BLUE] + _EPS),
+    ),
+    "FCVI": ([NIR, RED, GREEN, BLUE], lambda b: b[NIR] - (b[RED] + b[GREEN] + b[BLUE]) / 3),
+    "GVMI": (
+        [NIR, SWIR_2],
+        lambda b: ((b[NIR] + 0.1) - (b[SWIR_2] + 0.02)) / ((b[NIR] + 0.1) + (b[SWIR_2] + 0.02)),
+    ),
+    "KNDVI": ([NIR, RED], lambda b: np.tanh(_ndr(b[NIR], b[RED]) ** 2)),
+    # ----------------------------------------------------------------- water
+    "NDWI2": ([GREEN, NIR], lambda b: _ndr(b[GREEN], b[NIR])),  # McFeeters alias
+    "MNDWI": ([GREEN, SWIR_1], lambda b: _ndr(b[GREEN], b[SWIR_1])),
+    "ANDWI": (
+        [BLUE, GREEN, RED, NIR, SWIR_1, SWIR_2],
+        lambda b: _ndr(b[BLUE] + b[GREEN] + b[RED], b[NIR] + b[SWIR_1] + b[SWIR_2]),
+    ),
+    "AWEINSH": (
+        [GREEN, SWIR_1, NIR, SWIR_2],
+        lambda b: 4 * (b[GREEN] - b[SWIR_1]) - (0.25 * b[NIR] + 2.75 * b[SWIR_2]),
+    ),
+    "AWEISH": (
+        [BLUE, GREEN, NIR, SWIR_1, SWIR_2],
+        lambda b: b[BLUE] + 2.5 * b[GREEN] - 1.5 * (b[NIR] + b[SWIR_1]) - 0.25 * b[SWIR_2],
+    ),
+    "LSWI": ([NIR, SWIR_1], lambda b: _ndr(b[NIR], b[SWIR_1])),
+    "NDTI": ([RED, GREEN], lambda b: _ndr(b[RED], b[GREEN])),
+    "NDVIMNDWI": (
+        [NIR, RED, GREEN, SWIR_1],
+        lambda b: _ndr(b[NIR], b[RED]) - _ndr(b[GREEN], b[SWIR_1]),
+    ),
+    "SWM": (
+        [BLUE, GREEN, NIR, SWIR_1],
+        lambda b: (b[BLUE] + b[GREEN]) / (b[NIR] + b[SWIR_1] + _EPS),
+    ),
+    "WI1": ([GREEN, SWIR_2], lambda b: _ndr(b[GREEN], b[SWIR_2])),
+    "WI2": ([BLUE, SWIR_2], lambda b: _ndr(b[BLUE], b[SWIR_2])),
+    "WRI": (
+        [GREEN, RED, NIR, SWIR_1],
+        lambda b: (b[GREEN] + b[RED]) / (b[NIR] + b[SWIR_1] + _EPS),
+    ),
+    "NDMI2": ([NIR, SWIR_1], lambda b: _ndr(b[NIR], b[SWIR_1])),
+    "NMDI": (
+        [NIR, SWIR_1, SWIR_2],
+        lambda b: _ndr(b[NIR], b[SWIR_1] - b[SWIR_2]),
+    ),
+    "MBWI": (
+        [GREEN, RED, NIR, SWIR_1, SWIR_2],
+        lambda b: 2 * b[GREEN] - b[RED] - b[NIR] - b[SWIR_1] - b[SWIR_2],
+    ),
+    "NWI": (
+        [BLUE, NIR, SWIR_1, SWIR_2],
+        lambda b: _ndr(b[BLUE], b[NIR] + b[SWIR_1] + b[SWIR_2]),
+    ),
+    # ------------------------------------------------------------------ burn
+    "NBR2": ([SWIR_1, SWIR_2], lambda b: _ndr(b[SWIR_1], b[SWIR_2])),
+    "NBRPLUS": (
+        [SWIR_2, NARROW_NIR, GREEN, BLUE],
+        lambda b: _ndr(b[SWIR_2] - b[NARROW_NIR] - b[GREEN], b[BLUE]),
+    ),
+    "BAI": (
+        [RED, NIR],
+        lambda b: 1.0 / ((0.1 - b[RED]) ** 2 + (0.06 - b[NIR]) ** 2 + _EPS),
+    ),
+    "BAIM": (
+        [NIR, SWIR_2],
+        lambda b: 1.0 / ((0.05 - b[NIR]) ** 2 + (0.2 - b[SWIR_2]) ** 2 + _EPS),
+    ),
+    "MIRBI": ([SWIR_1, SWIR_2], lambda b: 10.0 * b[SWIR_2] - 9.8 * b[SWIR_1] + 2.0),
+    "CSI": ([NIR, SWIR_2], lambda b: b[NIR] / (b[SWIR_2] + _EPS)),
+    "BAIS2": (
+        [VRE_2, VRE_3, NARROW_NIR, RED, SWIR_2],
+        lambda b: (1 - np.sqrt(np.maximum(b[VRE_2] * b[VRE_3] * b[NARROW_NIR], 0.0) / (b[RED] + _EPS)))
+        * ((b[SWIR_2] - b[NARROW_NIR]) / np.sqrt(np.maximum(b[SWIR_2] + b[NARROW_NIR], _EPS)) + 1.0),
+    ),
+    "NDVIT": (
+        [NIR, RED, TIR_1],
+        lambda b: (b[NIR] - b[RED] * b[TIR_1] / 10000.0)
+        / (b[NIR] + b[RED] * b[TIR_1] / 10000.0 + _EPS),
+    ),
+    "NBRT1": (
+        [NIR, SWIR_2, TIR_1],
+        lambda b: (b[NIR] - b[SWIR_2] * b[TIR_1] / 10000.0)
+        / (b[NIR] + b[SWIR_2] * b[TIR_1] / 10000.0 + _EPS),
+    ),
+    # ----------------------------------------------------------- soil / urban
+    "BSI": (
+        [SWIR_1, RED, NIR, BLUE],
+        lambda b: _ndr(b[SWIR_1] + b[RED], b[NIR] + b[BLUE]),
+    ),
+    "BLFEI": (
+        [GREEN, RED, SWIR_1, SWIR_2],
+        lambda b: _ndr((b[GREEN] + b[RED] + b[SWIR_2]) / 3, b[SWIR_1]),
+    ),
+    "BAI_S": ([RED, SWIR_1, NIR], lambda b: b[RED] + b[SWIR_1] - b[NIR]),
+    "DBSI": (
+        [SWIR_1, GREEN, NIR, RED],
+        lambda b: _ndr(b[SWIR_1], b[GREEN]) - _ndr(b[NIR], b[RED]),
+    ),
+    "UI": ([SWIR_2, NIR], lambda b: _ndr(b[SWIR_2], b[NIR])),
+    "NDSOI": ([SWIR_2, GREEN], lambda b: _ndr(b[SWIR_2], b[GREEN])),
+    "IBI": (
+        [SWIR_1, NIR, RED, GREEN],
+        lambda b: (
+            lambda ndbi, savi, mndwi_less: _ndr(ndbi, (savi + mndwi_less) / 2)
+        )(
+            _ndr(b[SWIR_1], b[NIR]),
+            1.5 * (b[NIR] - b[RED]) / (b[NIR] + b[RED] + 0.5),
+            _ndr(b[GREEN], b[SWIR_1]),
+        ),
+    ),
+    "NBLI": ([RED, TIR_1], lambda b: _ndr(b[RED], b[TIR_1])),
+    "BRBA": ([RED, SWIR_1], lambda b: b[RED] / (b[SWIR_1] + _EPS)),
+    "NHFD": ([VRE_1, CA], lambda b: _ndr(b[VRE_1], b[CA])),
+    "VGNIRBI": ([GREEN, NIR], lambda b: _ndr(b[GREEN], b[NIR])),
+    "VRNIRBI": ([RED, NIR], lambda b: _ndr(b[RED], b[NIR])),
+    # ------------------------------------------------------------------ snow
+    "NDSII": ([GREEN, NIR], lambda b: _ndr(b[GREEN], b[NIR])),
+    "S3_SNOW": (
+        [NIR, RED, SWIR_1],
+        lambda b: b[NIR] * (b[RED] - b[SWIR_1])
+        / ((b[NIR] + b[RED]) * (b[NIR] + b[SWIR_1]) + _EPS),
+    ),
+    "SWI_SNOW": (
+        [GREEN, NIR, SWIR_1],
+        lambda b: b[GREEN] * (b[NIR] - b[SWIR_1])
+        / ((b[GREEN] + b[NIR]) * (b[NIR] + b[SWIR_1]) + _EPS),
+    ),
+    "NDGLAI": ([GREEN, RED], lambda b: _ndr(b[GREEN], b[RED])),
+    "SNOWMAP": (
+        [GREEN, SWIR_1, NIR],
+        lambda b: ((_ndr(b[GREEN], b[SWIR_1]) > 0.4) & (b[NIR] > 0.11)).astype(np.float64),
+    ),
+    # ------------------------------------------------- aquatic / chlorophyll
+    "NDCI": ([VRE_1, RED], lambda b: _ndr(b[VRE_1], b[RED])),
+    "TURB": ([RED, GREEN], lambda b: b[RED] / (b[GREEN] + _EPS)),
+    "CDOM": ([GREEN, BLUE], lambda b: b[GREEN] / (b[BLUE] + _EPS)),
+    "BGR": ([BLUE, GREEN], lambda b: b[BLUE] / (b[GREEN] + _EPS)),
+    "OSI": (
+        [BLUE, GREEN, RED],
+        lambda b: (b[GREEN] + b[RED]) / (b[BLUE] + _EPS),
+    ),
+    # ------------------------------------------------------ SWIR cirrus etc.
+    "CIRRUS_RATIO": (["SWIR_CIRRUS", BLUE], lambda b: b["SWIR_CIRRUS"] / (b[BLUE] + _EPS)),
+    "PANNDVI": ([NIR, "PAN"], lambda b: _ndr(b[NIR], b["PAN"])),
+    # ----------------------------------------------------- tasseled cap (6b)
+    "TCB6": (
+        [BLUE, GREEN, RED, NIR, SWIR_1, SWIR_2],
+        lambda b: 0.3029 * b[BLUE] + 0.2786 * b[GREEN] + 0.4733 * b[RED]
+        + 0.5599 * b[NIR] + 0.508 * b[SWIR_1] + 0.1872 * b[SWIR_2],
+    ),
+    "TCG6": (
+        [BLUE, GREEN, RED, NIR, SWIR_1, SWIR_2],
+        lambda b: -0.2941 * b[BLUE] - 0.243 * b[GREEN] - 0.5424 * b[RED]
+        + 0.7276 * b[NIR] + 0.0713 * b[SWIR_1] - 0.1608 * b[SWIR_2],
+    ),
+    "TCW6": (
+        [BLUE, GREEN, RED, NIR, SWIR_1, SWIR_2],
+        lambda b: 0.1511 * b[BLUE] + 0.1973 * b[GREEN] + 0.3283 * b[RED]
+        + 0.3407 * b[NIR] - 0.7117 * b[SWIR_1] - 0.4559 * b[SWIR_2],
+    ),
+}
+INDEX_REGISTRY.update(_CATALOG)
+
+
 def register_index(name: str, needs: list[str], fn: Callable[..., np.ndarray]) -> None:
     """X1 extension point: user-registered index kernels
     (reference: /root/reference/eoreader/bands/indices.py:337-373)."""
@@ -182,20 +476,29 @@ def to_reflectance(plane: np.ndarray) -> np.ndarray:
 
 
 def index_stats(
-    images: DataFrame, index_names: list[str], params: dict[str, dict] | None = None
+    images: DataFrame,
+    index_names: list[str],
+    params: dict[str, dict] | None = None,
+    plane_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """images -> (image_id, index_name, mean, min, max) per index.
 
     One decode per image feeds every requested index (the reference's
     'open them only one time!' CSE,
     /root/reference/eoreader/products/product.py:1242-1247).
+    ``plane_map`` is the constellation's band->plane table (default: the
+    legacy 3-plane layout).
     """
     params = params or {}
     names = list(index_names)
+    pmap = dict(plane_map) if plane_map is not None else dict(PLANE_OF)
     # capture the kernels in the task closure — executors re-import the module,
     # so driver-side register_index() mutations must travel with the plan
     entries = {n: INDEX_REGISTRY[n] for n in names}
     needs = needed_bands(names)
+    missing = [b for b in needs if b not in pmap]
+    if missing:
+        raise KeyError(f"index dependencies not in plane_map: {missing}")
     schema = "image_id string, index_name string, mean double, min double, max double"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -204,7 +507,7 @@ def index_stats(
                 continue
             rows = []
             for (iid,), img in zip(pdf[["image_id"]].itertuples(index=False), decode_planes(pdf)):
-                bands = {b: to_reflectance(img[PLANE_OF[b]]) for b in needs}
+                bands = {b: to_reflectance(img[pmap[b]]) for b in needs}
                 for n in names:
                     _, fn = entries[n]
                     v = fn(bands, **params.get(n, {})).astype(np.float64)
@@ -214,13 +517,20 @@ def index_stats(
     return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
 
 
-def oracle_index_stats(image_seed: int, h: int, w: int, index_names: list[str]) -> dict:
+def oracle_index_stats(
+    image_seed: int,
+    h: int,
+    w: int,
+    index_names: list[str],
+    plane_map: dict[str, int] | None = None,
+) -> dict:
     """Numpy closed-form oracle for tests: same math straight from the pixel fn."""
-    img = codecs.make_image(image_seed, h, w).astype(np.float32)
-    bands = {b: to_reflectance(img[PLANE_OF[b]]) for b in PLANE_OF}
+    pmap = dict(plane_map) if plane_map is not None else dict(PLANE_OF)
+    img = codecs.make_image(image_seed, h, w, planes=max(pmap.values()) + 1).astype(np.float32)
+    bands = {b: to_reflectance(img[pmap[b]]) for b in pmap}
     out = {}
     for n in index_names:
-        _, fn = INDEX_REGISTRY[n]
-        v = fn(bands).astype(np.float64)
+        needs, fn = INDEX_REGISTRY[n]
+        v = fn({b: bands[b] for b in needs}).astype(np.float64)
         out[n] = (float(v.mean()), float(v.min()), float(v.max()))
     return out

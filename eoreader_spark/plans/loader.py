@@ -28,18 +28,25 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eoreader_spark import bands as bands_mod
 from eoreader_spark.datagen import TILE
 from eoreader_spark.functions import radiometry
 from eoreader_spark.operators import raster, stencil
 
-SPECTRAL = {"RED": 0, "GREEN": 1, "NIR": 2}  # plane map (band_map table T7)
-ALIASES = {
-    "B04": "RED", "04": "RED", "B03": "GREEN", "03": "GREEN",
-    "B08": "NIR", "08": "NIR", "Oa08": "RED", "Oa06": "GREEN", "Oa17": "NIR",
-}
-DEM_BANDS = {"DEM", "SLOPE", "HILLSHADE"}
-MASK_BANDS = {"NODATA_MASK", "CLOUD_MASK", "SHADOW_MASK", "ALL_MASK"}
+# legacy default plane map (round-1 3-plane images); richer layouts come from
+# eoreader_spark.bands.LAYOUTS ('S2_L2A', 'L8_OLI', 'S1_GRD', ...) via the
+# ImageEngine(band_map=...) parameter — the per-product band-number table of
+# the reference (s2_product.py:279-348)
+SPECTRAL = bands_mod.plane_of("LEGACY3")
+ALIASES = bands_mod.ALIASES  # full vocabulary (bands.py)
+DEM_BANDS = bands_mod.DEM_BANDS
+MASK_BANDS = bands_mod.MASK_BANDS
 _MASK_BITS = {"NODATA_MASK": [0], "CLOUD_MASK": [5], "SHADOW_MASK": [6], "ALL_MASK": [0, 1, 2, 5, 6]}
+# S2 Scene Classification Layer analog, derived from the QA bitfield with the
+# public SCL class codes (0 NO_DATA, 1 SATURATED_DEFECTIVE, 3 CLOUD_SHADOWS,
+# 4 VEGETATION, 9 CLOUD_HIGH_PROBABILITY) — the reference reads SCL as its own
+# 20m band (band_names.py:839-859); synthetic products derive it.
+_SCL_CODES = {"nodata": 0, "saturated": 1, "shadow": 3, "clear": 4, "cloud": 9}
 
 # index -> (needed spectral bands, array-expression builder over px columns)
 def _nd(a: Column, b: Column) -> Column:
@@ -73,17 +80,27 @@ INDEX_EXPRS = {
             lambda acc, n: acc + F.lit(0.3279) * n,
         ),
     ),
+    # SWIR/BLUE-family headline indices (loadable under multispectral
+    # layouts; formulas are the published spyndex defaults mirrored from
+    # /root/reference/eoreader/bands/indices.py:102-159)
+    "NBR": (["NIR", "SWIR_2"], lambda c: _nd(c["NIR"], c["SWIR_2"])),
+    "NDMI": (["NIR", "SWIR_1"], lambda c: _nd(c["NIR"], c["SWIR_1"])),
+    "NDSI": (["GREEN", "SWIR_1"], lambda c: _nd(c["GREEN"], c["SWIR_1"])),
+    "NDBI": (["SWIR_1", "NIR"], lambda c: _nd(c["SWIR_1"], c["NIR"])),
+    "NDRE": (["NIR", "VRE_1"], lambda c: _nd(c["NIR"], c["VRE_1"])),
+    "BAIS2_SIMPLE": (["VRE_2", "SWIR_2"], lambda c: _nd(c["VRE_2"], c["SWIR_2"])),
+    "MNDWI": (["GREEN", "SWIR_1"], lambda c: _nd(c["GREEN"], c["SWIR_1"])),
 }
 
 
-class BandError(ValueError):
-    """Invalid band request (reference: InvalidTypeError in product.py:1130)."""
+BandError = bands_mod.BandError  # back-compat re-export (tests pin loader.BandError)
 
 
 def to_band(name: str) -> str:
-    """P1 alias resolution: 'B04'/'04'/'red' -> 'RED'; index/dem/mask names
-    pass through canonically uppercased; '<band>_DSPK' resolves its base band
-    (the VV_DSPK despeckle-routing pattern,
+    """P1 alias resolution: 'B04'/'04'/'red' -> 'RED' via the full vocabulary
+    (eoreader_spark.bands); index names (registry or JVM-expr table) pass
+    through canonically; '<band>_DSPK' resolves its base band (the VV_DSPK
+    despeckle-routing pattern,
     /root/reference/eoreader/products/sar/sar_product.py:509-552)."""
     from eoreader_spark.functions import indices as _idx
 
@@ -91,21 +108,14 @@ def to_band(name: str) -> str:
     up = key.upper()
     if key in _idx.INDEX_REGISTRY:  # user-registered names resolve verbatim
         return key
+    if up in _idx.INDEX_REGISTRY or up in INDEX_EXPRS:
+        return up
     if up.endswith("_DSPK"):
         base = to_band(up[:-5])
-        if base not in SPECTRAL:  # despeckle applies to spectral bands only
-            raise BandError(f"_DSPK requires a spectral base band, got {base!r}")
+        if base not in bands_mod.ALL_PLANE_BANDS:
+            raise BandError(f"_DSPK requires a plane band base, got {base!r}")
         return base + "_DSPK"
-    if (
-        up in SPECTRAL or up in DEM_BANDS or up in MASK_BANDS
-        or up in INDEX_EXPRS or up in _idx.INDEX_REGISTRY
-    ):
-        return up
-    if key in ALIASES:
-        return ALIASES[key]
-    if up in ALIASES:
-        return ALIASES[up]
-    raise BandError(f"cannot resolve band: {name!r}")
+    return bands_mod.resolve(key)
 
 
 @dataclass
@@ -121,9 +131,15 @@ class LoadPlan:
     needed_planes: list[int] = field(default_factory=list)
 
 
-def classify(bands: list[str]) -> LoadPlan:
+def classify(bands: list[str], plane_map: dict[str, int] | None = None) -> LoadPlan:
+    """P3 classification against a plane map (default: the legacy 3-plane
+    layout).  ``plane_map`` is the constellation's band->plane table; a band
+    (or an index dependency) missing from it raises BandError, mirroring the
+    reference's 'band does not exist for the satellite' semantics
+    (band_names.py:155-158)."""
     from eoreader_spark.functions import indices as _idx
 
+    plane_map = plane_map if plane_map is not None else SPECTRAL
     plan = LoadPlan()
     seen = set()
     for b in bands:
@@ -132,26 +148,33 @@ def classify(bands: list[str]) -> LoadPlan:
             continue
         seen.add(cb)
         plan.order.append(cb)
-        if cb in SPECTRAL:
+        if cb in plane_map:
             plan.spectral.append(cb)
         elif cb in INDEX_EXPRS or cb in _idx.INDEX_REGISTRY:
             plan.indices.append(cb)
         elif cb in DEM_BANDS:
             plan.dem.append(cb)
-        elif cb in MASK_BANDS:
+        elif cb in MASK_BANDS or cb == "SCL":
             plan.masks.append(cb)
         elif cb.endswith("_DSPK"):
             plan.despeckle.append(cb[:-5])  # P8: _DSPK requires its base band
+        else:
+            raise BandError(
+                f"band {cb!r} does not exist for this product layout "
+                f"(planes: {sorted(plane_map)})"
+            )
     # NEEDED_BANDS expansion
     needed = set(plan.spectral) | set(plan.despeckle)
     for idx in plan.indices:
         needed.update(
             INDEX_EXPRS[idx][0] if idx in INDEX_EXPRS else _idx.INDEX_REGISTRY[idx][0]
         )
-    bad = [b for b in needed if b not in SPECTRAL]
+    bad = [b for b in needed if b not in plane_map]
     if bad:
-        raise BandError(f"index/despeckle dependencies must be spectral bands, got {bad}")
-    plan.needed_planes = sorted(SPECTRAL[b] for b in needed)
+        raise BandError(
+            f"index/despeckle dependencies must be plane bands of this layout, got {sorted(bad)}"
+        )
+    plan.needed_planes = sorted(plane_map[b] for b in needed)
     return plan
 
 
@@ -172,6 +195,7 @@ class ImageEngine:
         sun_zenith: float = 45.0,
         tile: int = TILE,
         gains: dict[str, tuple[float, float]] | None = None,
+        band_map: str | list[str] | dict[str, int] | None = None,
     ) -> None:
         self.images = images
         self.qa_masks = qa_masks
@@ -179,22 +203,35 @@ class ImageEngine:
         self.sun_azimuth = sun_azimuth
         self.sun_zenith = sun_zenith
         self.tile = tile
+        # per-constellation band->plane table (bands.LAYOUTS name, explicit
+        # band order, or a prebuilt map); default = legacy 3-plane layout
+        self.plane_map = bands_mod.plane_of(band_map) if band_map is not None else dict(SPECTRAL)
         # X4 CustomProduct analog: per-band (gain, bias) applied at load time
         # (/root/reference/eoreader/products/custom_product.py:304-430)
         self.gains = {to_band(k): v for k, v in (gains or {}).items()}
 
     # ----------------------------------------------------------- predicates
     def has_band(self, band: str) -> bool:
-        """P2: is this band loadable given the attached side tables?"""
+        """P2: is this band loadable given the layout + attached side tables?"""
         try:
             cb = to_band(band)
         except BandError:
             return False
         if cb in DEM_BANDS:
             return self.dem is not None
-        if cb in MASK_BANDS:
+        if cb in MASK_BANDS or cb == "SCL":
             return self.qa_masks is not None
-        return True
+        if cb in bands_mod.ALL_PLANE_BANDS:
+            return cb in self.plane_map
+        if cb.endswith("_DSPK"):
+            return cb[:-5] in self.plane_map
+        # index: every dependency must be a plane of this layout
+        from eoreader_spark.functions import indices as _idx
+
+        needs = (
+            INDEX_EXPRS[cb][0] if cb in INDEX_EXPRS else _idx.INDEX_REGISTRY[cb][0]
+        )
+        return all(n in self.plane_map for n in needs)
 
     def has_bands(self, bands: list[str]) -> bool:
         return all(self.has_band(b) for b in bands)
@@ -214,7 +251,7 @@ class ImageEngine:
         BEFORE kernels so decode work is pruned (the rasterio-window analog;
         with cell-partitioned tables Catalyst turns it into partition pruning).
         """
-        plan = classify(bands)
+        plan = classify(bands, self.plane_map)
         for b in plan.order:
             if not self.has_band(b):
                 raise BandError(f"band {b} not available (missing side table)")
@@ -232,7 +269,7 @@ class ImageEngine:
                 & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
             )
 
-        name_of = {SPECTRAL[b]: b for b in SPECTRAL}
+        name_of = {p: b for b, p in self.plane_map.items()}
         for p in plan.needed_planes:
             wide = wide.withColumnRenamed(f"px_{p}", f"px_{name_of[p]}")
 
@@ -330,10 +367,21 @@ class ImageEngine:
             )
             wide = wide.join(d, ["image_id", "tile_x", "tile_y"])
 
-        # 6. masks as uint8-ish int arrays (optical_product.py:440-441)
+        # 6. masks as uint8-ish int arrays (optical_product.py:440-441);
+        # SCL is the derived scene-classification analog (public class codes)
         for m in plan.masks:
-            bits = _MASK_BITS[m]
-            mask_col = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
+            if m == "SCL":
+                mask_col = F.transform(
+                    "qa",
+                    lambda x: F.when(x.bitwiseAND(F.lit(1)) != 0, F.lit(_SCL_CODES["nodata"]))
+                    .when(F.shiftright(x, 2).bitwiseAND(F.lit(1)) != 0, F.lit(_SCL_CODES["saturated"]))
+                    .when(F.shiftright(x, 5).bitwiseAND(F.lit(1)) != 0, F.lit(_SCL_CODES["cloud"]))
+                    .when(F.shiftright(x, 6).bitwiseAND(F.lit(1)) != 0, F.lit(_SCL_CODES["shadow"]))
+                    .otherwise(F.lit(_SCL_CODES["clear"])),
+                )
+            else:
+                bits = _MASK_BITS[m]
+                mask_col = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
             qa = self.qa_masks.select(
                 "image_id", "tile_x", "tile_y", mask_col.alias(f"px_{m}")
             )
@@ -357,12 +405,13 @@ class ImageEngine:
         (S9)."""
         wide = self.load(bands, **load_kw)
         order = [to_band(b) for b in bands]
+        cached = None
         if as_uint16:
-            px_bands = [b for b in order if b not in MASK_BANDS]
+            px_bands = [b for b in order if b not in MASK_BANDS and b != "SCL"]
             # ONE action computes every band's quantile guard on a cached
             # plan (convert_to_uint16's per-band .first() would re-execute
             # the whole decode pipeline once per band)
-            wide = wide.persist()
+            cached = wide = wide.persist()
             guards = wide.select(
                 *[
                     F.expr(f"percentile_approx(array_min(px_{b}), 0.001)").alias(b)
@@ -385,5 +434,12 @@ class ImageEngine:
                 )
         if out_path:
             wide.write.mode("overwrite").parquet(out_path)
+            if cached is not None:  # guards + write done: release cached blocks
+                cached.unpersist()
             return wide.sparkSession.read.parquet(out_path)
+        if cached is not None:
+            # no sink materializes the plan here — unpersist now so repeated
+            # stack() calls don't leak cached blocks; the caller's first
+            # action recomputes the decode once (same cost as no-uint16 path)
+            cached.unpersist()
         return wide
