@@ -449,13 +449,37 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NAME_CASE = """
-    CASE WHEN user_id % 5 = 0 THEN 'garbage_' || cast(user_id as string)
-         WHEN user_id % 4 = 0 THEN 'S2A_MSIL2A_20240116T105309_N0510_R051_T31TCJ'
-         WHEN user_id % 4 = 1 THEN 'S1A_IW_GRDH_1SDV_20191215T060906'
-         WHEN user_id % 4 = 2 THEN 'LC08_L1TP_200030_20201220_20210310_02_T1'
-         ELSE 'DS_PHR1A_201006181052297_FR1_PX_E001N43_0612_03143' END
-"""
+# 18 sample product names following each mission's PUBLIC naming convention
+# (one per constellation class in sources/reader.NAME_PATTERNS) + garbage
+_SAMPLE_NAMES = [
+    "S2A_MSIL2A_20240116T105309_N0510_R051_T31TCJ",
+    "S1A_IW_GRDH_1SDV_20191215T060906",
+    "LC08_L1TP_200030_20201220_20210310_02_T1",
+    "DS_PHR1A_201006181052297_FR1_PX_E001N43_0612_03143",
+    "S3A_OL_1_EFR____20191215T105023_20191215T105323",
+    "S3B_SL_1_RBT____20191215T105023_20191215T105323",
+    "LC09_L2SP_200030_20220101_20220103_02_T1",
+    "LE07_L1TP_200030_19990715_20170217_01_T1",
+    "LT05_L1TP_200030_20100612_20161015_01_T1",
+    "HLS.S30.T31TCJ.2024016T105309.v2.0",
+    "IMG_01_PNEO3_PMS-FS",
+    "IMG_SPOT7_MS_001_A",
+    "TSX1_SAR__SSC_SE___SM_S_SRA_20200101T120000_20200101T120010",
+    "RCM1_OK1234_PK5678_1_SC50MB_20200101_120000_HH_HV_GRD",
+    "ICEYE_X7_SLH_54321_20210101T120000",
+    "CAPELLA_C02_SP_GEO_HH_20210101120000_20210101120010",
+    "VENUS-XS_20200402-191352-000_L2A_KUWAIT_C_V2-2",
+    "2023-04-01-12-30-45_UMBRA-04",
+]
+
+_NAME_CASE = (
+    "CASE WHEN user_id % 5 = 0 THEN 'garbage_' || cast(user_id as string)\n"
+    + "\n".join(
+        f"         WHEN user_id % 18 = {i} THEN '{n}'"
+        for i, n in enumerate(_SAMPLE_NAMES[:-1])
+    )
+    + f"\n         ELSE '{_SAMPLE_NAMES[-1]}' END"
+)
 
 
 def q_reader_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,6 +700,46 @@ def q_scl_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.groupBy("image_id").agg(*aggs).orderBy("image_id")
 
 
+_STAC_SCENE_EXPRS = [
+    "concat('img', lpad(cast(event_id as string), 12, '0')) as image_id",
+    "CASE WHEN user_id % 4 = 0 THEN 'S2' WHEN user_id % 4 = 1 THEN 'L8'"
+    " WHEN user_id % 4 = 2 THEN 'S1' ELSE 'PLD' END as constellation",
+    "CASE WHEN user_id % 4 = 0 THEN 'L2A' WHEN user_id % 4 = 1 THEN 'L2'"
+    " WHEN user_id % 4 = 2 THEN 'GRD' ELSE 'ORT' END as product_type",
+    "date_trunc('second', ts) as datetime",
+    "cast((user_id % 3) * 10 + 10 as double) as pixel_size",
+    "cast(32600 + user_id % 60 + 1 as int) as crs_epsg",
+    f"{LON_EXPR} as lon",
+    f"{LAT_EXPR} as lat",
+    "CASE WHEN event_id % 2 = 0 THEN 'ASCENDING' ELSE 'DESCENDING' END as orbit_direction",
+    "cast(user_id * 37 % 101 as double) as cloud_cover",
+]
+
+
+def q_stac_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 both directions, VALUE-EXACT: scene rows -> to_stac_items (to_json)
+    -> open_stac_items (from_json) -> per-constellation aggregates.  The
+    oracle aggregates the same derivations directly, so any field the JSON
+    round-trip corrupts (doubles, timestamps, ints) breaks the hash."""
+    from eoreader_spark.sources import stac
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    scenes = ev.selectExpr(*_STAC_SCENE_EXPRS)
+    parsed = stac.open_stac_items(stac.to_stac_items(scenes))
+    return (
+        parsed.groupBy("constellation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("cloud_cover"), 4).alias("avg_cc"),
+            F.round(F.sum("pixel_size"), 2).alias("sum_gsd"),
+            F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
+            F.round(F.min("lon"), 4).alias("min_lon"),
+            F.min("crs_epsg").alias("min_epsg"),
+        )
+        .orderBy("constellation")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -729,8 +793,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_load": q_raster_load,
         "nbr_stats": q_nbr_stats,
         "scl_hist": q_scl_hist,
+        "stac_catalog": q_stac_catalog,
     }
     return {k: _wrap(v) for k, v in qs.items()}
+
+
+def _reader_dispatch_oracle() -> str:
+    from eoreader_spark.sources import reader
+
+    whens = "\n".join(
+        f"                    WHEN regexp_matches(product_name, '{pat}') THEN '{const}'"
+        for const, pat in reader.NAME_PATTERNS
+    )
+    return f"""
+            WITH named AS (SELECT {_NAME_CASE} AS product_name FROM events),
+            tagged AS (
+                SELECT CASE
+{whens}
+                    ELSE NULL END AS constellation
+                FROM named
+            )
+            SELECT constellation, count(*) AS n FROM tagged
+            GROUP BY constellation ORDER BY constellation NULLS FIRST
+        """
 
 
 _PTS = f"(SELECT event_id, event_type, value, {LON_EXPR} AS lon, {LAT_EXPR} AS lat FROM events)"
@@ -940,21 +1025,10 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.999), 4) AS p_high
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
-        "reader_dispatch": rf"""
-            WITH named AS (SELECT {_NAME_CASE} AS product_name FROM events),
-            tagged AS (
-                SELECT CASE
-                    WHEN regexp_matches(product_name, '^S2[ABC]_MSIL(1C|2A)_\d{{8}}T\d{{6}}') THEN 'S2'
-                    WHEN regexp_matches(product_name, '^S1[ABC]_(IW|EW|SM|WV)_(GRD|SLC|OCN)') THEN 'S1'
-                    WHEN regexp_matches(product_name, '^L[CO]08_L[12][A-Z]{{2}}_\d{{6}}_\d{{8}}') THEN 'L8'
-                    WHEN regexp_matches(product_name, '^DS_PHR1[AB]_\d{{15}}') THEN 'PLD'
-                    WHEN regexp_matches(product_name, '^S3[AB]_(OL|SL)_[12]_') THEN 'S3'
-                    ELSE NULL END AS constellation
-                FROM named
-            )
-            SELECT constellation, count(*) AS n FROM tagged
-            GROUP BY constellation ORDER BY constellation NULLS FIRST
-        """,
+        # generated from the SAME ordered pattern table the Spark side uses
+        # (sources/reader.NAME_PATTERNS) — sync by construction; patterns are
+        # RE2-compatible so Java regex and DuckDB agree
+        "reader_dispatch": _reader_dispatch_oracle(),
         "gap_fill": """
             WITH t AS (
                 SELECT event_type, event_id,
@@ -1100,5 +1174,27 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls4,
                    cast(sum(CASE WHEN c = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls9
             FROM scl GROUP BY image_id ORDER BY image_id
+        """,
+        "stac_catalog": f"""
+            WITH s AS (
+                SELECT CASE WHEN user_id % 4 = 0 THEN 'S2'
+                            WHEN user_id % 4 = 1 THEN 'L8'
+                            WHEN user_id % 4 = 2 THEN 'S1'
+                            ELSE 'PLD' END AS constellation,
+                       cast((user_id % 3) * 10 + 10 AS double) AS pixel_size,
+                       cast(32600 + user_id % 60 + 1 AS int) AS crs_epsg,
+                       {LON_EXPR} AS lon,
+                       cast(user_id * 37 % 101 AS double) AS cloud_cover,
+                       date_trunc('second', ts) AS dt
+                FROM events WHERE event_id < 500
+            )
+            SELECT constellation,
+                   count(*) AS n_items,
+                   round(avg(cloud_cover), 4) AS avg_cc,
+                   round(sum(pixel_size), 2) AS sum_gsd,
+                   strftime(max(dt), '%Y-%m-%d %H:%M:%S') AS max_dt,
+                   round(min(lon), 4) AS min_lon,
+                   min(crs_epsg) AS min_epsg
+            FROM s GROUP BY constellation ORDER BY constellation
         """,
     }

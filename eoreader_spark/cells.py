@@ -53,6 +53,33 @@ def encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     return (np.int64(res) << RES_SHIFT) | (x << X_SHIFT) | y
 
 
+def encode_expr(lon, lat, res: int):
+    """JVM-column twin of ``encode`` (whole-stage codegen, no Python).
+
+    Bit-identical to the numpy version: same IEEE +,-,*,/ sequence, and both
+    Spark's double->long cast and numpy's .astype(int64) truncate toward zero
+    (operands here are non-negative, so trunc == floor).  Use this in hot
+    paths (kNN ring passes, tile assignment) where a pandas UDF would pay an
+    Arrow round-trip per pass."""
+    from pyspark.sql import functions as F
+
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0,{MAX_RES}], got {res}")
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    nx, ny = _nx(res), _ny(res)
+    fx = (lon + F.lit(180.0)) / F.lit(360.0)
+    fx = fx - F.floor(fx)
+    x = F.least((fx * nx).cast("long"), F.lit(nx - 1))
+    fy = (F.lit(90.0) - lat) / F.lit(180.0)
+    y = F.greatest(F.least((fy * ny).cast("long"), F.lit(ny - 1)), F.lit(0))
+    return (
+        F.shiftleft(F.lit(int(res)).cast("long"), RES_SHIFT)
+        .bitwiseOR(F.shiftleft(x, X_SHIFT))
+        .bitwiseOR(y)
+    )
+
+
 def decode_res(cell: np.ndarray) -> np.ndarray:
     return (np.asarray(cell, dtype=np.int64) >> RES_SHIFT).astype(np.int64)
 

@@ -11,12 +11,19 @@ Reference operators re-expressed (SURVEY §2.5):
   (/root/reference/eoreader/products/sar/sar_product.py:1344-1358)
 
 The reference hides chunk boundaries inside dask; in a row model the halo is
-explicit: every tile emits its edge strips to its 8 neighbours, a groupBy on
-the target tile key assembles a (T+2)^2 padded array, and the numpy kernel
-runs once per tile.  Shuffle volume = 4 edges + 4 corners per tile
-(~4*T+4 floats ≈ 6% of a 64^2 tile, ~0.4% of a 1024^2 production tile) —
-NOT a duplication of the full tile.  Image borders pad with NaN and kernels
-use nan-aware reductions, matching xarray edge semantics.
+explicit: every tile emits its edge strips addressed to its 8 neighbours,
+the strips (and ONLY the strips) shuffle — one groupBy collapses them to a
+single halo row per target tile — and an equi-join against the center tiles,
+co-partitioned on the tile key, hands each tile its (T+2)^2 padded input for
+a narrow mapInPandas kernel pass.  Per-op exchange volume = 4 edges + 4
+corners per tile (~4*T+4 floats ≈ 6% of a 64^2 tile, ~0.4% of a 1024^2
+production tile).  The center payload crosses an exchange at most ONCE: the
+caller-visible ``partitioned=`` flag skips even that when the tile table is
+already hash-distributed on the tile key (bucketed/partitioned at rest, or
+repartitioned once and reused across several stencil ops — Spark reuses the
+exchange across the slope/hillshade/despeckle subtrees of one plan).
+Image borders pad with NaN and kernels use nan-aware reductions, matching
+xarray edge semantics.
 """
 
 from __future__ import annotations
@@ -34,8 +41,13 @@ from eoreader_spark.datagen import TILE
 _DIRS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
 
 
-def _halo_rows(tiles: DataFrame, tile: int) -> DataFrame:
-    """Explode each tile into itself + 8 neighbour-addressed halo strips."""
+_KEY = ["image_id", "tile_x", "tile_y"]
+
+
+def _strip_rows(tiles: DataFrame, tile: int) -> DataFrame:
+    """Emit ONLY the 8 neighbour-addressed edge strips of each tile (the
+    center tile does NOT re-enter the shuffle — that was round-1's
+    full-payload exchange)."""
     schema = "image_id string, tile_x int, tile_y int, dx int, dy int, px array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -46,7 +58,6 @@ def _halo_rows(tiles: DataFrame, tile: int) -> DataFrame:
             ):
                 a = np.asarray(px, dtype=np.float32).reshape(tile, tile)
                 tx, ty = int(tx), int(ty)
-                rows.append((iid, tx, ty, 0, 0, a.ravel()))
                 for dx, dy in _DIRS:
                     # the neighbour at (tx+dx, ty+dy) needs our edge FACING it:
                     # right neighbour (dx=+1) gets our rightmost column, etc.
@@ -59,25 +70,23 @@ def _halo_rows(tiles: DataFrame, tile: int) -> DataFrame:
     return tiles.mapInPandas(batch, schema=schema)
 
 
-def _assemble(pdf: pd.DataFrame, tile: int) -> np.ndarray | None:
-    """Rows for one target tile -> (T+2, T+2) padded array (NaN outside)."""
+def _pad_from_row(px, halos, tile: int) -> np.ndarray:
+    """Center array + halo struct list -> (T+2, T+2) padded array (NaN outside)."""
     pad = np.full((tile + 2, tile + 2), np.nan, dtype=np.float32)
-    center = None
-    for dx, dy, px in zip(pdf["dx"], pdf["dy"], pdf["px"]):
-        a = np.asarray(px, dtype=np.float32)
-        dx, dy = int(dx), int(dy)
-        if dx == 0 and dy == 0 and a.size == tile * tile:
-            center = a.reshape(tile, tile)
-            pad[1 : tile + 1, 1 : tile + 1] = center
-        else:
-            # strip sent by the neighbour at (-dx,-dy) relative to target:
-            # it lands on the opposite border of the padded array
-            h = 1 if dy != 0 else tile
-            w = 1 if dx != 0 else tile
-            ys = slice(0, 1) if dy == 1 else slice(tile + 1, tile + 2) if dy == -1 else slice(1, tile + 1)
-            xs = slice(0, 1) if dx == 1 else slice(tile + 1, tile + 2) if dx == -1 else slice(1, tile + 1)
-            pad[ys, xs] = a.reshape(h, w)
-    return pad if center is not None else None
+    pad[1 : tile + 1, 1 : tile + 1] = np.asarray(px, dtype=np.float32).reshape(tile, tile)
+    if halos is None or isinstance(halos, float):  # left-join miss -> None/NaN
+        halos = []
+    for h in halos:
+        dx, dy = int(h["dx"]), int(h["dy"])
+        a = np.asarray(h["px"], dtype=np.float32)
+        # strip sent by the neighbour at (-dx,-dy) relative to this tile:
+        # it lands on the opposite border of the padded array
+        hh = 1 if dy != 0 else tile
+        ww = 1 if dx != 0 else tile
+        ys = slice(0, 1) if dy == 1 else slice(tile + 1, tile + 2) if dy == -1 else slice(1, tile + 1)
+        xs = slice(0, 1) if dx == 1 else slice(tile + 1, tile + 2) if dx == -1 else slice(1, tile + 1)
+        pad[ys, xs] = a.reshape(hh, ww)
+    return pad
 
 
 def apply_stencil(
@@ -85,26 +94,48 @@ def apply_stencil(
     kernel: Callable[[np.ndarray], np.ndarray],
     tile: int = TILE,
     out_col: str = "px",
+    partitioned: bool = False,
 ) -> DataFrame:
-    """Generic 3x3-halo stencil: kernel((T+2,T+2) padded) -> (T,T) output."""
+    """Generic 3x3-halo stencil: kernel((T+2,T+2) padded) -> (T,T) output.
+
+    Strips-only shuffle: the edge strips (~6% of a 64^2 tile) are grouped to
+    one halo row per target tile and equi-joined back onto the center tiles;
+    the kernel runs in a narrow mapInPandas over the joined rows.  Pass
+    ``partitioned=True`` when ``tiles`` is already hash-distributed on
+    (image_id, tile_x, tile_y) — bucketed at rest, or repartitioned once by
+    the caller and shared across several stencils (Spark then reuses that
+    exchange and only the strips move per op).
+    """
+    import pyspark.sql.functions as F
+
+    centers = tiles if partitioned else tiles.repartition(*_KEY)
+    # strips derive from the RAW input (not the repartitioned centers): the
+    # groupBy below shuffles them to their target tiles anyway, so routing
+    # them through the centers' exchange would only add a redundant
+    # full-payload pass.  Map-side partial collect_list combines strips
+    # before the exchange.
+    strips = _strip_rows(tiles, tile)
+    # strips-only exchange: collapse to ONE row per target tile.  Strips
+    # addressed outside the image drop out in the inner-ness of the left join.
+    halos = strips.groupBy(*_KEY).agg(
+        F.collect_list(F.struct("dx", "dy", "px")).alias("_halos")
+    )
+    joined = centers.join(halos, _KEY, "left")
     schema = f"image_id string, tile_x int, tile_y int, {out_col} array<float>"
-    halo = _halo_rows(tiles, tile)
 
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        pad = _assemble(pdf, tile)
-        if pad is None:  # halo strips addressed to a tile outside the image
-            return pd.DataFrame(columns=["image_id", "tile_x", "tile_y", out_col])
-        out = kernel(pad).astype(np.float32)
-        return pd.DataFrame(
-            {
-                "image_id": [pdf["image_id"].iloc[0]],
-                "tile_x": [int(pdf["tile_x"].iloc[0])],
-                "tile_y": [int(pdf["tile_y"].iloc[0])],
-                out_col: [out.ravel()],
-            }
-        )
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out_px = []
+            for px, halos_row in zip(pdf["px"], pdf["_halos"]):
+                pad = _pad_from_row(px, halos_row, tile)
+                out_px.append(kernel(pad).astype(np.float32).ravel())
+            out = pdf[["image_id", "tile_x", "tile_y"]].copy()
+            out[out_col] = out_px
+            yield out
 
-    return halo.groupBy("image_id", "tile_x", "tile_y").applyInPandas(per_tile, schema=schema)
+    return joined.select(*_KEY, "px", "_halos").mapInPandas(batch, schema=schema)
 
 
 # ------------------------------------------------------------------ kernels
@@ -203,16 +234,27 @@ def gap_fill_x(tiles: DataFrame, limit: int = 10, tile: int = TILE, px_col: str 
     return tiles.mapInPandas(batch, schema=schema)
 
 
-def slope(dem_tiles: DataFrame, tile: int = TILE) -> DataFrame:
+def slope(dem_tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> DataFrame:
     """W2: dem tile rows (px = z) -> slope degrees."""
-    return apply_stencil(dem_tiles, slope_kernel, tile=tile)
+    return apply_stencil(dem_tiles, slope_kernel, tile=tile, partitioned=partitioned)
 
 
-def hillshade(dem_tiles: DataFrame, azimuth_deg: float, zenith_deg: float, tile: int = TILE) -> DataFrame:
+def hillshade(
+    dem_tiles: DataFrame,
+    azimuth_deg: float,
+    zenith_deg: float,
+    tile: int = TILE,
+    partitioned: bool = False,
+) -> DataFrame:
     """W1: dem tile rows -> hillshade [0,1]."""
-    return apply_stencil(dem_tiles, hillshade_kernel_factory(azimuth_deg, zenith_deg), tile=tile)
+    return apply_stencil(
+        dem_tiles, hillshade_kernel_factory(azimuth_deg, zenith_deg), tile=tile,
+        partitioned=partitioned,
+    )
 
 
-def despeckle(band_tiles: DataFrame, noise_var: float = 25.0, tile: int = TILE) -> DataFrame:
+def despeckle(
+    band_tiles: DataFrame, noise_var: float = 25.0, tile: int = TILE, partitioned: bool = False
+) -> DataFrame:
     """W3: VV -> VV_DSPK analog."""
-    return apply_stencil(band_tiles, lee_kernel_factory(noise_var), tile=tile)
+    return apply_stencil(band_tiles, lee_kernel_factory(noise_var), tile=tile, partitioned=partitioned)

@@ -343,17 +343,24 @@ class ImageEngine:
                     (F.col("tile_x") >= tx0 - 1) & (F.col("tile_x") <= tx1 + 1)
                     & (F.col("tile_y") >= ty0 - 1) & (F.col("tile_y") <= ty1 + 1)
                 )
+            if {"SLOPE", "HILLSHADE"} & set(plan.dem):
+                # one exchange, shared: both stencil subtrees and the joins
+                # below hash on the same tile key, so Spark reuses this
+                # repartition (strips are the only per-op shuffle)
+                dem_px = dem_px.repartition("image_id", "tile_x", "tile_y")
             if "DEM" in plan.dem:
                 wide = wide.join(
                     dem_px.withColumnRenamed("px", "px_DEM"),
                     ["image_id", "tile_x", "tile_y"],
                 )
             if "SLOPE" in plan.dem:
-                s = stencil.slope(dem_px, tile=self.tile).withColumnRenamed("px", "px_SLOPE")
+                s = stencil.slope(dem_px, tile=self.tile, partitioned=True).withColumnRenamed(
+                    "px", "px_SLOPE"
+                )
                 wide = wide.join(s, ["image_id", "tile_x", "tile_y"])
             if "HILLSHADE" in plan.dem:
                 h = stencil.hillshade(
-                    dem_px, self.sun_azimuth, self.sun_zenith, tile=self.tile
+                    dem_px, self.sun_azimuth, self.sun_zenith, tile=self.tile, partitioned=True
                 ).withColumnRenamed("px", "px_HILLSHADE")
                 wide = wide.join(h, ["image_id", "tile_x", "tile_y"])
 

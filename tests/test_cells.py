@@ -58,3 +58,22 @@ def test_determinism_across_chunking():
     whole = cells.encode(lon, lat, 9)
     parts = np.concatenate([cells.encode(lon[i::7], lat[i::7], 9) for i in range(7)])
     assert set(whole.tolist()) == set(parts.tolist())
+
+
+def test_encode_expr_matches_numpy(spark):
+    """JVM encode_expr must be bit-identical to the numpy encode (same IEEE
+    op sequence, trunc==floor on non-negative operands), including the wrap
+    and clamp edges."""
+    import numpy as np
+
+    from eoreader_spark import cells
+
+    lon = np.array([-180.0, -179.999, 0.0, 179.999, 180.0, 359.0, 2.35, -74.0])
+    lat = np.array([90.0, 89.999, 0.0, -89.999, -90.0, 45.0, 48.85, 40.7])
+    for res in (0, 5, 7, 9, 12):
+        want = cells.encode(lon, lat, res)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        )
+        got = [r.c for r in df.select(cells.encode_expr("lon", "lat", res).alias("c")).collect()]
+        assert got == want.tolist(), res

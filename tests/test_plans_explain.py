@@ -72,3 +72,26 @@ def test_aggregate_has_map_side_combine_and_codegen(spark):
     assert plan.index("partial_sum") > plan.index("Exchange") or "Exchange" in plan
     cg = _plan(df, "codegen")
     assert "WholeStageCodegen" in cg
+
+
+def test_stencil_shuffles_strips_only(spark):
+    """VERDICT round-1 scale fix: the stencil exchange volume must be edge
+    strips, not the full pixel payload.  Pinned shape: exactly one
+    full-payload exchange (the caller-controlled centers repartition, absent
+    with partitioned=True) and one strips exchange fed by a map-side partial
+    collect_list."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import stencil
+
+    dem = datagen.gen_dem(spark, 6).withColumnRenamed("z", "px")
+    plan = _plan(stencil.slope(dem), mode="extended")
+    assert plan.count("REPARTITION_BY_COL") == 1  # centers: once, reusable
+    assert plan.count("ENSURE_REQUIREMENTS") == 1  # strips only
+    assert "partial_collect_list" in plan  # map-side combine before exchange
+    # pre-partitioned source (bucketed at rest): NO full-payload exchange
+    part = dem.repartition("image_id", "tile_x", "tile_y")
+    plan2 = _plan(stencil.slope(part, partitioned=True), mode="extended")
+    # the only REPARTITION exchanges are the caller's own (strips path may
+    # re-reference it; AQE stage-cache reuses canonically-equal exchanges)
+    strips_side = plan2.count("ENSURE_REQUIREMENTS")
+    assert strips_side == 1

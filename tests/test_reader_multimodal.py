@@ -15,7 +15,9 @@ def test_constellation_detection(spark):
         ("S1A_IW_GRDH_1SDV_20191215T060906", "S1"),
         ("LC08_L1TP_200030_20201220_20210310_02_T1", "L8"),
         ("DS_PHR1A_201006181052297_FR1_PX_E001N43_0612_03143", "PLD"),
-        ("S3B_SL_1_RBT____20191115T233722", "S3"),
+        # round 2 split the coarse 'S3' class into OLCI/SLSTR (reference has
+        # separate constellations for the two instruments)
+        ("S3B_SL_1_RBT____20191115T233722_20191115T234022", "S3_SLSTR"),
         ("random_garbage_file", None),
     ]
     df = spark.createDataFrame([(n,) for n, _ in names], "product_name string")

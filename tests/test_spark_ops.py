@@ -151,3 +151,80 @@ def test_knn_matches_brute_force(spark, tables):
     gk = {(r.query_id, r.rank): r.image_id for r in got}
     wk = {(r.query_id, r.rank): r.image_id for r in want}
     assert gk == wk
+
+
+def test_knn_ring_widening_mostly_unresolved(spark, tables):
+    """VERDICT round-1 scale fix: when the first ring resolves under half the
+    queries (k too large for one ring at fine resolution), the doubled-ring
+    retries — not a whole-table brute pass — must still give exact top-k."""
+    scenes = tables["scenes"]
+    queries = scenes.limit(20).selectExpr("image_id as query_id", "lon", "lat")
+    # res=9 cells are tiny; k=8 needs many neighbours -> round 1 resolves few
+    got = knn.knn_join(queries, scenes, k=8, res=9, k_cells=1, rounds=3).collect()
+    want = knn.knn_brute(queries, scenes, k=8).collect()
+    gk = {(r.query_id, r.rank): r.image_id for r in got}
+    wk = {(r.query_id, r.rank): r.image_id for r in want}
+    assert gk == wk
+    # and the first ring really is mostly unresolved (the premise holds)
+    from eoreader_spark.operators.knn import _ring_pass, _with_cell
+
+    q = _with_cell(queries, "lon", "lat", 9, "qcell")
+    p = _with_cell(scenes.select("image_id", "lon", "lat"), "lon", "lat", 9, "pcell")
+    exact = _ring_pass(q, p, 8, 9, 1, "query_id", "image_id", True)
+    assert exact.select("query_id").distinct().count() < 10  # >50% unresolved
+
+
+def test_knn_no_resolved_set_broadcast_hint(spark, tables):
+    """The unresolved-query derivation must not force a broadcast of the
+    resolved-id set (query-scale at 10^12): no ResolvedHint/broadcast marker
+    on the anti-join input in the optimized logical plan."""
+    scenes = tables["scenes"]
+    queries = scenes.limit(10).selectExpr("image_id as query_id", "lon", "lat")
+    df = knn.knn_join(queries, scenes, k=3, res=7, k_cells=1, rounds=2)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # the only broadcast hint allowed is knn_brute's residual-tail query side
+    joins = [ln for ln in logical.splitlines() if "Join LeftAnti" in ln]
+    assert joins, "anti-join rounds missing from plan"
+    for ln in joins:
+        assert "broadcast" not in ln.lower()
+
+
+def test_constellation_detection_table(spark):
+    """Every sample name (one per constellation class, public naming
+    conventions) detects to its constellation; garbage -> NULL."""
+    import __spark_entry__ as m
+    from eoreader_spark.sources import reader
+
+    expected = ["S2", "S1", "L8", "PLD", "S3_OLCI", "S3_SLSTR", "L9", "L7",
+                "L5", "HLS", "PNEO", "SPOT7", "TSX", "RCM", "ICEYE",
+                "CAPELLA", "VENUS", "UMBRA"]
+    df = spark.createDataFrame(
+        [(n,) for n in m._SAMPLE_NAMES] + [("garbage_123",)], "product_name string"
+    )
+    got = {r.product_name: r.constellation for r in reader.detect(df).collect()}
+    for name, want in zip(m._SAMPLE_NAMES, expected):
+        assert got[name] == want, (name, got[name], want)
+    assert got["garbage_123"] is None
+    assert len(reader.NAME_PATTERNS) >= 40
+
+
+def test_constellation_member_fallback(spark):
+    """Products with unrecognizable folder names dispatch on the archive
+    member list (reference checks a file inside, reader.py:377-420)."""
+    from eoreader_spark.sources import reader
+
+    rows = [
+        ("randomdir1", ["CSKS2_SCS_U_HI_01_HH_RA_FF_20200101000000.h5"]),
+        ("randomdir2", ["tile/B12.jp2", "tile/B04.jp2"]),
+        ("randomdir3", ["ortho/12JAN08111111-P2AS-myid.TIL"]),
+        ("randomdir4", ["readme.txt"]),
+        ("S2A_MSIL2A_20240116T105309_rest", ["whatever.xml"]),  # name wins
+    ]
+    df = spark.createDataFrame(rows, "product_name string, members array<string>")
+    got = {r.product_name: r.constellation
+           for r in reader.detect_with_fallback(df).collect()}
+    assert got["randomdir1"] == "CSK"
+    assert got["randomdir2"] == "S2_SIN"
+    assert got["randomdir3"] == "MAXAR"
+    assert got["randomdir4"] is None
+    assert got["S2A_MSIL2A_20240116T105309_rest"] == "S2"

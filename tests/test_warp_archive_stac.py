@@ -122,3 +122,25 @@ def test_stac_items(spark):
     assert item["properties"]["constellation"] in {"S2", "L8", "S1", "PLD"}
     assert "proj:epsg" in item["properties"]
     assert item["geometry_wkt"].startswith("POLYGON")
+
+
+def test_stac_roundtrip_open(spark):
+    """S7 read side: scenes -> to_stac_items -> open_stac_items == scenes
+    (reference opens products from STAC items, reader.py:673-738)."""
+    scenes = datagen.gen_scenes(spark, 10)
+    fps = datagen.gen_footprints(spark, 10)
+    items = stac.to_stac_items(scenes, fps)
+    back = stac.open_stac_items(items)
+    a = {r.image_id: r for r in scenes.collect()}
+    b = {r.image_id: r for r in back.collect()}
+    assert set(a) == set(b)
+    for iid, r in b.items():
+        s = a[iid]
+        assert r.constellation == s.constellation
+        assert r.product_type == s.product_type
+        assert r.datetime.replace(microsecond=0) == s.datetime.replace(microsecond=0)
+        assert r.pixel_size == s.pixel_size and r.crs_epsg == s.crs_epsg
+        assert abs(r.lon - s.lon) < 1e-9 and abs(r.lat - s.lat) < 1e-9
+        assert r.orbit_direction == s.orbit_direction
+        assert r.cloud_cover == s.cloud_cover
+        assert r.geom_wkt.startswith("POLYGON")
