@@ -700,6 +700,63 @@ def q_scl_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.groupBy("image_id").agg(*aggs).orderBy("image_id")
 
 
+def q_hull_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8 on the hard gate, VALUE-EXACT: per-event-type strictly-convex
+    hull of event points via the distributed dissolve_hull operator, emitted
+    as vertex rows.  The oracle decides hull membership in SQL with the
+    exact sign test (a point is a vertex iff no triangle of other points
+    contains it, non-strict) — cross products are *,-,+ only, bit-stable."""
+    from eoreader_spark.operators import footprint
+
+    # integer lattice coordinates (exactly representable doubles): every
+    # cross product is exact, so the chain and the SQL sign test cannot
+    # disagree on near-collinear triples the way 0.1-degree floats can
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 200)
+        .selectExpr(
+            "event_type",
+            "cast((user_id * 7919) % 3600 as double) as gx",
+            "cast((user_id * 104729) % 1700 as double) as gy",
+        )
+        .distinct()
+    )
+    hull = footprint.dissolve_hull(pts, group_col="event_type", x_col="gx", y_col="gy")
+    return hull.select(
+        "event_type",
+        F.col("vx").cast("long").alias("vx"),
+        F.col("vy").cast("long").alias("vy"),
+    ).orderBy("event_type", "vx", "vy")
+
+
+_SIG_EXPR = (  # shared Spark-SQL/DuckDB-compatible 60-bit signature + perturbation
+    "CASE WHEN doc_id % 3 = 1 THEN shiftleft(cast(1 as bigint), cast(doc_id % 59 as int)) "
+    "     WHEN doc_id % 3 = 2 THEN shiftleft(cast(1 as bigint), cast(doc_id % 59 as int))"
+    "          + shiftleft(cast(1 as bigint), cast((doc_id * 7) % 59 as int)) "
+    "     ELSE cast(0 as bigint) END"
+)
+
+
+def q_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming near-dup on the hard gate, VALUE-EXACT: 60-bit
+    signatures derived from md5 of a length bucket (groups), perturbed by
+    1-2 doc_id-dependent bit flips, run through the REAL pigeonhole banding
+    operator (dedup.banded_hamming_pairs); the oracle brute-forces all pairs
+    in SQL.  Full recall of the banding is exactly what the hash compares."""
+    from eoreader_spark.operators import dedup
+
+    base = "cast(conv(substring(md5(cast(n_chars div 5 as string)), 1, 15), 16, 10) as bigint)"
+    sigs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id as id", f"({base}) ^ ({_SIG_EXPR}) as simhash"
+    )
+    pairs = dedup.banded_hamming_pairs(sigs, max_hamming=2)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("id_a", "id_b")
+
+
 _STAC_SCENE_EXPRS = [
     "concat('img', lpad(cast(event_id as string), 12, '0')) as image_id",
     "CASE WHEN user_id % 4 = 0 THEN 'S2' WHEN user_id % 4 = 1 THEN 'L8'"
@@ -794,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbr_stats": q_nbr_stats,
         "scl_hist": q_scl_hist,
         "stac_catalog": q_stac_catalog,
+        "hull_dissolve": q_hull_dissolve,
+        "banded_near_dup": q_banded_near_dup,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -1196,5 +1255,62 @@ def oracle_sql() -> dict[str, str]:
                    round(min(lon), 4) AS min_lon,
                    min(crs_epsg) AS min_epsg
             FROM s GROUP BY constellation ORDER BY constellation
+        """,
+        # hull membership by the exact sign test: p is a hull vertex iff no
+        # non-degenerate triangle (a,b,c) of points in its group contains it
+        # (non-strict, so collinear edge-interior points are excluded, which
+        # matches the strictly-convex monotone chain).  Cross products use
+        # only *,-,+ — bit-stable across engines.
+        "hull_dissolve": """
+            WITH p AS (
+                SELECT DISTINCT event_type,
+                       cast((user_id * 7919) % 3600 AS double) AS lon,
+                       cast((user_id * 104729) % 1700 AS double) AS lat
+                FROM events WHERE event_id < 200
+            )
+            SELECT p.event_type, cast(p.lon AS BIGINT) AS vx, cast(p.lat AS BIGINT) AS vy
+            FROM p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p a, p b, p c
+                WHERE a.event_type = p.event_type
+                  AND b.event_type = p.event_type
+                  AND c.event_type = p.event_type
+                  AND NOT (a.lon = p.lon AND a.lat = p.lat)
+                  AND NOT (b.lon = p.lon AND b.lat = p.lat)
+                  AND NOT (c.lon = p.lon AND c.lat = p.lat)
+                  -- non-degenerate triangle
+                  AND (b.lon - a.lon) * (c.lat - a.lat)
+                    - (b.lat - a.lat) * (c.lon - a.lon) <> 0
+                  -- non-strict containment: all three cross products >= 0
+                  -- or all three <= 0
+                  AND (
+                    ((b.lon - a.lon) * (p.lat - a.lat) - (b.lat - a.lat) * (p.lon - a.lon) >= 0
+                     AND (c.lon - b.lon) * (p.lat - b.lat) - (c.lat - b.lat) * (p.lon - b.lon) >= 0
+                     AND (a.lon - c.lon) * (p.lat - c.lat) - (a.lat - c.lat) * (p.lon - c.lon) >= 0)
+                    OR
+                    ((b.lon - a.lon) * (p.lat - a.lat) - (b.lat - a.lat) * (p.lon - a.lon) <= 0
+                     AND (c.lon - b.lon) * (p.lat - b.lat) - (c.lat - b.lat) * (p.lon - b.lon) <= 0
+                     AND (a.lon - c.lon) * (p.lat - c.lat) - (a.lat - c.lat) * (p.lon - c.lon) <= 0)
+                  )
+            )
+            ORDER BY event_type, vx, vy
+        """,
+        "banded_near_dup": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       xor(('0x' || substr(md5(cast(n_chars // 5 AS varchar)), 1, 15))::BIGINT,
+                           CASE WHEN doc_id % 3 = 1
+                                  THEN (1::BIGINT << cast(doc_id % 59 AS int))
+                                WHEN doc_id % 3 = 2
+                                  THEN (1::BIGINT << cast(doc_id % 59 AS int))
+                                     + (1::BIGINT << cast((doc_id * 7) % 59 AS int))
+                                ELSE 0::BIGINT END) AS sig
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   cast(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 2
+            ORDER BY id_a, id_b
         """,
     }

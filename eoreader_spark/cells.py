@@ -144,14 +144,25 @@ def cover_bbox(
     """Covering cells of n bboxes at ``res``.
 
     Returns (row_index, cell_id) flat arrays — the explode-ready form for a
-    DataFrame ``cells`` column.  Assumes bboxes don't cross the antimeridian
-    (the synthetic generator guarantees that).
+    DataFrame ``cells`` column.  Bboxes must be normalized (lon0<=lon1,
+    lat0<=lat1) and must not cross the antimeridian; violations raise a
+    clear ValueError instead of surfacing as np.repeat's obscure
+    'negative dimensions' error.
     """
     nx, ny = _nx(res), _ny(res)
     lon0 = np.asarray(lon0, dtype=np.float64)
     lon1 = np.asarray(lon1, dtype=np.float64)
     lat0 = np.asarray(lat0, dtype=np.float64)
     lat1 = np.asarray(lat1, dtype=np.float64)
+    bad = (lon0 > lon1) | (lat0 > lat1)
+    if np.any(bad):
+        i = int(np.argmax(bad))
+        raise ValueError(
+            "cover_bbox requires normalized bboxes (lon0<=lon1, lat0<=lat1) "
+            "and does not support antimeridian-crossing boxes; offending row "
+            f"{i}: lon [{lon0[i]}, {lon1[i]}], lat [{lat0[i]}, {lat1[i]}] — "
+            "split crossing boxes at 180deg before calling"
+        )
     x0 = np.clip(((lon0 + 180.0) / 360.0 * nx).astype(np.int64), 0, nx - 1)
     x1 = np.clip(((lon1 + 180.0) / 360.0 * nx).astype(np.int64), 0, nx - 1)
     y0 = np.clip(((90.0 - lat1) / 180.0 * ny).astype(np.int64), 0, ny - 1)

@@ -315,6 +315,38 @@ def gen_dem(spark: SparkSession, n: int) -> DataFrame:
     return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
 
 
+def gen_angle_grids(spark: SparkSession, n: int) -> DataFrame:
+    """T9 `angle_grids` — per-tile sun azimuth/zenith grids with a closed
+    form (saa straddles north for odd images so the circular mean is
+    exercised): saa = (base + 0.01*gx - 0.02*gy) mod 360, sza = 20 +
+    10*sin(gx/40) + 0.01*gy.  Reference: the S2 tile-metadata angle grids
+    (optical_product.py:467-501)."""
+    schema = "image_id string, tile_x int, tile_y int, saa array<float>, sza array<float>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                h, w = image_dims(i)
+                iid = f"img{i:012d}"
+                base = 355.0 if i % 2 else 140.0  # odd images straddle north
+                for ty in range(h // TILE):
+                    for tx in range(w // TILE):
+                        yy, xx = np.mgrid[0:TILE, 0:TILE]
+                        gx = tx * TILE + xx
+                        gy = ty * TILE + yy
+                        saa = (base + 0.01 * gx - 0.02 * gy) % 360.0
+                        sza = 20.0 + 10.0 * np.sin(gx / 40.0) + 0.01 * gy
+                        rows.append(
+                            (iid, tx, ty, saa.ravel().astype(np.float32),
+                             sza.ravel().astype(np.float32))
+                        )
+            yield pd.DataFrame(rows, columns=["image_id", "tile_x", "tile_y", "saa", "sza"])
+
+    return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
+
+
 def gen_band_map(spark: SparkSession, full: bool = False) -> DataFrame:
     """T7 `band_map` — broadcast dictionary (reference:
     /root/reference/eoreader/products/optical/s2_product.py:279-348).
@@ -373,6 +405,42 @@ def gen_qa_masks(spark: SparkSession, n: int) -> DataFrame:
                         )
                         rows.append((iid, tx, ty, qa.ravel()))
             yield pd.DataFrame(rows, columns=["image_id", "tile_x", "tile_y", "qa"])
+
+    return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
+
+
+def gen_band_qa_masks(
+    spark: SparkSession, n: int, band_planes: dict[str, int] | None = None
+) -> DataFrame:
+    """T8b `band_qa_masks` — PER-BAND QA bitfields keyed (image_id, band,
+    tile_x, tile_y): the reference's per-band mask association (DETFOO_B03
+    composite keys, /root/reference/eoreader/products/optical/
+    s2_product.py:802-925).  Bits derive from that band's OWN pixel plane so
+    bands genuinely differ and tests have a closed form."""
+    band_planes = band_planes or {"RED": 0, "GREEN": 1, "NIR": 2}
+    schema = "image_id string, band string, tile_x int, tile_y int, qa array<int>"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                h, w = image_dims(i)
+                iid = f"img{i:012d}"
+                for band, plane in band_planes.items():
+                    full = codecs.pixel_plane(i, plane, h, w).astype(np.int32)
+                    for ty in range(h // TILE):
+                        for tx in range(w // TILE):
+                            p = full[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE]
+                            qa = (
+                                ((p % 97 == 0).astype(np.int32))
+                                | ((p % 89 == 0).astype(np.int32) << 1)
+                                | ((p > 250).astype(np.int32) << 2)
+                                | ((p > 200).astype(np.int32) << 5)
+                                | ((p < 10).astype(np.int32) << 6)
+                            )
+                            rows.append((iid, band, tx, ty, qa.ravel()))
+            yield pd.DataFrame(rows, columns=["image_id", "band", "tile_x", "tile_y", "qa"])
 
     return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
 

@@ -130,10 +130,13 @@ def convert_to_uint16(tiles_px: DataFrame, px_col: str = "px") -> DataFrame:
     if q is not None and q < -0.1:
         # reference keeps float32 when quantile check fails (utils.py:482-492)
         return tiles_px.withColumn("dtype", F.lit("float32"))
+    # clip small negatives (]-0.1, 0], allowed through the quantile guard) to
+    # 0 before scaling — matching the reference's clip-to-0 (utils.py:492-497);
+    # without it a -0.05 reflectance would become -500 in a uint16 column
     scaled = F.transform(
         px_col,
         lambda x: F.when(x.isNull() | F.isnan(x), F.lit(UINT16_NODATA))
-        .otherwise(F.least(F.round(x * UINT16_SCALE), F.lit(65534.0)))
+        .otherwise(F.least(F.round(F.greatest(x, F.lit(0.0)) * UINT16_SCALE), F.lit(65534.0)))
         .cast("int"),
     )
     return tiles_px.withColumn(px_col, scaled).withColumn("dtype", F.lit("uint16"))

@@ -36,14 +36,23 @@ class LineageStore:
         self.root = root.rstrip("/")
         self.lineage_dir = f"{self.root}/_lineage"
 
+    def _dir_exists(self) -> bool:
+        """Storage-agnostic existence probe via the Hadoop FileSystem API —
+        os.path.exists only works for local roots, but the store advertises
+        HDFS/S3 roots (a fresh s3://bucket/_lineage must mean 'empty store',
+        not a failed parquet read)."""
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        conf = jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.lineage_dir)
+        return path.getFileSystem(conf).exists(path)
+
     def lineage(self) -> DataFrame:
         """Raw lineage rows.  A key may appear more than once (upsert_stage
         re-commits); readers that need one row per key use latest-wins.
         Only the missing-directory case maps to 'no lineage yet' — any other
         read failure must fail loudly, not silently trigger recomputation."""
-        import os
-
-        if not os.path.exists(self.lineage_dir):
+        if not self._dir_exists():
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.parquet(self.lineage_dir)
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -103,30 +105,42 @@ def ngram_jaccard(
     )
 
 
+_EMPTY_TOKEN_HASH = np.uint64(1469598103934665603)  # FNV offset basis sentinel
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """64-bit hash per token, one C call each (blake2b digest) — no
+    per-character interpreted loop (round-1 ADVICE: the FNV byte loop made
+    signatures the dominant cost at scale)."""
+    if not toks:
+        return np.array([_EMPTY_TOKEN_HASH], dtype=np.uint64)
+    return np.frombuffer(
+        b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks),
+        dtype=np.uint64,
+    )
+
+
 def _minhash_batch(n_hashes: int, shingle: int):
-    """Vectorized minhash: shingle token-hash -> universal hash family
-    h_i(x) = (a_i*x + b_i) mod p, min over shingles.  Parameters derive from
-    a fixed seed so signatures are identical everywhere.
+    """Vectorized minhash: token hashes -> polynomial rolling shingle hash
+    (numpy sliding windows, wraparound uint64 arithmetic) -> universal hash
+    family h_i(x) = (a_i*x + b_i) mod p, min over shingles.  Parameters
+    derive from a fixed seed so signatures are identical everywhere.
 
     Overflow-safe by construction: a, b, x < p = 2^31-1, so a*x + b < 2^62
-    stays inside uint64 and the mod-p arithmetic is exact."""
+    stays inside uint64 and the mod-p arithmetic is exact (the shingle
+    polynomial deliberately wraps mod 2^64 — a hash, not arithmetic)."""
     rng = np.random.default_rng(1234567)
     A = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
     B = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    P = np.uint64(1099511628211)
 
     def sig_of(text: str) -> np.ndarray:
         toks = text.split()
-        if len(toks) < shingle:
-            shingles = [" ".join(toks)] if toks else [""]
-        else:
-            shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-        # FNV-1a 64-bit over shingle bytes, vectorized-ish per shingle
-        hs = np.empty(len(shingles), dtype=np.uint64)
-        for j, s in enumerate(shingles):
-            h = np.uint64(1469598103934665603)
-            for ch in s.encode():
-                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-            hs[j] = h
+        tok_h = _token_hashes(toks)
+        win = min(shingle, len(tok_h))
+        weights = P ** np.arange(win, dtype=np.uint64)[::-1]  # wraps mod 2^64
+        sw = np.lib.stride_tricks.sliding_window_view(tok_h, win)
+        hs = (sw * weights[None, :]).sum(axis=1, dtype=np.uint64)
         x = hs % np.uint64(MERSENNE)
         vals = (A[:, None] * x[None, :] + B[:, None]) % np.uint64(MERSENNE)
         return vals.min(axis=1).astype(np.int64)
@@ -199,20 +213,18 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit simhash over whitespace tokens (FNV-1a token hashes)."""
+    """64-bit simhash over whitespace tokens (vectorized token hashes; the
+    bit-vote matrix is one numpy reduction, no per-token Python)."""
+    shifts = np.arange(64, dtype=np.uint64)
 
     def sig_of(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = np.uint64(1469598103934665603)
-            for ch in tok.encode():
-                h = np.uint64((int(h) ^ ch) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
+        toks = text.split()
+        if not toks:
+            return 0
+        tok_h = _token_hashes(toks)
+        bits = (tok_h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+        votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tok_h)  # +1/-1 sums
+        v = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         return v - (1 << 64) if v >= (1 << 63) else v
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -226,13 +238,26 @@ def simhash_near_dups(
     df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
-    banding: the 64 bits split into (max_hamming + 1) chunks — a pair within
-    the distance bound must agree exactly on >= 1 chunk (pigeonhole), so the
-    bucket join has full recall for ANY max_hamming; popcount refines."""
+    banding (see banded_hamming_pairs)."""
+    sigs = simhash_signatures(df, text_col, id_col).persist()
+    return banded_hamming_pairs(sigs, max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame, max_hamming: int = 3, id_col: str = "id", sig_col: str = "simhash"
+) -> DataFrame:
+    """Pairs with hamming(sig) <= max_hamming over ANY 64-bit signature
+    column via pigeonhole banding: the 64 bits split into (max_hamming + 1)
+    chunks — a pair within the distance bound must agree exactly on >= 1
+    chunk (pigeonhole), so the bucket join has full recall for ANY
+    max_hamming; popcount refines.  Never O(n^2): the only join is on
+    (chunk, chunk_value) buckets."""
+    if id_col != "id" or sig_col != "simhash":
+        sigs = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("simhash"))
+    max_hamming = int(max_hamming)
     n_chunks = min(max_hamming + 1, 64)
     # chunk bit boundaries: as even as 64 allows
     bounds = [round(64 * i / n_chunks) for i in range(n_chunks + 1)]
-    sigs = simhash_signatures(df, text_col, id_col).persist()
     chunk_structs = []
     for c in range(n_chunks):
         lo, hi = bounds[c], bounds[c + 1]

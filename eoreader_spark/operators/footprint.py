@@ -80,3 +80,29 @@ def footprint(tiles: DataFrame) -> DataFrame:
         .groupBy("image_id")
         .applyInPandas(per_image, schema="image_id string, geom_wkt string")
     )
+
+
+def dissolve_hull(
+    points: DataFrame, group_col: str = "group_id", x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """A8 dissolve over arbitrary point groups: per-group strictly-convex
+    hull, emitted as vertex ROWS (group, vx, vy) — the s2_product dissolve +
+    convex_hull path generalized off the image key.  Coordinates pass
+    through numpy unmodified (bit-preserving), so results are comparable
+    against an exact SQL hull-membership oracle.  Hierarchically composable:
+    hull(hulls) == hull, so at 10^12 points pre-reduce per partition first
+    (same kernel)."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = convex_hull(
+            np.column_stack([pdf[x_col].to_numpy(), pdf[y_col].to_numpy()])
+        )
+        return pd.DataFrame(
+            {group_col: pdf[group_col].iloc[0], "vx": hull[:, 0], "vy": hull[:, 1]}
+        )
+
+    return (
+        points.select(group_col, x_col, y_col)
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=f"{group_col} string, vx double, vy double")
+    )

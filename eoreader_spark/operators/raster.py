@@ -129,6 +129,44 @@ def quicklook(images: DataFrame, factor: int = 4, fmt: str = "png") -> DataFrame
     return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
 
 
+def mean_sun_angles(angle_tiles: DataFrame, az_col: str = "saa", zen_col: str = "sza") -> DataFrame:
+    """A5 angle-grid aggregate: per-image mean sun azimuth/zenith from the
+    full angle GRIDS (the reference averages the S2 angle grid rasters,
+    /root/reference/eoreader/products/optical/optical_product.py:467-501 —
+    round 1 only took scalar constructor params).
+
+    Zenith: plain arithmetic mean over all grid pixels.  Azimuth: CIRCULAR
+    mean (atan2 of summed unit vectors) so grids straddling north (359/1 deg)
+    average to ~0, not ~180.  All JVM higher-order aggregates + one final
+    groupBy — map-side combined, 4 doubles per tile across the exchange."""
+    rad = lambda c: F.radians(c)  # noqa: E731
+    sum_sin = F.aggregate(
+        az_col, F.lit(0.0), lambda a, x: a + F.sin(rad(x))
+    )
+    sum_cos = F.aggregate(
+        az_col, F.lit(0.0), lambda a, x: a + F.cos(rad(x))
+    )
+    sum_zen = F.aggregate(zen_col, F.lit(0.0), lambda a, x: a + x)
+    n = F.size(az_col).cast("long")
+    per_tile = angle_tiles.select(
+        "image_id",
+        sum_sin.alias("ss"),
+        sum_cos.alias("sc"),
+        sum_zen.alias("sz"),
+        n.alias("n"),
+    )
+    mean_az = F.degrees(F.atan2(F.sum("ss"), F.sum("sc")))
+    return (
+        per_tile.groupBy("image_id")
+        .agg(
+            # wrap into [0, 360)
+            ((mean_az + 360.0) % 360.0).alias("mean_azimuth"),
+            (F.sum("sz") / F.sum("n")).alias("mean_zenith"),
+            F.sum("n").alias("n_px"),
+        )
+    )
+
+
 def tile_stats(tiles: DataFrame, px_col: str = "px") -> DataFrame:
     """Per-image stats over tile arrays — JVM-side aggregate over array
     columns via higher-order functions (no Python in the loop)."""

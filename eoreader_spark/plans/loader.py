@@ -236,6 +236,21 @@ class ImageEngine:
     def has_bands(self, bands: list[str]) -> bool:
         return all(self.has_band(b) for b in bands)
 
+    def _qa_product_level(self) -> DataFrame:
+        """Product-level qa rows.  For a per-band table (J7), the per-pixel
+        bit-UNION across bands — 'invalid in any band' (the reference unions
+        nodata across bands before building product masks)."""
+        if "band" not in self.qa_masks.columns:
+            return self.qa_masks
+        qs = self.qa_masks.groupBy("image_id", "tile_x", "tile_y").agg(
+            F.collect_list("qa").alias("qs")
+        )
+        union = F.expr(
+            "aggregate(slice(qs, 2, size(qs) - 1), qs[0],"
+            " (acc, x) -> zip_with(acc, x, (a, b) -> a | b))"
+        )
+        return qs.select("image_id", "tile_x", "tile_y", union.alias("qa"))
+
     # ----------------------------------------------------------------- load
     def load(
         self,
@@ -260,7 +275,9 @@ class ImageEngine:
         if plan.needed_planes:
             wide = raster.multi_plane_tiles(self.images, plan.needed_planes, tile=self.tile)
         else:
-            base = self.qa_masks if self.qa_masks is not None else self.dem
+            base = (
+                self._qa_product_level() if self.qa_masks is not None else self.dem
+            )
             wide = base.select("image_id", "tile_x", "tile_y").distinct()
         if window is not None:
             tx0, ty0, tx1, ty1 = window
@@ -273,22 +290,41 @@ class ImageEngine:
         for p in plan.needed_planes:
             wide = wide.withColumnRenamed(f"px_{p}", f"px_{name_of[p]}")
 
-        # 2. cleaning (P4/P5) on every decoded plane
+        # 2. cleaning (P4/P5) on every decoded plane.  A qa_masks table WITH
+        # a `band` column is the per-band mask association (J7): each plane
+        # joins ITS OWN mask on the (image, band, tile) composite key — the
+        # reference's (DETFOO_B03, band) expansion (s2_product.py:802-925).
+        # Without a band column one product-level mask applies to all planes.
+        per_band_qa = self.qa_masks is not None and "band" in self.qa_masks.columns
         if clean != "raw" and plan.needed_planes:
             if self.qa_masks is None:
                 raise BandError("clean method needs qa_masks (use clean='raw')")
-            wide = wide.join(self.qa_masks, ["image_id", "tile_x", "tile_y"], "left")
             bits = [0] if clean == "nodata" else [0, 1, 2]
             mask = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
-            for p in plan.needed_planes:
-                col = f"px_{name_of[p]}"
-                wide = wide.withColumn(
-                    col,
-                    F.when(F.col("qa").isNull(), F.col(col)).otherwise(
-                        radiometry.apply_mask(col, mask)
-                    ),
-                )
-            wide = wide.drop("qa")
+            if per_band_qa:
+                for p in plan.needed_planes:
+                    col = f"px_{name_of[p]}"
+                    qa_b = self.qa_masks.filter(F.col("band") == name_of[p]).select(
+                        "image_id", "tile_x", "tile_y", "qa"
+                    )
+                    wide = wide.join(qa_b, ["image_id", "tile_x", "tile_y"], "left")
+                    wide = wide.withColumn(
+                        col,
+                        F.when(F.col("qa").isNull(), F.col(col)).otherwise(
+                            radiometry.apply_mask(col, mask)
+                        ),
+                    ).drop("qa")
+            else:
+                wide = wide.join(self.qa_masks, ["image_id", "tile_x", "tile_y"], "left")
+                for p in plan.needed_planes:
+                    col = f"px_{name_of[p]}"
+                    wide = wide.withColumn(
+                        col,
+                        F.when(F.col("qa").isNull(), F.col(col)).otherwise(
+                            radiometry.apply_mask(col, mask)
+                        ),
+                    )
+                wide = wide.drop("qa")
 
         # 3. DN -> reflectance (F2) + user gain/bias (X4) + clip (P6)
         if reflectance:
@@ -375,7 +411,10 @@ class ImageEngine:
             wide = wide.join(d, ["image_id", "tile_x", "tile_y"])
 
         # 6. masks as uint8-ish int arrays (optical_product.py:440-441);
-        # SCL is the derived scene-classification analog (public class codes)
+        # SCL is the derived scene-classification analog (public class
+        # codes).  Product-level masks over a per-band qa table use the
+        # cross-band bit union ('masked in any band').
+        qa_product = self._qa_product_level() if plan.masks else None
         for m in plan.masks:
             if m == "SCL":
                 mask_col = F.transform(
@@ -389,7 +428,7 @@ class ImageEngine:
             else:
                 bits = _MASK_BITS[m]
                 mask_col = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
-            qa = self.qa_masks.select(
+            qa = qa_product.select(
                 "image_id", "tile_x", "tile_y", mask_col.alias(f"px_{m}")
             )
             wide = wide.join(qa, ["image_id", "tile_x", "tile_y"])
@@ -434,8 +473,15 @@ class ImageEngine:
                     col,
                     F.transform(
                         col,
+                        # clip guard-passing small negatives to 0 before
+                        # scaling (reference utils.py:492-497)
                         lambda x: F.when(x.isNull() | F.isnan(x), F.lit(radiometry.UINT16_NODATA))
-                        .otherwise(F.least(F.round(x * radiometry.UINT16_SCALE), F.lit(65534.0)))
+                        .otherwise(
+                            F.least(
+                                F.round(F.greatest(x, F.lit(0.0)) * radiometry.UINT16_SCALE),
+                                F.lit(65534.0),
+                            )
+                        )
                         .cast("int"),
                     ),
                 )

@@ -145,3 +145,61 @@ def test_registry_index_fallback_and_errors(spark, engine):
         del idx.INDEX_REGISTRY["DEMIDX"]
     with pytest.raises(loader.BandError):
         loader.to_band("NDVI_DSPK")  # despeckle needs a spectral base
+
+
+def test_mean_sun_angles_grid_aggregate(spark):
+    """A5: per-image mean over the full angle GRIDS; azimuth uses the
+    circular mean so north-straddling grids (odd images, base 355) don't
+    average to ~180 (reference optical_product.py:467-501)."""
+    from eoreader_spark.operators import raster
+
+    grids = datagen.gen_angle_grids(spark, 4)
+    got = {r.image_id: r for r in raster.mean_sun_angles(grids).collect()}
+    for i in range(4):
+        h, w = datagen.image_dims(i)
+        gy, gx = np.mgrid[0 : (h // datagen.TILE) * datagen.TILE,
+                          0 : (w // datagen.TILE) * datagen.TILE]
+        base = 355.0 if i % 2 else 140.0
+        saa = (base + 0.01 * gx - 0.02 * gy) % 360.0
+        sza = (20.0 + 10.0 * np.sin(gx / 40.0) + 0.01 * gy).astype(np.float32)
+        s = np.sin(np.radians(saa.astype(np.float32).astype(np.float64)))
+        c = np.cos(np.radians(saa.astype(np.float32).astype(np.float64)))
+        want_az = (np.degrees(np.arctan2(s.sum(), c.sum())) + 360.0) % 360.0
+        r = got[f"img{i:012d}"]
+        assert abs(r.mean_azimuth - want_az) < 1e-4, i
+        assert abs(r.mean_zenith - float(sza.astype(np.float64).mean())) < 1e-4, i
+        if i % 2:  # north-straddling: circular mean near 0/360, NOT ~180
+            assert r.mean_azimuth > 300 or r.mean_azimuth < 60
+
+
+def test_per_band_mask_association(spark):
+    """J7: a qa table with a `band` column joins each plane its OWN mask
+    (composite key), so RED and NIR get different invalid sets; product-level
+    masks become the cross-band union."""
+    images = datagen.gen_images(spark, 4)
+    band_qa = datagen.gen_band_qa_masks(spark, 4)
+    eng = loader.ImageEngine(images, qa_masks=band_qa)
+    wide = eng.load(["RED", "NIR", "ALL_MASK"], clean="clean", reflectance=False)
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    for band, plane in (("RED", 0), ("NIR", 2)):
+        p = codecs.pixel_plane(0, plane, t, t).astype(np.int32)
+        invalid = (p % 97 == 0) | (p % 89 == 0) | (p > 250)
+        got = np.asarray(getattr(r, f"px_{band}"), dtype=np.float64).reshape(t, t)
+        assert np.isnan(got[invalid]).all(), band
+        assert np.array_equal(got[~invalid], p[~invalid].astype(np.float64)), band
+    # the two bands' invalid sets genuinely differ (different planes)
+    p_red = codecs.pixel_plane(0, 0, t, t).astype(np.int32)
+    p_nir = codecs.pixel_plane(0, 2, t, t).astype(np.int32)
+    inv_red = (p_red % 97 == 0) | (p_red % 89 == 0) | (p_red > 250)
+    inv_nir = (p_nir % 97 == 0) | (p_nir % 89 == 0) | (p_nir > 250)
+    assert (inv_red != inv_nir).any()
+    # ALL_MASK = union across bands of all 5 bits
+    def qa_of(p):
+        return ((p % 97 == 0).astype(int) | ((p % 89 == 0).astype(int) << 1)
+                | ((p > 250).astype(int) << 2) | ((p > 200).astype(int) << 5)
+                | ((p < 10).astype(int) << 6))
+    qa_u = qa_of(p_red) | qa_of(codecs.pixel_plane(0, 1, t, t).astype(np.int32)) | qa_of(p_nir)
+    want_all = ((qa_u & 0b1100111) != 0).astype(int)
+    got_all = np.asarray(r.px_ALL_MASK).reshape(t, t)
+    assert np.array_equal(got_all, want_all)
