@@ -757,6 +757,111 @@ def q_banded_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_xml_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 XML metadata read on the hard gate, VALUE-EXACT: DIMAP-style XML
+    docs are built JVM-side from event fields, parsed by the REAL
+    ElementTree flattener (sources/metadata.read_mtd_column: path/value
+    rows incl. attributes), and aggregated per path; the oracle aggregates
+    the same field derivations directly, so any parse corruption breaks the
+    hash."""
+    from eoreader_spark.sources import metadata
+
+    xml = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .selectExpr(
+            "concat('img', cast(event_id as string)) as image_id",
+            "concat('<Dimap_Document><Scene cloud=\"', cast(user_id % 101 as string),"
+            " '\"><Type>', event_type, '</Type><Value>',"
+            " cast(cast(floor(value * 100) as bigint) as string),"
+            " '</Value></Scene></Dimap_Document>') as mtd_xml",
+        )
+    )
+    pairs = metadata.read_mtd_column(xml)
+    return (
+        pairs.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("sum(coalesce(try_cast(value as bigint), 0))").alias("val_sum"),
+        )
+        .orderBy("path")
+    )
+
+
+def _ivf_centroids():
+    import numpy as np
+
+    j = np.arange(8)[:, None]
+    d = np.arange(64)[None, :]
+    # exact-decimal codebook: multiples of 1/8 are exact doubles, so the SQL
+    # literal form parses to the identical bits the Spark side computes with
+    return (((j * 37 + d * 13) % 17) - 8) / 8.0
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on the hard gate, VALUE-EXACT: index the embeddings against a
+    fixed exact-decimal codebook (ivf_build(centroids=)), probe the 2 nearest
+    lists per query, exact cosine top-3 inside probed lists (ivf_topk).  The
+    oracle replicates assignment/probing from rounded dot products and ranks
+    candidates by the bit-identical sequential cosine."""
+    from eoreader_spark.operators import similarity
+
+    C = _ivf_centroids()
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    _, indexed = similarity.ivf_build(emb, centroids=C)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = similarity.ivf_topk(q, indexed, C, k=3, n_probe=2)
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_oracle() -> str:
+    C = _ivf_centroids()
+    rows = ",\n                ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in C[i])}]::DOUBLE[])"
+        for i in range(C.shape[0])
+    )
+    return f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            nrm AS (SELECT vec_id,
+                           list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+                    FROM emb),
+            cents(cid, c) AS (VALUES
+                {rows}),
+            sims AS (SELECT vec_id, cid, round(list_dot_product(nv, c), 6) AS s
+                     FROM nrm, cents),
+            assign AS (SELECT vec_id, cid AS list_id FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn FROM sims)
+                WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cid AS list_id FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+                FROM sims WHERE vec_id < 10)
+                WHERE rn <= 2),
+            cand AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       list_dot_product(q.v, e.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(e.v, e.v))) AS cosraw
+                FROM probes p
+                JOIN assign a ON a.list_id = p.list_id
+                JOIN emb q ON q.vec_id = p.query_id
+                JOIN emb e ON e.vec_id = a.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cosraw, 6) AS cosine, rank FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosraw DESC, neighbor_id ASC) AS rank
+                FROM cand)
+            WHERE rank <= 3 ORDER BY query_id, rank
+        """
+
+
 _STAC_SCENE_EXPRS = [
     "concat('img', lpad(cast(event_id as string), 12, '0')) as image_id",
     "CASE WHEN user_id % 4 = 0 THEN 'S2' WHEN user_id % 4 = 1 THEN 'L8'"
@@ -853,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_catalog": q_stac_catalog,
         "hull_dissolve": q_hull_dissolve,
         "banded_near_dup": q_banded_near_dup,
+        "ivf_topk": q_ivf_topk,
+        "xml_mtd": q_xml_mtd,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -1312,5 +1419,23 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 2
             ORDER BY id_a, id_b
+        """,
+        "ivf_topk": _ivf_oracle(),
+        "xml_mtd": """
+            WITH ev AS (
+                SELECT user_id, event_type, value FROM events WHERE event_id < 300
+            ),
+            pairs AS (
+                SELECT '/Dimap_Document/Scene@cloud' AS path,
+                       cast(user_id % 101 AS varchar) AS value FROM ev
+                UNION ALL
+                SELECT '/Dimap_Document/Scene/Type', event_type FROM ev
+                UNION ALL
+                SELECT '/Dimap_Document/Scene/Value',
+                       cast(cast(floor(value * 100) AS BIGINT) AS varchar) FROM ev
+            )
+            SELECT path, count(*) AS n,
+                   cast(sum(coalesce(try_cast(value AS BIGINT), 0)) AS BIGINT) AS val_sum
+            FROM pairs GROUP BY path ORDER BY path
         """,
     }

@@ -48,37 +48,51 @@ def cosine_topk(
     )
 
 
-def ivf_build(corpus: DataFrame, n_centroids: int = 16, c_vec: str = "embedding",
-              c_id: str = "vec_id", iters: int = 5) -> tuple[np.ndarray, DataFrame]:
-    """Driver-side Lloyd iterations on a deterministic sample (ids hashed),
-    then distributed assignment.  Returns (centroids, corpus+list_id).
-    At 10^12 scale the sample stays driver-sized; assignment is one pass."""
-    sample = (
-        corpus.select(c_id, c_vec)
-        .withColumn("h", F.pmod(F.xxhash64(F.col(c_id).cast("string")), F.lit(997)))
-        .orderBy("h", c_id)
-        .limit(max(n_centroids * 40, 512))
-        .toPandas()
-    )
-    X = np.stack([np.asarray(v, dtype=np.float32) for v in sample[c_vec]])
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    cent = X[:n_centroids].copy()
-    for _ in range(iters):
-        assign_idx = np.argmax(X @ cent.T, axis=1)
-        for j in range(n_centroids):
-            m = X[assign_idx == j]
-            if len(m):
-                v = m.mean(axis=0)
-                cent[j] = v / max(np.linalg.norm(v), 1e-12)
-    centroids = cent.astype(np.float32)
+def ivf_assign(corpus: DataFrame, centroids: np.ndarray, c_vec: str = "embedding") -> DataFrame:
+    """Distributed nearest-centroid assignment (one pass).  float64 math with
+    sims rounded to 6 decimals before the argmax (first-max tie-break) — the
+    same decision an external SQL oracle makes from rounded dot products, so
+    assignments are deterministic across engines and replicas."""
+    cents = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
-        M = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(M @ centroids.T, axis=1).astype(np.int32))
+        sims = np.round(M @ cents.T, 6)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
 
-    return centroids, corpus.withColumn("list_id", assign(F.col(c_vec)))
+    return corpus.withColumn("list_id", assign(F.col(c_vec)))
+
+
+def ivf_build(corpus: DataFrame, n_centroids: int = 16, c_vec: str = "embedding",
+              c_id: str = "vec_id", iters: int = 5,
+              centroids: np.ndarray | None = None) -> tuple[np.ndarray, DataFrame]:
+    """Driver-side Lloyd iterations on a deterministic sample (ids hashed),
+    then distributed assignment.  Returns (centroids, corpus+list_id).
+    At 10^12 scale the sample stays driver-sized; assignment is one pass.
+    Pass ``centroids`` to skip training and index against a fixed codebook."""
+    if centroids is None:
+        sample = (
+            corpus.select(c_id, c_vec)
+            .withColumn("h", F.pmod(F.xxhash64(F.col(c_id).cast("string")), F.lit(997)))
+            .orderBy("h", c_id)
+            .limit(max(n_centroids * 40, 512))
+            .toPandas()
+        )
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[c_vec]])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cent = X[:n_centroids].copy()
+        for _ in range(iters):
+            assign_idx = np.argmax(np.round(X @ cent.T, 6), axis=1)
+            for j in range(n_centroids):
+                m = X[assign_idx == j]
+                if len(m):
+                    v = m.mean(axis=0)
+                    cent[j] = v / max(np.linalg.norm(v), 1e-12)
+        centroids = cent
+    centroids = np.asarray(centroids, dtype=np.float64)
+    return centroids, ivf_assign(corpus, centroids, c_vec)
 
 
 def ivf_topk(
@@ -97,12 +111,16 @@ def ivf_topk(
     with n_probe); tests measure recall vs cosine_topk."""
     cents = centroids
 
+    cents = np.asarray(cents, dtype=np.float64)
+
     @F.pandas_udf("array<int>")
     def probes(vs: pd.Series) -> pd.Series:
-        M = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ cents.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        # rounded sims + stable sort: first-index tie-break, matching an
+        # ORDER BY round(sim,6) DESC, centroid_id ASC in an external oracle
+        sims = np.round(M @ cents.T, 6)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(order))
 
     q = queries.select(q_id, q_vec).withColumn("list_id", F.explode(probes(F.col(q_vec))))

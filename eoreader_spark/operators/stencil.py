@@ -43,50 +43,97 @@ _DIRS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
 
 _KEY = ["image_id", "tile_x", "tile_y"]
 
+# direction -> (halo column, pad placement).  The neighbour at (tx+dx, ty+dy)
+# receives the sender's edge FACING it, which lands on the OPPOSITE border of
+# the receiver's padded array: dx=+1 (sender's rightmost column) -> pad x=0.
+_DIR_COLS = {
+    (1, 1): "h_nw", (0, 1): "h_top", (-1, 1): "h_ne",
+    (1, 0): "h_left", (-1, 0): "h_right",
+    (1, -1): "h_sw", (0, -1): "h_bot", (-1, -1): "h_se",
+}
+
+
+def _strip_exprs(tile: int) -> dict[tuple[int, int], str]:
+    """JVM strip-extraction expressions over a row-major (T,T) px array —
+    slices for rows, strided element_at for columns; pure codegen, NO
+    Python/Arrow in the extraction pass."""
+    t = tile
+    return {
+        (0, 1): f"slice(px, {t * (t - 1) + 1}, {t})",   # sender's bottom row
+        (0, -1): f"slice(px, 1, {t})",                   # sender's top row
+        (1, 0): f"transform(sequence(0, {t - 1}), i -> element_at(px, i * {t} + {t}))",
+        (-1, 0): f"transform(sequence(0, {t - 1}), i -> element_at(px, i * {t} + 1))",
+        (1, 1): f"array(element_at(px, {t * t}))",       # sender's SE corner
+        (1, -1): f"array(element_at(px, {t}))",          # sender's NE corner
+        (-1, 1): f"array(element_at(px, {t * (t - 1) + 1}))",  # sender's SW
+        (-1, -1): "array(element_at(px, 1))",            # sender's NW corner
+    }
+
 
 def _strip_rows(tiles: DataFrame, tile: int) -> DataFrame:
     """Emit ONLY the 8 neighbour-addressed edge strips of each tile (the
-    center tile does NOT re-enter the shuffle — that was round-1's
-    full-payload exchange)."""
-    schema = "image_id string, tile_x int, tile_y int, dx int, dy int, px array<float>"
+    center tile does NOT re-enter the shuffle), entirely JVM-side."""
+    import pyspark.sql.functions as F
 
-    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for iid, tx, ty, px in zip(
-                pdf["image_id"], pdf["tile_x"], pdf["tile_y"], pdf["px"]
-            ):
-                a = np.asarray(px, dtype=np.float32).reshape(tile, tile)
-                tx, ty = int(tx), int(ty)
-                for dx, dy in _DIRS:
-                    # the neighbour at (tx+dx, ty+dy) needs our edge FACING it:
-                    # right neighbour (dx=+1) gets our rightmost column, etc.
-                    xs = slice(tile - 1, tile) if dx == 1 else slice(0, 1) if dx == -1 else slice(None)
-                    ys = slice(tile - 1, tile) if dy == 1 else slice(0, 1) if dy == -1 else slice(None)
-                    strip = a[ys, xs]
-                    rows.append((iid, tx + dx, ty + dy, dx, dy, strip.ravel()))
-            yield pd.DataFrame(rows, columns=["image_id", "tile_x", "tile_y", "dx", "dy", "px"])
-
-    return tiles.mapInPandas(batch, schema=schema)
+    exprs = _strip_exprs(tile)
+    structs = ", ".join(
+        f"named_struct('tile_x', tile_x + {dx}, 'tile_y', tile_y + {dy},"
+        f" 'dir', '{_DIR_COLS[(dx, dy)]}', 'strip', {exprs[(dx, dy)]})"
+        for dx, dy in _DIRS
+    )
+    return tiles.select(
+        "image_id", F.expr(f"inline(array({structs}))")
+    ).select("image_id", "tile_x", "tile_y", "dir", "strip")
 
 
-def _pad_from_row(px, halos, tile: int) -> np.ndarray:
-    """Center array + halo struct list -> (T+2, T+2) padded array (NaN outside)."""
-    pad = np.full((tile + 2, tile + 2), np.nan, dtype=np.float32)
-    pad[1 : tile + 1, 1 : tile + 1] = np.asarray(px, dtype=np.float32).reshape(tile, tile)
-    if halos is None or isinstance(halos, float):  # left-join miss -> None/NaN
-        halos = []
-    for h in halos:
-        dx, dy = int(h["dx"]), int(h["dy"])
-        a = np.asarray(h["px"], dtype=np.float32)
-        # strip sent by the neighbour at (-dx,-dy) relative to this tile:
-        # it lands on the opposite border of the padded array
-        hh = 1 if dy != 0 else tile
-        ww = 1 if dx != 0 else tile
-        ys = slice(0, 1) if dy == 1 else slice(tile + 1, tile + 2) if dy == -1 else slice(1, tile + 1)
-        xs = slice(0, 1) if dx == 1 else slice(tile + 1, tile + 2) if dx == -1 else slice(1, tile + 1)
-        pad[ys, xs] = a.reshape(hh, ww)
-    return pad
+def padded_tiles(
+    tiles: DataFrame, tile: int = TILE, partitioned: bool = False
+) -> DataFrame:
+    """Strips-only halo exchange + JVM assembly -> (key, _pad) rows where
+    _pad is the flat (T+2)^2 padded array (NaN outside the image).
+
+    Edge strips (~6% of a 64^2 tile) are extracted with codegen'd
+    slice/element_at expressions, pivoted to 8 halo columns by a hash
+    aggregate (map-side combined), equi-joined onto the center tiles, and
+    the padded array is CONCATENATED JVM-SIDE (flatten/transform) — no
+    Python and no Arrow anywhere in the halo path.
+
+    Pass ``partitioned=True`` when ``tiles`` is already hash-distributed on
+    (image_id, tile_x, tile_y) — bucketed at rest, or repartitioned once by
+    the caller and shared across several stencils (Spark then reuses that
+    exchange and only the strips move per op).
+    """
+    import pyspark.sql.functions as F
+
+    t = tile
+    centers = tiles if partitioned else tiles.repartition(*_KEY)
+    # strips derive from the RAW input (not the repartitioned centers): the
+    # groupBy below shuffles them to their target tiles anyway.
+    strips = _strip_rows(tiles, tile)
+    # strips-only exchange: pivot to one halo row per target tile.  Strips
+    # addressed outside the image drop out in the inner-ness of the left join.
+    halos = strips.groupBy(*_KEY).agg(
+        *[
+            F.max(F.when(F.col("dir") == c, F.col("strip"))).alias(c)
+            for c in _DIR_COLS.values()
+        ]
+    )
+    joined = centers.join(halos, _KEY, "left")
+
+    nan1 = "cast('NaN' as float)"
+    nan_row = f"array_repeat({nan1}, {t})"
+    pad_expr = (
+        "concat("
+        f" coalesce(h_nw, array({nan1})), coalesce(h_top, {nan_row}),"
+        f" coalesce(h_ne, array({nan1})),"
+        f" flatten(transform(sequence(0, {t - 1}), i -> concat("
+        f"   array(coalesce(element_at(h_left, i + 1), {nan1})),"
+        f"   slice(px, i * {t} + 1, {t}),"
+        f"   array(coalesce(element_at(h_right, i + 1), {nan1}))))),"
+        f" coalesce(h_sw, array({nan1})), coalesce(h_bot, {nan_row}),"
+        f" coalesce(h_se, array({nan1})))"
+    )
+    return joined.select(*_KEY, F.expr(pad_expr).alias("_pad"))
 
 
 def apply_stencil(
@@ -96,46 +143,61 @@ def apply_stencil(
     out_col: str = "px",
     partitioned: bool = False,
 ) -> DataFrame:
-    """Generic 3x3-halo stencil: kernel((T+2,T+2) padded) -> (T,T) output.
+    """Generic 3x3-halo stencil with a PYTHON kernel (X3 extension point):
+    kernel((T+2,T+2) padded) -> (T,T).  The halo path is all-JVM
+    (padded_tiles); only the kernel pass crosses Arrow, as one flat float
+    array per tile.  The built-in kernels (slope/hillshade/despeckle) use
+    apply_stencil_expr instead — zero Python, zero Arrow."""
+    import pyspark.sql.functions as F  # noqa: F401
 
-    Strips-only shuffle: the edge strips (~6% of a 64^2 tile) are grouped to
-    one halo row per target tile and equi-joined back onto the center tiles;
-    the kernel runs in a narrow mapInPandas over the joined rows.  Pass
-    ``partitioned=True`` when ``tiles`` is already hash-distributed on
-    (image_id, tile_x, tile_y) — bucketed at rest, or repartitioned once by
-    the caller and shared across several stencils (Spark then reuses that
-    exchange and only the strips move per op).
-    """
-    import pyspark.sql.functions as F
-
-    centers = tiles if partitioned else tiles.repartition(*_KEY)
-    # strips derive from the RAW input (not the repartitioned centers): the
-    # groupBy below shuffles them to their target tiles anyway, so routing
-    # them through the centers' exchange would only add a redundant
-    # full-payload pass.  Map-side partial collect_list combines strips
-    # before the exchange.
-    strips = _strip_rows(tiles, tile)
-    # strips-only exchange: collapse to ONE row per target tile.  Strips
-    # addressed outside the image drop out in the inner-ness of the left join.
-    halos = strips.groupBy(*_KEY).agg(
-        F.collect_list(F.struct("dx", "dy", "px")).alias("_halos")
-    )
-    joined = centers.join(halos, _KEY, "left")
+    t = tile
+    padded = padded_tiles(tiles, tile, partitioned)
     schema = f"image_id string, tile_x int, tile_y int, {out_col} array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            out_px = []
-            for px, halos_row in zip(pdf["px"], pdf["_halos"]):
-                pad = _pad_from_row(px, halos_row, tile)
-                out_px.append(kernel(pad).astype(np.float32).ravel())
+            out_px = [
+                kernel(
+                    np.asarray(pad, dtype=np.float32).reshape(t + 2, t + 2)
+                ).astype(np.float32).ravel()
+                for pad in pdf["_pad"]
+            ]
             out = pdf[["image_id", "tile_x", "tile_y"]].copy()
             out[out_col] = out_px
             yield out
 
-    return joined.select(*_KEY, "px", "_halos").mapInPandas(batch, schema=schema)
+    return padded.mapInPandas(batch, schema=schema)
+
+
+def _nb(dy: int, dx: int, t: int) -> str:
+    """1-based flat index into _pad for the neighbour (dy,dx) of output
+    pixel k (k in 0..T*T-1, row-major)."""
+    return (
+        f"cast(((k div {t}) + 1 + {dy}) * {t + 2} + (k % {t}) + 1 + {dx} + 1 as int)"
+    )
+
+
+def apply_stencil_expr(
+    tiles: DataFrame,
+    px_expr: str,
+    tile: int = TILE,
+    out_col: str = "px",
+    partitioned: bool = False,
+    cast_float: bool = True,
+) -> DataFrame:
+    """All-JVM stencil: ``px_expr`` is a SQL expression over `k` (output
+    pixel index) and `_pad` (the padded array) evaluated inside
+    transform(sequence(...)) — whole-stage codegen end to end, no Arrow.
+    Use _nb(dy,dx,tile) to address neighbours."""
+    import pyspark.sql.functions as F
+
+    t = tile
+    padded = padded_tiles(tiles, tile, partitioned)
+    body = f"cast(({px_expr}) as float)" if cast_float else px_expr
+    out = f"transform(sequence(0, {t * t - 1}), k -> {body})"
+    return padded.select(*_KEY, F.expr(out).alias(out_col))
 
 
 # ------------------------------------------------------------------ kernels
@@ -234,8 +296,46 @@ def gap_fill_x(tiles: DataFrame, limit: int = 10, tile: int = TILE, px_col: str 
     return tiles.mapInPandas(batch, schema=schema)
 
 
+def _grad_struct_expr(t: int) -> str:
+    """Per-pixel gradient struct (gx, gy) as ONE transform pass — binding
+    the gradients in an intermediate struct array so downstream kernels
+    don't re-evaluate the 10-element_at neighbourhood per reference
+    (central differences, NaN borders fall back to the center value — same
+    semantics as the numpy kernels)."""
+    C = f"element_at(_pad, {_nb(0, 0, t)})"
+    R = f"nanvl(element_at(_pad, {_nb(0, 1, t)}), {C})"
+    L = f"nanvl(element_at(_pad, {_nb(0, -1, t)}), {C})"
+    D = f"nanvl(element_at(_pad, {_nb(1, 0, t)}), {C})"
+    U = f"nanvl(element_at(_pad, {_nb(-1, 0, t)}), {C})"
+    return (
+        f"transform(sequence(0, {t * t - 1}), k ->"
+        f" struct(cast((({R}) - ({L})) / 2.0 as double) as gx,"
+        f"        cast((({D}) - ({U})) / 2.0 as double) as gy))"
+    )
+
+
+def slope_expr_kernel(dem_tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> DataFrame:
+    """All-JVM slope variant (no Python anywhere).  MEASURED SLOWER than the
+    numpy kernel on this workload: Spark higher-order-function lambdas are
+    interpreted per element (not whole-stage codegen), ~1us/pixel vs numpy's
+    ~10ns/pixel — see BENCH.md round-2 stencil table.  Kept as the zero-Arrow
+    reference implementation and for environments without Python workers."""
+    import pyspark.sql.functions as F
+
+    grads = _grad_struct_expr(tile)
+    expr = (
+        f"transform({grads}, g ->"
+        " cast(degrees(atan(sqrt(g.gx * g.gx + g.gy * g.gy))) as float))"
+    )
+    padded = padded_tiles(dem_tiles, tile, partitioned)
+    return padded.select(*_KEY, F.expr(expr).alias("px"))
+
+
 def slope(dem_tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> DataFrame:
-    """W2: dem tile rows (px = z) -> slope degrees."""
+    """W2: dem tile rows (px = z) -> slope degrees.  Vectorized numpy kernel
+    over the JVM-assembled flat pad (strips-only shuffle; one flat float
+    array per tile crosses Arrow — with the 512-row Arrow batches set in
+    session.py this is the fastest measured configuration, BENCH.md)."""
     return apply_stencil(dem_tiles, slope_kernel, tile=tile, partitioned=partitioned)
 
 
@@ -246,15 +346,15 @@ def hillshade(
     tile: int = TILE,
     partitioned: bool = False,
 ) -> DataFrame:
-    """W1: dem tile rows -> hillshade [0,1]."""
+    """W1: dem tile rows -> hillshade [0,1] (numpy kernel, JVM halo path)."""
     return apply_stencil(
-        dem_tiles, hillshade_kernel_factory(azimuth_deg, zenith_deg), tile=tile,
-        partitioned=partitioned,
+        dem_tiles, hillshade_kernel_factory(azimuth_deg, zenith_deg),
+        tile=tile, partitioned=partitioned,
     )
 
 
 def despeckle(
     band_tiles: DataFrame, noise_var: float = 25.0, tile: int = TILE, partitioned: bool = False
 ) -> DataFrame:
-    """W3: VV -> VV_DSPK analog."""
+    """W3: VV -> VV_DSPK analog (Lee 3x3 numpy kernel, JVM halo path)."""
     return apply_stencil(band_tiles, lee_kernel_factory(noise_var), tile=tile, partitioned=partitioned)

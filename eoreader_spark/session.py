@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # 512, not 4096: tile rows carry ~17KB arrays, so 4096-row batches
+        # are ~70MB Arrow buffers — allocator contention makes pixel-array
+        # pandas UDFs ANTI-scale with local core count (BENCH.md round 2:
+        # slope 63s -> 13s at local[32] just from this knob)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")

@@ -87,7 +87,14 @@ def test_stencil_shuffles_strips_only(spark):
     plan = _plan(stencil.slope(dem), mode="extended")
     assert plan.count("REPARTITION_BY_COL") == 1  # centers: once, reusable
     assert plan.count("ENSURE_REQUIREMENTS") == 1  # strips only
-    assert "partial_collect_list" in plan  # map-side combine before exchange
+    assert "partial_max" in plan  # map-side combine before the strip exchange
+    # the halo path (strip extraction, pivot, pad assembly) is ALL-JVM: the
+    # only MapInPandas stages are the dem GENERATOR (appears twice: centers
+    # and strips subtrees, deduped at runtime by AQE stage reuse) and the
+    # single numpy KERNEL pass over the flat pad
+    physical = plan.split("== Physical Plan ==")[-1]
+    assert physical.count("MapInPandas") <= 3
+    assert "h_left" in plan and "_pad" in plan  # JVM pivot + assembly present
     # pre-partitioned source (bucketed at rest): NO full-payload exchange
     part = dem.repartition("image_id", "tile_x", "tile_y")
     plan2 = _plan(stencil.slope(part, partitioned=True), mode="extended")

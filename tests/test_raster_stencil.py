@@ -215,3 +215,37 @@ def test_centroid(spark):
         lon, lat = datagen.scene_center(np.array([i]))
         got = cent[f"img{i:012d}"]
         assert abs(got[0] - lon[0]) < 1e-9 and abs(got[1] - lat[0]) < 1e-9
+
+
+def test_sar_preprocess_chain_end_to_end(spark):
+    """J9: the full SNAP-analog SAR chain as ONE composed plan —
+    calibration (gain/bias) -> Lee despeckle -> dB conversion — on a
+    S1_GRD-layout product, verified against numpy running the identical
+    steps (reference chain: eoreader/data/grd_s1_preprocess_default.xml via
+    sar_product.py:1251-1308)."""
+    from eoreader_spark import bands, codecs, datagen
+    from eoreader_spark.functions import radiometry
+    from eoreader_spark.operators import stencil
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 2, layout="S1_GRD")
+    eng = loader.ImageEngine(images, band_map="S1_GRD")
+    # calibration: sigma0 = gain*DN + bias on the VV plane (clean='raw':
+    # SAR products carry no optical QA table)
+    wide = eng.load(["VV"], clean="raw", reflectance=False)
+    cal = wide.withColumn("px", radiometry.gain_bias("px_VV", 0.5, 1.0)).select(
+        "image_id", "tile_x", "tile_y", "px"
+    )
+    dspk = stencil.despeckle(cal, noise_var=25.0, tile=datagen.TILE)
+    out = dspk.withColumn("px_db", radiometry.to_db("px"))
+    r = out.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    # numpy oracle: same steps on the closed-form plane
+    vv = codecs.pixel_plane(0, bands.plane_of("S1_GRD")["VV"], t, t).astype(np.float64)
+    sig0 = 0.5 * vv + 1.0
+    pad = np.full((t + 2, t + 2), np.nan, dtype=np.float32)
+    pad[1:-1, 1:-1] = sig0.astype(np.float32)
+    want_dspk = stencil.lee_kernel_factory(25.0)(pad)
+    got = np.asarray(r.px_db).reshape(t, t)
+    want_db = 10.0 * np.log10(want_dspk)
+    assert np.allclose(got, want_db, atol=1e-4)

@@ -11,6 +11,9 @@ Stages:
   index      : data-local Python scan -> decode + 5 spectral-index kernels
                (sources/pyscan.py — image bytes never cross the JVM boundary)
   assign     : tiles x AOI cell join + vectorized ray-cast predicate
+  stencil    : slope over DEM tiles (strips-only halo shuffle) — the round-2
+               stencil redesign; exchange volume = edge strips, centers move
+               once via the repartition
   cpu_kernel : pure-integer kernel (no large buffers) — isolates the ENGINE's
                task-scheduling scaling from single-box DRAM bandwidth
   native_mp  : the index workload re-run with plain multiprocessing.Pool —
@@ -45,6 +48,7 @@ spark = get_spark("setup", cpus=32)
 datagen.gen_images(spark, n, partitions=256).write.mode("overwrite").parquet(out + "/images.parquet")
 datagen.gen_tiles(spark, n).write.mode("overwrite").parquet(out + "/tiles.parquet")
 datagen.gen_aoi(spark, n).write.mode("overwrite").parquet(out + "/aoi.parquet")
+datagen.gen_dem(spark, n // 4).write.mode("overwrite").parquet(out + "/dem.parquet")
 print("SETUP done")
 """
 
@@ -76,6 +80,13 @@ def run_assign():
     n_assign[0] = assign.assign_tiles(tiles, aoi).count()
 t_assign = best(run_assign)
 
+from eoreader_spark.operators import stencil
+dem = spark.read.parquet(base + "/dem.parquet").withColumnRenamed("z", "px")
+n_dem = [0]
+def run_stencil():
+    n_dem[0] = stencil.slope(dem).count()
+t_stencil = best(run_stencil, reps=2)
+
 def cpu_kernel(it):
     import pandas as pd
     for pdf in it:
@@ -91,10 +102,12 @@ cdf.mapInPandas(cpu_kernel, schema="s long").count()  # warm
 t_cpu = best(lambda: cdf.mapInPandas(cpu_kernel, schema="s long").count(), reps=2)
 
 print("RESULT " + json.dumps({
-    "cpus": cpus, "n_assign": n_assign[0],
-    "t_index": t_index, "t_assign": t_assign, "t_cpu_kernel": t_cpu,
+    "cpus": cpus, "n_assign": n_assign[0], "n_dem_tiles": n_dem[0],
+    "t_index": t_index, "t_assign": t_assign, "t_stencil": t_stencil,
+    "t_cpu_kernel": t_cpu,
     "images_per_sec": round(n / t_index, 1),
     "assign_rows_per_sec": round(n_assign[0] / t_assign, 1),
+    "stencil_tiles_per_sec": round(n_dem[0] / t_stencil, 1),
 }))
 """
 
@@ -157,7 +170,7 @@ def main() -> None:
         native = _run(NATIVE, [tmp, str(n)])
         eff = {
             k: round(lo[k] / hi[k] / 4.0, 3)
-            for k in ("t_index", "t_assign", "t_cpu_kernel")
+            for k in ("t_index", "t_assign", "t_stencil", "t_cpu_kernel")
         }
         native_eff = round(native["8"] / native["32"] / 4.0, 3)
         out = {
