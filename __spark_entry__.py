@@ -402,13 +402,58 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_planes():
+    import numpy as np
+
+    j = np.arange(6)[:, None]
+    d = np.arange(64)[None, :]
+    # exact-decimal hyperplanes (multiples of 1/8): the SQL literals parse to
+    # the identical doubles, so the sign tests agree bit-for-bit
+    return (((j * 29 + d * 11) % 15) - 7) / 8.0
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup family: embedding-cosine near-dup pairs via hyperplane LSH
-    (rows-only: bucket recall is probabilistic by design)."""
+    """Dedup family, VALUE-EXACT since round 2: embedding-cosine near-dup
+    pairs via hyperplane-LSH buckets (fixed exact-decimal planes) + exact
+    cosine verify; the oracle reproduces bucket signs and the sequential
+    cosine in SQL."""
     from eoreader_spark.operators import dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dups(emb, threshold=0.2, n_planes=6).orderBy("id_a", "id_b")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return dedup.embedding_near_dups(
+        emb, threshold=0.2, planes=_lsh_planes()
+    ).orderBy("id_a", "id_b")
+
+
+def _embedding_near_dup_oracle() -> str:
+    P = _lsh_planes()
+    rows = ",\n                ".join(
+        f"({i}, [{', '.join(repr(float(v)) for v in P[i])}]::DOUBLE[])"
+        for i in range(P.shape[0])
+    )
+    return f"""
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            planes(pid, p) AS (VALUES
+                {rows}),
+            bits AS (
+                SELECT vec_id,
+                       cast(sum(CASE WHEN list_dot_product(v, p) > 0
+                                     THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
+                FROM emb, planes GROUP BY vec_id
+            ),
+            e AS (SELECT emb.vec_id, v, bucket FROM emb JOIN bits USING (vec_id)),
+            cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))) AS c
+                FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine
+            FROM cand WHERE c >= 0.2 ORDER BY id_a, id_b
+        """
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,6 +833,46 @@ def q_xml_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/W5 warp+resample on the hard gate, VALUE-EXACT: decode plane 0 of
+    8 lossless images into tile rows, warp under an integer pixel-shift
+    affine (dst identity, src ground = pixel - (3,5)) with nearest
+    resampling — out[y,x] = src_tile[y+5, x+3], NaN outside the tile — and
+    reduce to per-image valid-count + integer pixel sum.  The oracle
+    replicates the shifted closed-form pixel function."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import raster, warp
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") != "jpeg")
+    tiles = raster.tiles_from_images(images, plane=0)
+    warped = warp.warp_affine(
+        tiles,
+        src_transform=warp.Affine(1, 0, -3, 0, 1, -5),
+        dst_transform=warp.Affine(1, 0, 0, 0, 1, 0),
+        method="nearest",
+    )
+    valid = F.filter("px", lambda x: ~F.isnan(x))
+    per_tile = warped.select(
+        "image_id",
+        F.size("px").cast("long").alias("n"),
+        F.size(valid).alias("nv"),
+        F.aggregate(
+            F.transform(valid, lambda x: x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("s"),
+    )
+    return (
+        per_tile.groupBy("image_id")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("nv").cast("long").alias("n_valid"),
+            F.sum("s").alias("px_sum"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def _ivf_centroids():
     import numpy as np
 
@@ -960,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "banded_near_dup": q_banded_near_dup,
         "ivf_topk": q_ivf_topk,
         "xml_mtd": q_xml_mtd,
+        "warp_shift": q_warp_shift,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -1421,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ivf_topk": _ivf_oracle(),
+        "embedding_near_dup": _embedding_near_dup_oracle(),
         "xml_mtd": """
             WITH ev AS (
                 SELECT user_id, event_type, value FROM events WHERE event_id < 300
@@ -1437,5 +1524,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, count(*) AS n,
                    cast(sum(coalesce(try_cast(value AS BIGINT), 0)) AS BIGINT) AS val_sum
             FROM pairs GROUP BY path ORDER BY path
+        """,
+        # warp_shift: the 8 lossless (raw8/png) images of the first 12, dims
+        # from datagen.image_dims; sampled value = pixel_fn(seed, plane 0,
+        # y+5, x+3) when the shifted point stays inside the 64x64 tile
+        "warp_shift": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000001', 1, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000007', 7, 256, 128),
+                ('img000000000009', 9, 64, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       CASE WHEN (y % 64) + 5 <= 63 AND (x % 64) + 3 <= 63
+                            THEN (seed*7 + (x+3)*13 + (y+5)*17 + ((x+3)*(y+5)) % 29) % 256
+                       END AS v
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   count(v) AS n_valid,
+                   cast(sum(coalesce(v, 0)) AS BIGINT) AS px_sum
+            FROM px GROUP BY image_id ORDER BY image_id
         """,
     }

@@ -287,16 +287,22 @@ def banded_hamming_pairs(
 def embedding_near_dups(
     emb: DataFrame, threshold: float = 0.95, n_planes: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Cosine >= threshold pairs: random-hyperplane LSH bucket (one 16-bit
     signature) -> exact cosine verify inside buckets.  High thresholds give
-    high bucket recall; for guaranteed recall union several plane sets."""
-    rng = np.random.default_rng(424242)
-    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+    high bucket recall; for guaranteed recall union several plane sets.
+    Pass ``planes`` for a fixed codebook (e.g. exact-decimal planes whose
+    sign tests an external SQL oracle can reproduce bit-for-bit)."""
+    if planes is None:
+        rng = np.random.default_rng(424242)
+        planes = rng.standard_normal((n_planes, dim))
+    planes = np.asarray(planes, dtype=np.float64)
+    n_planes = planes.shape[0]
 
     @F.pandas_udf("int")
     def bucket_of(vs: pd.Series) -> pd.Series:
-        m = np.stack([np.asarray(v, dtype=np.float32) for v in vs])
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
         bits = (m @ planes.T) > 0
         out = np.zeros(len(vs), dtype=np.int32)
         for i in range(n_planes):
