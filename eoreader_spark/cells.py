@@ -80,6 +80,25 @@ def encode_expr(lon, lat, res: int):
     )
 
 
+def k_ring_expr(cell_col: str, res: int, k: int = 1):
+    """JVM-column twin of ``k_ring`` for a KNOWN resolution: all cells
+    within Chebyshev distance k (incl. self) as an array<long>, built from
+    shift/mask/pmod expressions (wrap in x, clamp in y, duplicates from the
+    pole clamp removed with array_distinct) — whole-stage codegen, no
+    Python.  ``cell_col`` is a column NAME (referenced in SQL text)."""
+    from pyspark.sql import functions as F
+
+    nx, ny = _nx(res), _ny(res)
+    return F.expr(
+        f"array_distinct(flatten(transform(sequence({-k}, {k}), dx ->"
+        f" transform(sequence({-k}, {k}), dy ->"
+        f"  (cast({res} as bigint) << {RES_SHIFT})"
+        f"  | (pmod(((({cell_col} >> {X_SHIFT}) & {X_MASK}) + dx), {nx}) << {X_SHIFT})"
+        f"  | least(greatest(({cell_col} & {Y_MASK}) + dy, 0), {ny - 1})"
+        f" ))))"
+    )
+
+
 def decode_res(cell: np.ndarray) -> np.ndarray:
     return (np.asarray(cell, dtype=np.int64) >> RES_SHIFT).astype(np.int64)
 

@@ -88,14 +88,10 @@ def _ring_pass(
 ) -> DataFrame:
     """One k-ring equi-join pass.  q carries a precomputed qcell column.
     -> exact top-k rows for resolved queries."""
-
-    @F.pandas_udf("array<long>")
-    def ring(c: pd.Series) -> pd.Series:
-        arr = cells.k_ring(c.to_numpy(np.int64), k_cells)
-        return pd.Series([np.unique(a) for a in arr])
-
+    # JVM ring expansion (cells.k_ring_expr == cells.k_ring, parity-tested):
+    # with encode_expr this makes the whole ring pass Python-free
     qx = (
-        q.withColumn("cand_cell", F.explode(ring(F.col("qcell"))))
+        q.withColumn("cand_cell", F.explode(cells.k_ring_expr("qcell", res, k_cells)))
         .select(q_id, F.col("lon").alias("qlon"), F.col("lat").alias("qlat"), "cand_cell")
     )
     cand = qx.join(p.withColumnRenamed("pcell", "cand_cell"), "cand_cell").withColumn(

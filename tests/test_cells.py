@@ -77,3 +77,20 @@ def test_encode_expr_matches_numpy(spark):
         )
         got = [r.c for r in df.select(cells.encode_expr("lon", "lat", res).alias("c")).collect()]
         assert got == want.tolist(), res
+
+
+def test_k_ring_expr_matches_numpy(spark):
+    import numpy as np
+
+    from eoreader_spark import cells
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 40)
+    lat = np.concatenate([rng.uniform(-90, 90, 36), [89.9, -89.9, 0.0, 45.0]])
+    for res, k in ((5, 1), (7, 2), (9, 1)):
+        cell = cells.encode(lon, lat, res)
+        want = [sorted(set(r.tolist())) for r in cells.k_ring(cell, k)]
+        df = spark.createDataFrame([(int(c),) for c in cell], "qcell long")
+        got = [sorted(r.ring) for r in
+               df.select(cells.k_ring_expr("qcell", res, k).alias("ring")).collect()]
+        assert got == want, (res, k)
