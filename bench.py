@@ -25,7 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from eoreader_spark import datagen  # noqa: E402
-from eoreader_spark.operators import assign  # noqa: E402
+from eoreader_spark.operators import assign, stencil  # noqa: E402
 from eoreader_spark.session import get_spark  # noqa: E402
 from eoreader_spark.sources import pyscan  # noqa: E402
 
@@ -93,6 +93,18 @@ def main() -> None:
         t_assign = time.perf_counter() - t0
         timings["tile_assign"] = round(t_assign, 3)
         tiles.unpersist()
+
+        # stencil stage (round-2 strips-only halo redesign): slope over DEM
+        # tiles materialized to parquet first (the at-rest shape)
+        n_dem_imgs = max(50, n_images // 8)
+        datagen.gen_dem(spark, n_dem_imgs).write.mode("overwrite").parquet(
+            f"{workdir}/dem.parquet"
+        )
+        dem = spark.read.parquet(f"{workdir}/dem.parquet").withColumnRenamed("z", "px")
+        t0 = time.perf_counter()
+        n_dem = stencil.slope(dem).count()
+        t_stencil = time.perf_counter() - t0
+        timings["dem_slope"] = round(t_stencil, 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -109,6 +121,7 @@ def main() -> None:
         "n_index_rows": stats,
         "images_per_sec": round(n_img / t_index, 1),
         "tiles_per_sec": round(n_tiles / t_assign, 1),
+        "stencil_tiles_per_sec": round(n_dem / t_stencil, 1),
         "cpus": cpus,
     }
     print(json.dumps(out))

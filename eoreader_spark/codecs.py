@@ -174,12 +174,23 @@ _ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg}
 _DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg}
 
 
+def register_codec(fmt: str, encoder, decoder) -> None:
+    """Pluggable-codec seam (VERDICT round 1: keep the decode layer open for
+    real GeoTIFF/JP2 codecs when rasterio/libjpeg exist).  ``encoder(img) ->
+    bytes``; ``decoder(data, h, w) -> (planes, h, w) uint8``.  Registration
+    is module-level, so do it at import time of your plugin module — Spark
+    executors re-import modules, and the decode UDFs capture the codec by
+    fmt NAME, resolving through this table on the worker."""
+    _ENCODERS[fmt] = encoder
+    _DECODERS[fmt] = decoder
+
+
 def encode(img: np.ndarray, fmt: str) -> bytes:
     return _ENCODERS[fmt](img)
 
 
 def decode(data: bytes, fmt: str, h: int, w: int) -> np.ndarray:
-    """-> (PLANES, h, w) uint8."""
+    """-> (planes, h, w) uint8."""
     return _DECODERS[fmt](data, h, w)
 
 

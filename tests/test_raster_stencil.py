@@ -249,3 +249,30 @@ def test_sar_preprocess_chain_end_to_end(spark):
     got = np.asarray(r.px_db).reshape(t, t)
     want_db = 10.0 * np.log10(want_dspk)
     assert np.allclose(got, want_db, atol=1e-4)
+
+
+def test_apply_stencil_custom_python_kernel(spark):
+    """X3: a user-supplied python kernel runs through the same strips-only
+    halo path as the built-ins (kernel sees the (T+2,T+2) NaN-padded
+    array)."""
+    from eoreader_spark.operators import stencil
+
+    dem = datagen.gen_dem(spark, 2).withColumnRenamed("z", "px")
+
+    def max3x3(pad):
+        t = pad.shape[0] - 2
+        stack = np.stack([
+            pad[1 + dy : 1 + dy + t, 1 + dx : 1 + dx + t]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+        ])
+        return np.nanmax(stack, axis=0)
+
+    out = stencil.apply_stencil(dem, max3x3, tile=datagen.TILE)
+    r = out.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    yy, xx = np.mgrid[0:t, 0:t]
+    z = (100.0 * np.sin(xx / 5.0) + 2.0 * yy).astype(np.float32)
+    pad = np.full((t + 2, t + 2), np.nan, dtype=np.float32)
+    pad[1:-1, 1:-1] = z
+    want = max3x3(pad)
+    assert np.allclose(np.asarray(r.px).reshape(t, t), want, atol=1e-4)
