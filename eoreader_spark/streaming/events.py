@@ -156,3 +156,58 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string,"
+    " caption string, phash long"
+)
+
+
+def read_images_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of image rows (the continuously-arriving scene
+    feed of the north_star; same authoritative input shape as batch)."""
+    return spark.readStream.schema(IMAGES_SCHEMA).parquet(input_dir)
+
+
+def streaming_index_stats(images: DataFrame, index_names: list[str]) -> DataFrame:
+    """Decode + spectral indices on a STREAM of images — the identical
+    mapInPandas kernel the batch path uses (functions/indices.index_stats),
+    applied to an unbounded source.  Stateless per-row transform: no
+    watermark needed; downstream windowed aggs or the lineage sink handle
+    time semantics."""
+    from eoreader_spark.functions import indices
+
+    return indices.index_stats(images, index_names)
+
+
+def run_image_index_to_lineage(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    index_names: list[str] | None = None,
+) -> dict:
+    """Streaming raster pipeline: images stream -> decode+index kernels ->
+    per-micro-batch upsert + lineage rows (stage='stream_index', part_key =
+    micro-batch id) through the SAME LineageStore as the batch stages — one
+    resume/metrics story for both execution modes."""
+    store = LineageStore(spark, store_root)
+    stats = streaming_index_stats(
+        read_images_stream(spark, input_dir), index_names or ["NDVI", "NDWI"]
+    )
+    metrics = {"batches": 0, "rows": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn("bucket", F.lit(int(batch_id)).cast("long"))
+        r = store.upsert_stage("stream_index", out, "bucket")
+        metrics["batches"] += 1
+        metrics["rows"] += r["rows_written"]
+
+    q = (
+        stats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{store_root}/_stream_index_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return metrics

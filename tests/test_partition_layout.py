@@ -59,3 +59,55 @@ def test_loader_gain_bias(spark):
     pa = np.asarray(a.px_RED, dtype=np.float64)
     pb = np.asarray(b.px_RED, dtype=np.float64)
     assert np.allclose(pb, np.clip(pa * 2.0 + 0.1, 0, None), atol=1e-6)
+
+
+def test_bucketed_dem_stencil_no_center_exchange(spark, tmp_path):
+    """The 100TB stencil claim end-to-end: a DEM tile table bucketed at rest
+    on the tile key feeds slope(partitioned=True) with NO exchange on the
+    centers subtree — only the strips move."""
+    import contextlib
+    import io
+
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import stencil
+
+    spark.sql("DROP TABLE IF EXISTS dem_bucketed")
+    (
+        datagen.gen_dem(spark, 6)
+        .withColumnRenamed("z", "px")
+        .write.bucketBy(4, "image_id", "tile_x", "tile_y")
+        .sortBy("image_id", "tile_x", "tile_y")
+        .mode("overwrite")
+        .saveAsTable("dem_bucketed")
+    )
+    try:
+        dem = spark.table("dem_bucketed")
+        out = stencil.slope(dem, partitioned=True)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            out.explain("extended")
+        plan = buf.getvalue()
+        physical = plan.split("== Physical Plan ==")[-1]
+        # the centers scan feeds the join DIRECTLY — no repartition, no
+        # exchange on the full-payload side; the only data movement is the
+        # strips' aggregation/broadcast
+        assert "REPARTITION_BY_COL" not in physical, physical
+        lines = physical.splitlines()
+        join_i = next(i for i, ln in enumerate(lines) if "Join" in ln)
+        left = lines[join_i + 1].strip().lstrip(":+- ")
+        assert left.startswith("FileScan parquet"), physical
+        # and it still computes correctly
+        import numpy as np
+
+        r = out.filter(
+            "image_id = 'img000000000000' and tile_x = 0 and tile_y = 0"
+        ).first()
+        t = datagen.TILE
+        yy, xx = np.mgrid[0:t, 0:t]
+        z = 100.0 * np.sin(xx / 5.0) + 2.0 * yy
+        pad = np.full((t + 2, t + 2), np.nan, dtype=np.float32)
+        pad[1:-1, 1:-1] = z.astype(np.float32)
+        want = stencil.slope_kernel(pad)
+        assert np.allclose(np.asarray(r.px).reshape(t, t), want, atol=1e-3)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dem_bucketed")

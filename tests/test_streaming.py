@@ -104,3 +104,38 @@ def test_windowed_stream_multi_batch_upserts(spark, tmp_path):
     # metrics dedupe by latest commit
     m = {r.stage: r for r in store.metrics().collect()}
     assert m["stream_windows"].rows == 1
+
+
+def test_streaming_image_index_matches_batch(spark, tmp_path):
+    """Raster streaming (§2.9 + the image payload): a stream of image files
+    through the SAME decode+index kernel as batch must produce exactly the
+    batch results, committed per micro-batch into the lineage store."""
+    from eoreader_spark import datagen
+    from eoreader_spark.functions import indices
+    from eoreader_spark.streaming import events as streaming
+
+    in_dir = str(tmp_path / "images_in")
+    store_root = str(tmp_path / "store")
+    images = datagen.gen_images(spark, 8)
+    images.write.mode("overwrite").parquet(in_dir)
+
+    m = streaming.run_image_index_to_lineage(
+        spark, in_dir, store_root, index_names=["NDVI", "NDWI"]
+    )
+    assert m["rows"] == 16  # 8 images x 2 indices
+
+    from eoreader_spark.lineage import LineageStore
+
+    store = LineageStore(spark, store_root)
+    got = {
+        (r.image_id, r.index_name): (r.mean, r.min, r.max)
+        for r in store.read_stage("stream_index").collect()
+    }
+    want = {
+        (r.image_id, r.index_name): (r.mean, r.min, r.max)
+        for r in indices.index_stats(spark.read.parquet(in_dir), ["NDVI", "NDWI"]).collect()
+    }
+    assert got == want
+    # and the lineage table recorded the micro-batch commit
+    stages = {r.stage for r in store.lineage().collect()}
+    assert "stream_index" in stages
