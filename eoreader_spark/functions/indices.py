@@ -177,6 +177,8 @@ _CATALOG = {
     "NDSI": ([GREEN, SWIR_1], lambda b: _ndr(b[GREEN], b[SWIR_1])),
     "NDBI": ([SWIR_1, NIR], lambda b: _ndr(b[SWIR_1], b[NIR])),
     "NDRE": ([NIR, VRE_1], lambda b: _ndr(b[NIR], b[VRE_1])),
+    # the reference's 4th hand-written index (indices.py:238-245)
+    "SCI": ([GREEN, RED], lambda b: 3.0 * b[GREEN] - b[RED] - 100.0),
     # ------------------------------------------------------------ vegetation
     "ARVI": ([NIR, RED, BLUE], lambda b: _ndr(b[NIR], 2 * b[RED] - b[BLUE])),
     "ATSAVI": (

@@ -141,6 +141,12 @@ def knn_join(
     adaptive=False for a fully lazy single-action plan (streaming contexts)."""
     q = _with_cell(queries.select(q_id, "lon", "lat"), "lon", "lat", res, "qcell")
     p = _with_cell(points.select(p_id, "lon", "lat"), "lon", "lat", res, "pcell")
+    if adaptive:
+        # every round's equi-join and the possible brute fallback re-scan the
+        # points side; cache the (id, lon, lat, cell) projection once.  At
+        # points tables beyond cluster cache capacity use adaptive=False
+        # (fully lazy) — Spark then just re-reads the source per pass.
+        p = p.persist()
 
     parts: list[DataFrame] = []
     remaining = q
