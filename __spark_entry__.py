@@ -439,7 +439,7 @@ def _embedding_near_dup_oracle() -> str:
                 {rows}),
             bits AS (
                 SELECT vec_id,
-                       cast(sum(CASE WHEN list_dot_product(v, p) > 0
+                       cast(sum(CASE WHEN round(list_dot_product(v, p), 6) > 0
                                      THEN (1 << pid) ELSE 0 END) AS INT) AS bucket
                 FROM emb, planes GROUP BY vec_id
             ),
@@ -1453,7 +1453,10 @@ def oracle_sql() -> dict[str, str]:
         # non-degenerate triangle (a,b,c) of points in its group contains it
         # (non-strict, so collinear edge-interior points are excluded, which
         # matches the strictly-convex monotone chain).  Cross products use
-        # only *,-,+ — bit-stable across engines.
+        # only *,-,+ — bit-stable across engines.  PREMISE: each group spans
+        # 2 dimensions (>= 3 non-collinear points) — an all-collinear group
+        # would diverge (chain keeps endpoints, this test keeps everything);
+        # the deterministic event lattice satisfies it at every driver sf.
         "hull_dissolve": """
             WITH p AS (
                 SELECT DISTINCT event_type,

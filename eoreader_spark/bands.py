@@ -29,6 +29,10 @@ SAR_NAMES = ["VV", "VH", "HH", "HV", "RH", "RV"]
 L2A_NAMES = ["AOT", "WVP", "SCL"]
 DEM_BANDS = {"DEM", "SLOPE", "HILLSHADE"}
 MASK_BANDS = {"NODATA_MASK", "CLOUD_MASK", "SHADOW_MASK", "ALL_MASK"}
+# QA-derived classification bands (need qa_masks, carry class codes rather
+# than 0/1 masks, excluded from uint16 pixel conversion).  SCL is the S2-L2A
+# scene classification; future analogs (CLDPRB/SNWPRB-class) register here.
+DERIVED_MASK_BANDS = {"SCL"}
 
 ALL_PLANE_BANDS = set(SPECTRAL_NAMES) | set(SAR_NAMES) | {"AOT", "WVP"}
 
@@ -60,6 +64,10 @@ ALIASES: dict[str, str] = {
     # S3-OLCI ids (subset used by the synthetic layouts)
     "Oa01": "CA", "Oa04": "BLUE", "Oa06": "GREEN", "Oa08": "RED",
     "Oa11": "VRE_2", "Oa17": "NIR", "Oa20": "WV",
+    # CloudsBandNames (band_names.py:525-548) -> the engine's mask planes
+    "CLOUDS": "CLOUD_MASK", "RAW CLOUDS": "CLOUD_MASK", "RAW_CLOUDS": "CLOUD_MASK",
+    "SHADOWS": "SHADOW_MASK", "ALL CLOUDS": "ALL_MASK", "ALL_CLOUDS": "ALL_MASK",
+    "CIRRUS": "CLOUD_MASK",
 }
 
 # ------------------------------------------------------------- plane layouts
@@ -118,7 +126,10 @@ def resolve(name: str, extra: set[str] | None = None) -> str:
         if base not in ALL_PLANE_BANDS:
             raise BandError(f"_DSPK requires a plane band base, got {base!r}")
         return base + "_DSPK"
-    if up in ALL_PLANE_BANDS or up in DEM_BANDS or up in MASK_BANDS or up == "SCL":
+    if (
+        up in ALL_PLANE_BANDS or up in DEM_BANDS or up in MASK_BANDS
+        or up in DERIVED_MASK_BANDS
+    ):
         return up
     if key in ALIASES:
         return ALIASES[key]

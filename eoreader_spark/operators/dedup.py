@@ -303,7 +303,10 @@ def embedding_near_dups(
     @F.pandas_udf("int")
     def bucket_of(vs: pd.Series) -> pd.Series:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        bits = (m @ planes.T) > 0
+        # rounded sign test: numpy's pairwise matmul sums differ from a
+        # sequential SQL dot in the last ulps; rounding to 6dp makes the
+        # bucket decision identical on both sides (same rule as IVF)
+        bits = np.round(m @ planes.T, 6) > 0
         out = np.zeros(len(vs), dtype=np.int32)
         for i in range(n_planes):
             out |= bits[:, i].astype(np.int32) << i

@@ -175,7 +175,13 @@ def knn_join(
     for part in parts[1:]:
         out = out.unionByName(part)
     if not exhausted:
+        # brute over the CACHED projection (p carries id/lon/lat) — never a
+        # second scan of the raw points source
         out = out.unionByName(
-            knn_brute(remaining, points, k=k, q_id=q_id, p_id=p_id, coslat=coslat)
+            knn_brute(remaining, p, k=k, q_id=q_id, p_id=p_id, coslat=coslat)
         )
+    elif adaptive:
+        # every parts[i] is already materialized in cache by the probes, so
+        # the points projection is no longer referenced by the result plan
+        p.unpersist()
     return out

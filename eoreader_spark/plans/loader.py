@@ -154,7 +154,7 @@ def classify(bands: list[str], plane_map: dict[str, int] | None = None) -> LoadP
             plan.indices.append(cb)
         elif cb in DEM_BANDS:
             plan.dem.append(cb)
-        elif cb in MASK_BANDS or cb == "SCL":
+        elif cb in MASK_BANDS or cb in bands_mod.DERIVED_MASK_BANDS:
             plan.masks.append(cb)
         elif cb.endswith("_DSPK"):
             plan.despeckle.append(cb[:-5])  # P8: _DSPK requires its base band
@@ -219,7 +219,7 @@ class ImageEngine:
             return False
         if cb in DEM_BANDS:
             return self.dem is not None
-        if cb in MASK_BANDS or cb == "SCL":
+        if cb in MASK_BANDS or cb in bands_mod.DERIVED_MASK_BANDS:
             return self.qa_masks is not None
         if cb in bands_mod.ALL_PLANE_BANDS:
             return cb in self.plane_map
@@ -453,7 +453,10 @@ class ImageEngine:
         order = [to_band(b) for b in bands]
         cached = None
         if as_uint16:
-            px_bands = [b for b in order if b not in MASK_BANDS and b != "SCL"]
+            px_bands = [
+                b for b in order
+                if b not in MASK_BANDS and b not in bands_mod.DERIVED_MASK_BANDS
+            ]
             # ONE action computes every band's quantile guard on a cached
             # plan (convert_to_uint16's per-band .first() would re-execute
             # the whole decode pipeline once per band)

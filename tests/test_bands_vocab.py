@@ -207,3 +207,11 @@ def test_full_band_map_table(spark):
     assert len(by_const["S1"]) == 2
     s2 = {r.band_name: r for r in by_const["S2"]}
     assert s2["RED"].band_id == "B04" and s2["RED"].plane == bands.plane_of("S2_L2A")["RED"]
+
+
+def test_clouds_band_aliases():
+    # reference CloudsBandNames resolve onto the engine's mask planes
+    assert bands.resolve("CLOUDS") == "CLOUD_MASK"
+    assert bands.resolve("ALL_CLOUDS") == "ALL_MASK"
+    assert bands.resolve("SHADOWS") == "SHADOW_MASK"
+    assert loader.to_band("clouds") == "CLOUD_MASK"

@@ -97,9 +97,15 @@ def main(sf_dir: str) -> int:
         mismatch = None
         for c in got.columns:
             a, b = got[c].to_numpy(), want[c].to_numpy()
-            eq = a == b if a.dtype.kind in "OUSb" else np.isclose(
-                a.astype(np.float64), b.astype(np.float64), rtol=0, atol=0, equal_nan=True
-            )
+            if a.dtype.kind in "OUSb" or np.dtype(a.dtype).kind in "iu":
+                # exact compare for ints: a float64 round-trip would mask
+                # low-bit differences above 2^53 (60-bit signature columns)
+                eq = a == b
+            else:
+                eq = np.isclose(
+                    a.astype(np.float64), b.astype(np.float64),
+                    rtol=0, atol=0, equal_nan=True,
+                )
             if not np.all(eq):
                 i = int(np.argmin(eq))
                 mismatch = f"col {c} row {i}: {a[i]!r} != {b[i]!r}"
