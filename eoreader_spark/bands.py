@@ -32,7 +32,7 @@ MASK_BANDS = {"NODATA_MASK", "CLOUD_MASK", "SHADOW_MASK", "ALL_MASK"}
 # QA-derived classification bands (need qa_masks, carry class codes rather
 # than 0/1 masks, excluded from uint16 pixel conversion).  SCL is the S2-L2A
 # scene classification; future analogs (CLDPRB/SNWPRB-class) register here.
-DERIVED_MASK_BANDS = {"SCL"}
+DERIVED_MASK_BANDS = {"SCL", "QA_PIXEL"}
 
 ALL_PLANE_BANDS = set(SPECTRAL_NAMES) | set(SAR_NAMES) | {"AOT", "WVP"}
 
@@ -68,6 +68,8 @@ ALIASES: dict[str, str] = {
     "CLOUDS": "CLOUD_MASK", "RAW CLOUDS": "CLOUD_MASK", "RAW_CLOUDS": "CLOUD_MASK",
     "SHADOWS": "SHADOW_MASK", "ALL CLOUDS": "ALL_MASK", "ALL_CLOUDS": "ALL_MASK",
     "CIRRUS": "CLOUD_MASK",
+    # Landsat raw QA band ids (LandsatMaskBandNames, band_names.py:639-671)
+    "BQA": "QA_PIXEL",
 }
 
 # ------------------------------------------------------------- plane layouts

@@ -416,7 +416,11 @@ class ImageEngine:
         # cross-band bit union ('masked in any band').
         qa_product = self._qa_product_level() if plan.masks else None
         for m in plan.masks:
-            if m == "SCL":
+            if m == "QA_PIXEL":
+                # raw QA bitfield plane (Landsat QA_PIXEL/BQA: the reference
+                # loads it as its own band, landsat_product.py:1445-1514)
+                mask_col = F.col("qa")
+            elif m == "SCL":
                 mask_col = F.transform(
                     "qa",
                     lambda x: F.when(x.bitwiseAND(F.lit(1)) != 0, F.lit(_SCL_CODES["nodata"]))

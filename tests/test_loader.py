@@ -203,3 +203,21 @@ def test_per_band_mask_association(spark):
     want_all = ((qa_u & 0b1100111) != 0).astype(int)
     got_all = np.asarray(r.px_ALL_MASK).reshape(t, t)
     assert np.array_equal(got_all, want_all)
+
+
+def test_qa_pixel_raw_band(spark, engine):
+    """QA_PIXEL/BQA loads the raw QA bitfield as its own plane (Landsat
+    landsat_product.py:1445-1514)."""
+    assert loader.to_band("BQA") == "QA_PIXEL"
+    wide = engine.load(["RED", "QA_PIXEL"], clean="raw", reflectance=False)
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    p0 = codecs.pixel_plane(0, 0, t, t).astype(np.int32)
+    want = (
+        (p0 % 97 == 0).astype(np.int32)
+        | ((p0 % 89 == 0).astype(np.int32) << 1)
+        | ((p0 > 250).astype(np.int32) << 2)
+        | ((p0 > 200).astype(np.int32) << 5)
+        | ((p0 < 10).astype(np.int32) << 6)
+    )
+    assert np.array_equal(np.asarray(r.px_QA_PIXEL).reshape(t, t), want)
