@@ -228,3 +228,15 @@ def test_constellation_member_fallback(spark):
     assert got["randomdir3"] == "MAXAR"
     assert got["randomdir4"] is None
     assert got["S2A_MSIL2A_20240116T105309_rest"] == "S2"
+
+
+def test_knn_lazy_mode_exact(spark, tables):
+    """adaptive=False: the fully lazy single-action plan (no probes, no
+    persists) must still be exact."""
+    scenes = tables["scenes"]
+    queries = scenes.limit(10).selectExpr("image_id as query_id", "lon", "lat")
+    got = knn.knn_join(queries, scenes, k=3, res=5, k_cells=1, adaptive=False).collect()
+    want = knn.knn_brute(queries, scenes, k=3).collect()
+    gk = {(r.query_id, r.rank): r.image_id for r in got}
+    wk = {(r.query_id, r.rank): r.image_id for r in want}
+    assert gk == wk
