@@ -152,7 +152,8 @@ def knn_join(
     remaining = q
     kc = k_cells
     exhausted = False
-    for _ in range(max(1, rounds)):
+    n_rounds = max(1, rounds)
+    for i in range(n_rounds):
         exact = _ring_pass(remaining, p, k, res, kc, q_id, p_id, coslat)
         if adaptive:
             # cache the pass output (k rows per resolved query) so the
@@ -168,7 +169,11 @@ def knn_join(
         # the resolved set is query-scale; Spark picks shuffle/broadcast by
         # its own stats (AQE) instead of a driver-side collect of 10^12 ids
         kc *= 2
-        if adaptive and remaining.isEmpty():
+        # probe BETWEEN rounds only: after the last widening the brute
+        # residue folds lazily into the consumer's job (it scans the CACHED
+        # projection, and the residue is usually empty) — probing there
+        # would cost one more Spark job for nothing
+        if adaptive and i < n_rounds - 1 and remaining.isEmpty():
             exhausted = True
             break
     out = parts[0]
