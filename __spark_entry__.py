@@ -663,10 +663,13 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_raster_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship raster path (rows-only: PNG decode is not SQL-expressible;
-    pixel exactness is pytest/golden-verified): synthesize 12 deterministic
-    images, run the full load plan (decode -> clean -> reflectance -> NDVI ->
-    DEM slope -> cloud mask), reduce to per-image NDVI means."""
+    """Flagship raster path, VALUE-EXACT since round 2: synthesize 12
+    deterministic images (raw8/png lossless; the fake-lossy codec's
+    round(v/3)*3 quantization has a closed form, and v/3 never lands on a
+    .5 tie so the rounding is engine-independent), run the full load plan
+    (decode -> clean -> reflectance -> NDVI -> DEM slope -> cloud mask),
+    reduce to per-image NDVI means over VALID pixels.  The oracle replays
+    decode+clean+NDVI from the closed-form pixel function in SQL."""
     from eoreader_spark import datagen
     from eoreader_spark.plans import loader
 
@@ -1511,6 +1514,55 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_topk": _ivf_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
+        # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5
+        # ties possible for integer v), clean = qa bits 0/1/2 from the RAW
+        # plane 0, reflectance = dn/255, NDVI per pixel, per-tile mean over
+        # valid pixels (empty tile -> 0, matching greatest(size,1)), then
+        # per-image avg of tile means
+        "raster_load": """
+            WITH imgs(image_id, seed, h, w, fmt) AS (VALUES
+                ('img000000000000', 0, 64, 64, 'raw8'),
+                ('img000000000001', 1, 64, 64, 'png'),
+                ('img000000000002', 2, 64, 64, 'jpeg'),
+                ('img000000000003', 3, 128, 64, 'raw8'),
+                ('img000000000004', 4, 128, 64, 'png'),
+                ('img000000000005', 5, 128, 64, 'jpeg'),
+                ('img000000000006', 6, 256, 64, 'raw8'),
+                ('img000000000007', 7, 256, 128, 'png'),
+                ('img000000000008', 8, 256, 128, 'jpeg'),
+                ('img000000000009', 9, 64, 128, 'raw8'),
+                ('img000000000010', 10, 64, 128, 'png'),
+                ('img000000000011', 11, 64, 128, 'jpeg')),
+            px AS (
+                SELECT image_id, fmt, (y // 64) AS ty, (x // 64) AS tx,
+                       (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 AS p0,
+                       (seed*7 + 62 + x*13 + y*17 + (x*y) % 29) % 256 AS p2
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            ),
+            dec AS (
+                SELECT image_id, ty, tx, p0,
+                       CASE WHEN fmt = 'jpeg' THEN round(p0 / 3.0) * 3
+                            ELSE p0 END / 255.0 AS red,
+                       CASE WHEN fmt = 'jpeg' THEN round(p2 / 3.0) * 3
+                            ELSE p2 END / 255.0 AS nir
+                FROM px
+            ),
+            tiles AS (
+                SELECT image_id, ty, tx,
+                       sum(CASE WHEN NOT (p0 % 97 = 0 OR p0 % 89 = 0 OR p0 > 250)
+                                THEN (nir - red) / (nir + red + 1e-12)
+                                ELSE 0 END)
+                       / greatest(sum(CASE WHEN NOT (p0 % 97 = 0 OR p0 % 89 = 0 OR p0 > 250)
+                                           THEN 1 ELSE 0 END), 1) AS tile_ndvi
+                FROM dec GROUP BY image_id, ty, tx
+            )
+            SELECT image_id, round(avg(tile_ndvi), 6) AS mean_ndvi,
+                   count(*) AS n_tiles
+            FROM tiles GROUP BY image_id ORDER BY image_id
+        """,
         "xml_mtd": """
             WITH ev AS (
                 SELECT user_id, event_type, value FROM events WHERE event_id < 300

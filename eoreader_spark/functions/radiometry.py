@@ -66,8 +66,16 @@ def from_db(px: Column | str) -> Column:
 
 
 def clip_reflectance(px: Column | str, lo: float = 0.0) -> Column:
-    """P6: clip(min=0) after reflectance conversion."""
-    return F.transform(px, lambda x: F.greatest(x, F.lit(float(lo))))
+    """P6: clip(min=0) after reflectance conversion.  NULL/NaN (masked
+    invalid pixels) pass through UNCHANGED — Spark's greatest() skips nulls,
+    which would silently resurrect masked pixels as 0.0 reflectance; the
+    reference's numpy clip preserves NaN (optical_product.py:335-338)."""
+    return F.transform(
+        px,
+        lambda x: F.when(x.isNull() | F.isnan(x), x).otherwise(
+            F.greatest(x, F.lit(float(lo)))
+        ),
+    )
 
 
 def bit_plane(qa: Column | str, bit: int) -> Column:

@@ -221,3 +221,19 @@ def test_qa_pixel_raw_band(spark, engine):
         | ((p0 < 10).astype(np.int32) << 6)
     )
     assert np.array_equal(np.asarray(r.px_QA_PIXEL).reshape(t, t), want)
+
+
+def test_clean_masks_survive_reflectance(spark, engine):
+    """P4xP6 interaction: masked pixels must stay invalid THROUGH the
+    reflectance clip (greatest() skips nulls, which silently resurrected
+    masked pixels as 0.0 before the round-2 fix)."""
+    wide = engine.load(["RED", "NDVI"], clean="clean")  # reflectance=True
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    p0 = codecs.pixel_plane(0, 0, t, t).astype(np.int32)
+    invalid = (p0 % 97 == 0) | (p0 % 89 == 0) | (p0 > 250)
+    red = np.asarray(r.px_RED, dtype=np.float64).reshape(t, t)
+    ndvi = np.asarray(r.px_NDVI, dtype=np.float64).reshape(t, t)
+    assert np.isnan(red[invalid]).all()
+    assert np.isnan(ndvi[invalid]).all()
+    assert np.isfinite(red[~invalid]).all()
