@@ -2,16 +2,20 @@
 
 Payloads are opaque `binary` columns with typed metadata; the Spark side —
 schema, partitioning, Arrow batch shape, kernel signatures — is real and
-tested.  The image path uses the engine's own codecs (real decode).  Audio
-and video DECODE are STUBBED: this container has no libsndfile/ffmpeg, so
-the stub raises NotImplementedError unless `fake=True`, in which case a
-clearly-marked deterministic fake (closed-form synthesis from the payload
-hash) stands in so the distributed plumbing is exercisable end-to-end.
+tested.  The image path uses the engine's own codecs (real decode).  The
+audio path REALLY decodes PCM WAV (stdlib ``wave`` — no external libs
+needed); compressed audio (mp3/flac) and video decode need
+libsndfile/ffmpeg, absent in this container, so those raise
+NotImplementedError unless `fake=True`, in which case a clearly-marked
+deterministic fake (closed-form synthesis from the payload hash) stands in
+so the distributed plumbing is exercisable end-to-end.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -59,24 +63,62 @@ def image_features(media: DataFrame, resize: int = 8) -> DataFrame:
     return media.filter("kind = 'image'").mapInPandas(batch, schema=schema)
 
 
+def encode_wav(sig: np.ndarray, sample_rate: int) -> bytes:
+    """float [-1,1] mono -> 16-bit PCM WAV bytes (stdlib, deterministic)."""
+    pcm = np.clip(np.asarray(sig, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float32 mono signal in [-1,1], sample_rate).
+    REAL decode via the stdlib wave module (8/16-bit PCM; multi-channel
+    averaged to mono)."""
+    with wave.open(io.BytesIO(data)) as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        sig = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"PCM sample width {sw} not supported")
+    if ch > 1:
+        sig = sig.reshape(-1, ch).mean(axis=1)
+    return sig, sr
+
+
 def audio_features(media: DataFrame, n_mels: int = 16, fake: bool = False) -> DataFrame:
-    """STUB: audio decode needs libsndfile (absent).  With fake=True a
-    deterministic pseudo-signal exercises the full Spark plumbing (schema,
-    batching, windowed energy features)."""
+    """Audio -> per-band RMS energy features.  PCM WAV payloads (RIFF magic)
+    decode for REAL via the stdlib; compressed codecs need libsndfile/ffmpeg
+    (absent) and raise unless fake=True substitutes the deterministic
+    pseudo-signal."""
     schema = "media_id string, features array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, data, sr in zip(pdf["media_id"], pdf["bytes"], pdf["sample_rate"]):
-                if not fake:
+                data = bytes(data)
+                if data[:4] == b"RIFF":
+                    sig, _ = decode_wav(data)  # REAL decode
+                elif fake:
+                    sig = _fake_signal(data, int(sr))  # 1 second
+                else:
                     raise NotImplementedError(
-                        "audio decode requires libsndfile/ffmpeg (not in container); "
-                        "pass fake=True for the deterministic stand-in"
+                        "non-WAV audio decode requires libsndfile/ffmpeg (not in "
+                        "container); pass fake=True for the deterministic stand-in"
                     )
-                sig = _fake_signal(bytes(data), int(sr))  # 1 second
                 frames = sig[: len(sig) // n_mels * n_mels].reshape(n_mels, -1)
-                rows.append((mid, np.sqrt((frames**2).mean(axis=1))))
+                rows.append((mid, np.sqrt((frames**2).mean(axis=1)).astype(np.float32)))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
 
     return media.filter("kind = 'audio'").mapInPandas(batch, schema=schema)
