@@ -876,6 +876,45 @@ def q_warp_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 BILINEAR resampling on the hard gate, VALUE-EXACT: a half-pixel
+    shift makes every interpolation weight 0.25, so outputs are exact
+    quarter-integers (no float rounding anywhere, any summation order);
+    out[y,x] = mean of the 4 pixels at (y+1..2, x+2..3), NaN outside the
+    tile interior.  Oracle replays it from the closed-form pixel fn."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import raster, warp
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") != "jpeg")
+    tiles = raster.tiles_from_images(images, plane=0)
+    warped = warp.warp_affine(
+        tiles,
+        src_transform=warp.Affine(1, 0, -2.5, 0, 1, -1.5),
+        dst_transform=warp.Affine(1, 0, 0, 0, 1, 0),
+        method="bilinear",
+    )
+    valid = F.filter("px", lambda x: ~F.isnan(x))
+    per_tile = warped.select(
+        "image_id",
+        F.size("px").cast("long").alias("n"),
+        F.size(valid).alias("nv"),
+        F.aggregate(
+            F.transform(valid, lambda x: (x * 4).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("s4"),
+    )
+    return (
+        per_tile.groupBy("image_id")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("nv").cast("long").alias("n_valid"),
+            F.sum("s4").alias("px4_sum"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def _ivf_centroids():
     import numpy as np
 
@@ -1049,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "xml_mtd": q_xml_mtd,
         "warp_shift": q_warp_shift,
+        "warp_bilinear": q_warp_bilinear,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -1607,6 +1647,38 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_px,
                    count(v) AS n_valid,
                    cast(sum(coalesce(v, 0)) AS BIGINT) AS px_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """,
+        # warp_bilinear: half-pixel shift -> all weights 0.25; 4*out = sum of
+        # the 4 sampled integers (exact).  Valid iff the 2x2 sample window
+        # stays inside the 64x64 tile: local x <= 60, local y <= 61.
+        "warp_bilinear": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000001', 1, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000007', 7, 256, 128),
+                ('img000000000009', 9, 64, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       CASE WHEN (x % 64) <= 60 AND (y % 64) <= 61 THEN
+                            (seed*7 + (x+2)*13 + (y+1)*17 + ((x+2)*(y+1)) % 29) % 256
+                          + (seed*7 + (x+3)*13 + (y+1)*17 + ((x+3)*(y+1)) % 29) % 256
+                          + (seed*7 + (x+2)*13 + (y+2)*17 + ((x+2)*(y+2)) % 29) % 256
+                          + (seed*7 + (x+3)*13 + (y+2)*17 + ((x+3)*(y+2)) % 29) % 256
+                       END AS v4
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   count(v4) AS n_valid,
+                   cast(sum(coalesce(v4, 0)) AS BIGINT) AS px4_sum
             FROM px GROUP BY image_id ORDER BY image_id
         """,
     }
