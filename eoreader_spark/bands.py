@@ -31,8 +31,102 @@ DEM_BANDS = {"DEM", "SLOPE", "HILLSHADE"}
 MASK_BANDS = {"NODATA_MASK", "CLOUD_MASK", "SHADOW_MASK", "ALL_MASK"}
 # QA-derived classification bands (need qa_masks, carry class codes rather
 # than 0/1 masks, excluded from uint16 pixel conversion).  SCL is the S2-L2A
-# scene classification; future analogs (CLDPRB/SNWPRB-class) register here.
+# scene classification.
 DERIVED_MASK_BANDS = {"SCL", "QA_PIXEL"}
+
+# ----------------------------------------------------- per-sensor mask bands
+# The reference enumerates dozens of per-sensor mask bands
+# (/root/reference/eoreader/bands/band_names.py:569-835: S2MaskBandNames,
+# LandsatMaskBandNames, DimapV2MaskBandNames, PlanetMaskBandNames,
+# HlsMaskBandNames, S2TheiaMaskBandNames, VenusMaskBandNames).  Here each
+# name carries a DERIVATION over the engine's synthetic 7-bit qa bitfield
+# (bit 0 nodata, 1 dropped/degraded, 2 saturated, 5 cloud, 6 shadow/snow):
+#   ('bits', (b,...))  -> 0/1, union of the listed bits (masked where set)
+#   ('clear', (b,...)) -> 0/1, 1 where NONE of the listed bits is set
+#   ('prob', b)        -> 0/100 probability plane (bit * 100)
+# Snow-class masks share the shadow bit plane (the synthetic qa has no
+# dedicated snow bit — documented divergence); angle rasters (SAA/SZA/
+# VAA/VZA) are NOT mask bands here: sun-angle grids live in the T9 table
+# (operators.raster.mean_sun_angles).
+SENSOR_MASK_DERIVATION: dict[str, tuple] = {
+    # Sentinel-2 (S2MaskBandNames) — legacy + processing baseline >= 04.00
+    "DETFOO": ("clear", (0,)),         # detector footprint = has data
+    "TECQUA": ("bits", (1, 2)),        # technical quality
+    "DEFECT": ("bits", (1,)),
+    "NODATA": ("bits", (0,)),
+    "SATURA": ("bits", (2,)),
+    "MSK_QUALIT_ANC_LOST": ("bits", (1,)),
+    "MSK_QUALIT_ANC_DEG": ("bits", (1,)),
+    "MSK_QUALIT_MSI_LOST": ("bits", (1,)),
+    "MSK_QUALIT_MSI_DEG": ("bits", (1,)),
+    "MSK_QUALIT_QT_DEFECTIVE_PIXELS": ("bits", (1,)),
+    "MSK_QUALIT_QT_NODATA_PIXELS": ("bits", (0,)),
+    "MSK_QUALIT_QT_PARTIALLY_CORRECTED_PIXELS": ("bits", (1,)),
+    "MSK_QUALIT_QT_SATURATED_PIXELS": ("bits", (2,)),
+    "MSK_CLASSI_OPAQUE": ("bits", (5,)),
+    "MSK_CLASSI_CIRRUS": ("bits", (5,)),
+    "MSK_CLASSI_SNOW_ICE": ("bits", (6,)),
+    "CLDPRB": ("prob", 5),             # L2A cloud probability
+    "SNWPRB": ("prob", 6),             # L2A snow probability
+    # Landsat collection 1/2 (LandsatMaskBandNames)
+    "QA_RADSAT": ("bits", (2,)),
+    "SR_QA_AEROSOL": ("bits", (1,)),
+    "SR_CLOUD_QA": ("bits", (5,)),
+    "ST_QA": ("bits", (1,)),
+    # DIMAP v2 / Pleiades-class (DimapV2MaskBandNames)
+    "CLD": ("bits", (5,)),
+    "DET": ("bits", (1,)),
+    "QTE": ("bits", (1, 2)),
+    "ROI": ("clear", (0,)),
+    "SLT": ("bits", (1,)),
+    "SNW": ("bits", (6,)),
+    "VIS": ("bits", (0,)),
+    # Planet UDM2 (PlanetMaskBandNames)
+    "CLEAR": ("clear", (0, 1, 2, 5, 6)),
+    "SNOW": ("bits", (6,)),
+    "SHADOW": ("bits", (6,)),
+    "LIGHT_HAZE": ("bits", (5,)),
+    "HEAVY_HAZE": ("bits", (5,)),
+    "CLOUD": ("bits", (5,)),
+    "CONFIDENCE": ("prob", 0),
+    "UNUSABLE": ("bits", (0, 1, 2)),
+    "UDM": ("bits", (0,)),
+    # HLS (HlsMaskBandNames)
+    "FMASK": ("bits", (0, 2, 5, 6)),
+    # S2 Theia / Venus (S2TheiaMaskBandNames, VenusMaskBandNames)
+    "DFP": ("bits", (1,)),
+    "EDG": ("bits", (0,)),
+    "SAT": ("bits", (2,)),
+    "MG2": ("bits", (5, 6)),
+    "IAB": ("bits", (1,)),
+    "CLM": ("bits", (5,)),
+    "PIX": ("bits", (1,)),
+    "USI": ("clear", (0, 1, 2)),
+}
+
+_S2_MASKS = frozenset({
+    "DETFOO", "TECQUA", "DEFECT", "NODATA", "SATURA",
+    "MSK_QUALIT_ANC_LOST", "MSK_QUALIT_ANC_DEG", "MSK_QUALIT_MSI_LOST",
+    "MSK_QUALIT_MSI_DEG", "MSK_QUALIT_QT_DEFECTIVE_PIXELS",
+    "MSK_QUALIT_QT_NODATA_PIXELS", "MSK_QUALIT_QT_PARTIALLY_CORRECTED_PIXELS",
+    "MSK_QUALIT_QT_SATURATED_PIXELS", "MSK_CLASSI_OPAQUE",
+    "MSK_CLASSI_CIRRUS", "MSK_CLASSI_SNOW_ICE",
+})
+
+# layout-class -> which sensor masks exist for it (the reference's per-product
+# mask availability: _get_band_path raises for foreign masks)
+SENSOR_MASK_BANDS: dict[str, frozenset[str]] = {
+    "S2_L2A": _S2_MASKS | {"CLDPRB", "SNWPRB"},   # CLDPRB/SNWPRB are L2A-only
+    "L8_OLI": frozenset({"QA_RADSAT", "SR_QA_AEROSOL", "SR_CLOUD_QA", "ST_QA"}),
+    "PLD_MS": frozenset({"CLD", "DET", "QTE", "ROI", "SLT", "SNW", "VIS"}),
+    "PS_MS": frozenset({
+        "CLEAR", "SNOW", "SHADOW", "LIGHT_HAZE", "HEAVY_HAZE", "CLOUD",
+        "CONFIDENCE", "UNUSABLE", "UDM",
+    }),
+    "HLS": frozenset({"FMASK"}),
+    "S2_THEIA": frozenset({"DFP", "EDG", "SAT", "MG2", "IAB", "CLM"}),
+    "VENUS": frozenset({"CLM", "EDG", "SAT", "MG2", "IAB", "PIX", "USI"}),
+}
 
 ALL_PLANE_BANDS = set(SPECTRAL_NAMES) | set(SAR_NAMES) | {"AOT", "WVP"}
 
@@ -96,7 +190,28 @@ LAYOUTS: dict[str, list[str]] = {
     "RS2_SLC": ["HH", "HV"],
     # Pleiades-class VHR: PAN + 4-band MS
     "PLD_MS": ["PAN", "BLUE", "GREEN", "RED", "NIR"],
+    # PlanetScope 4-band MS (UDM2 mask family)
+    "PS_MS": ["BLUE", "GREEN", "RED", "NIR"],
+    # Harmonized Landsat-Sentinel 30 m (Fmask family)
+    "HLS": ["CA", "BLUE", "GREEN", "RED", "NIR", "SWIR_1", "SWIR_2"],
+    # Sentinel-2 Theia L2A (FRE surface reflectance, no AOT/WVP planes)
+    "S2_THEIA": [
+        "BLUE", "GREEN", "RED", "VRE_1", "VRE_2", "VRE_3", "NIR",
+        "NARROW_NIR", "SWIR_1", "SWIR_2",
+    ],
+    # Venus VIS/NIR 12-band (Theia mask family)
+    "VENUS": [
+        "CA", "BLUE", "GREEN", "GREEN_1", "YELLOW", "RED", "VRE_1",
+        "VRE_2", "VRE_3", "NIR", "NARROW_NIR", "WV",
+    ],
+    # Sentinel-3 SLSTR: 5 solar channels (S1-S3, S5-S6) + 2 BT channels
+    "S3_SLSTR": ["GREEN", "RED", "NIR", "SWIR_1", "SWIR_2", "TIR_1", "TIR_2"],
 }
+
+# canonical name -> SLSTR band id (S1 555nm, S2 659nm, S3 865nm, S5 1.6um,
+# S6 2.25um — the solar channels the radiance adjustment applies to;
+# reference keys coefficients by this id, s3_slstr_product.py:836-841)
+SLSTR_BAND_IDS = {"GREEN": "S1", "RED": "S2", "NIR": "S3", "SWIR_1": "S5", "SWIR_2": "S6"}
 
 
 def plane_of(layout: str | list[str] | dict[str, int]) -> dict[str, int]:
@@ -130,7 +245,7 @@ def resolve(name: str, extra: set[str] | None = None) -> str:
         return base + "_DSPK"
     if (
         up in ALL_PLANE_BANDS or up in DEM_BANDS or up in MASK_BANDS
-        or up in DERIVED_MASK_BANDS
+        or up in DERIVED_MASK_BANDS or up in SENSOR_MASK_DERIVATION
     ):
         return up
     if key in ALIASES:

@@ -56,6 +56,42 @@ def scale_factor(px: Column | str, factor: float) -> Column:
     return F.transform(px, lambda x: x * F.lit(float(factor)))
 
 
+# F5: SLSTR-style per-band-per-view radiance-adjustment coefficient SETS.
+# Values are the PUBLIC product-notice table S3.PN-SLSTR-L1.08 (nadir /
+# oblique corrections for the solar channels), mirrored from the reference's
+# SlstrRadAdjust enum usage (/root/reference/eoreader/products/optical/
+# s3_slstr_product.py:801-850): coefficient looked up by (band_id, view),
+# bands without an entry pass through unchanged (BT channels, flags).
+SLSTR_RAD_ADJUST: dict[str, dict[tuple[str, str], float]] = {
+    "NONE": {},
+    "S3_PN_SLSTR_L1_08": {
+        ("S1", "n"): 0.97, ("S2", "n"): 0.98, ("S3", "n"): 0.98,
+        ("S5", "n"): 1.11, ("S6", "n"): 1.13,
+        ("S1", "o"): 0.94, ("S2", "o"): 0.95, ("S3", "o"): 0.95,
+        ("S5", "o"): 1.04, ("S6", "o"): 1.07,
+    },
+}
+
+
+def _mul_by(c: float):
+    """Single-param lambda factory for F.transform (a 2-param lambda would be
+    read as (element, index))."""
+    lit = F.lit(c)
+    return lambda x: x * lit
+
+
+def rad_adjust_coef(
+    band_id: str | None, view: str | None,
+    rad_adjust: str | dict[tuple[str, str], float] = "S3_PN_SLSTR_L1_08",
+) -> float:
+    """Coefficient for (band_id, view) from a named set or a user table
+    (the SlstrRadAdjustTuple analog); 1.0 when the band has no entry."""
+    table = SLSTR_RAD_ADJUST[rad_adjust] if isinstance(rad_adjust, str) else rad_adjust
+    if band_id is None or view is None:
+        return 1.0
+    return float(table.get((band_id, view), 1.0))
+
+
 def to_db(px: Column | str) -> Column:
     """F10: 10*log10(x)."""
     return F.transform(px, lambda x: F.lit(10.0) * F.log10(x))

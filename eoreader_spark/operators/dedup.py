@@ -63,26 +63,71 @@ def ngrams_col(tokens, n: int):
     ).otherwise(F.array())
 
 
+def _doc_grams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    return tokenize(df, text_col).select(
+        F.col(id_col).alias("id"), F.array_distinct(ngrams_col(F.col("tokens"), n)).alias("gs")
+    )
+
+
+def hot_gram_stats(
+    df: DataFrame, n: int = 3, max_df: int = 1000,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row frame (n_grams, n_hot, postings_dropped) quantifying what the
+    ``max_df`` stop-shingle cap removes — surface this next to any capped
+    ngram_jaccard run so truncation is never silent."""
+    gdf = (
+        _doc_grams(df, n, text_col, id_col)
+        .select(F.explode("gs").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return gdf.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("df") > max_df).cast("long")).alias("n_hot"),
+        F.sum(F.when(F.col("df") > max_df, F.col("df")).otherwise(0)).alias("postings_dropped"),
+    )
+
+
 def ngram_jaccard(
     df: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard for all pairs above ``threshold``.
 
-    Plan: distinct (id, ngram) -> self-join on ngram (inverted index; the
-    shuffle key is the ngram so common grams fan out — at scale drop the
-    top-0.1% hottest grams like stop-shingles) -> count intersections per
-    pair -> Jaccard from |A|,|B|,|A∩B|.  Output (id_a, id_b, jaccard),
-    id_a < id_b.
+    Plan: distinct (id, ngram) -> self-join on ngram (inverted index) ->
+    count intersections per pair -> Jaccard from |A|,|B|,|A∩B|.  Output
+    (id_a, id_b, jaccard), id_a < id_b.
+
+    ``max_df`` is the hot-shingle cap (round-2 VERDICT #3): the self-join
+    shuffle key is the gram, so a stop-shingle appearing in d documents
+    creates d^2 candidate rows ON ONE KEY — exactly the skew this engine
+    salts against elsewhere.  Grams with document frequency > max_df are
+    treated as stop-shingles and removed from every document's gram SET
+    (sizes AND intersections), so the result is still the exact Jaccard over
+    the reduced universe and per-key fanout is bounded by max_df^2.  Use
+    hot_gram_stats() to report what was dropped.  At 10^12 docs set max_df
+    so max_df^2 rows fit one task (e.g. 10^4).
     """
-    toks = tokenize(df, text_col).select(
-        F.col(id_col).alias("id"), F.array_distinct(ngrams_col(F.col("tokens"), n)).alias("gs")
-    )
-    sizes = toks.select("id", F.size("gs").alias("sz"))
+    toks = _doc_grams(df, n, text_col, id_col)
     inv = toks.select("id", F.explode("gs").alias("g"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        # left_anti on the same gram key the self-join shuffles on — Spark
+        # reuses the exchange; docs losing every gram drop out entirely
+        inv = inv.join(hot, "g", "left_anti")
+        sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        sizes = toks.select("id", F.size("gs").alias("sz"))
     a = inv.select(F.col("id").alias("id_a"), "g")
     b = inv.select(F.col("id").alias("id_b"), "g")
     inter = (
@@ -108,19 +153,40 @@ def ngram_jaccard(
 _EMPTY_TOKEN_HASH = np.uint64(1469598103934665603)  # FNV offset basis sentinel
 
 
-def _token_hashes(toks: list[str]) -> np.ndarray:
+def _token_hashes(toks: list[str], algo: str = "blake2b") -> np.ndarray:
     """64-bit hash per token, one C call each (blake2b digest) — no
     per-character interpreted loop (round-1 ADVICE: the FNV byte loop made
-    signatures the dominant cost at scale)."""
+    signatures the dominant cost at scale).
+
+    ``algo='md5x15'`` keys on the top 60 bits of md5 instead — the value an
+    ANSI-SQL engine reproduces as ``('0x' || substr(md5(t), 1, 15))::BIGINT``
+    (round-2 VERDICT #2: makes minhash/simhash signatures SQL-replayable, so
+    the driver gate can value-check them instead of rows-only)."""
     if not toks:
         return np.array([_EMPTY_TOKEN_HASH], dtype=np.uint64)
+    if algo == "md5x15":
+        # first 8 digest bytes big-endian == first 16 hex chars; >> 4 drops
+        # the 16th hex char -> exactly int(hexdigest[:15], 16), always >= 0
+        raw = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks), dtype=">u8"
+        )
+        return (raw.astype(np.uint64) >> np.uint64(4)).copy()
     return np.frombuffer(
         b"".join(hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks),
         dtype=np.uint64,
     )
 
 
-def _minhash_batch(n_hashes: int, shingle: int):
+def minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (A, B) universal-hash family used by minhash signatures — public
+    so an external SQL oracle can embed the SAME constants as literals."""
+    rng = np.random.default_rng(1234567)
+    A = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    B = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    return A, B
+
+
+def _minhash_batch(n_hashes: int, shingle: int, hash_algo: str = "blake2b"):
     """Vectorized minhash: token hashes -> polynomial rolling shingle hash
     (numpy sliding windows, wraparound uint64 arithmetic) -> universal hash
     family h_i(x) = (a_i*x + b_i) mod p, min over shingles.  Parameters
@@ -129,14 +195,12 @@ def _minhash_batch(n_hashes: int, shingle: int):
     Overflow-safe by construction: a, b, x < p = 2^31-1, so a*x + b < 2^62
     stays inside uint64 and the mod-p arithmetic is exact (the shingle
     polynomial deliberately wraps mod 2^64 — a hash, not arithmetic)."""
-    rng = np.random.default_rng(1234567)
-    A = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
-    B = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    A, B = minhash_params(n_hashes)
     P = np.uint64(1099511628211)
 
     def sig_of(text: str) -> np.ndarray:
         toks = text.split()
-        tok_h = _token_hashes(toks)
+        tok_h = _token_hashes(toks, hash_algo)
         win = min(shingle, len(tok_h))
         weights = P ** np.arange(win, dtype=np.uint64)[::-1]  # wraps mod 2^64
         sw = np.lib.stride_tricks.sliding_window_view(tok_h, win)
@@ -150,9 +214,9 @@ def _minhash_batch(n_hashes: int, shingle: int):
 
 def minhash_signatures(
     df: DataFrame, n_hashes: int = 64, shingle: int = 3,
-    text_col: str = "text", id_col: str = "doc_id",
+    text_col: str = "text", id_col: str = "doc_id", hash_algo: str = "blake2b",
 ) -> DataFrame:
-    sig_of = _minhash_batch(n_hashes, shingle)
+    sig_of = _minhash_batch(n_hashes, shingle, hash_algo)
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -166,12 +230,13 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, n_hashes: int = 64, bands: int = 16, shingle: int = 3,
     threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    hash_algo: str = "blake2b",
 ) -> DataFrame:
     """Candidate pairs from LSH banding, verified by signature-estimated
     Jaccard >= threshold.  Output (id_a, id_b, est_jaccard)."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, n_hashes, shingle, text_col, id_col).persist()
+    sigs = minhash_signatures(df, n_hashes, shingle, text_col, id_col, hash_algo).persist()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     buckets = sigs.select(
         "id",
@@ -211,7 +276,8 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_algo: str = "blake2b",
 ) -> DataFrame:
     """64-bit simhash over whitespace tokens (vectorized token hashes; the
     bit-vote matrix is one numpy reduction, no per-token Python)."""
@@ -221,7 +287,7 @@ def simhash_signatures(
         toks = text.split()
         if not toks:
             return 0
-        tok_h = _token_hashes(toks)
+        tok_h = _token_hashes(toks, hash_algo)
         bits = (tok_h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
         votes = 2 * bits.astype(np.int64).sum(axis=0) - len(tok_h)  # +1/-1 sums
         v = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
@@ -235,11 +301,12 @@ def simhash_signatures(
 
 
 def simhash_near_dups(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    hash_algo: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming via pigeonhole
     banding (see banded_hamming_pairs)."""
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = simhash_signatures(df, text_col, id_col, hash_algo).persist()
     return banded_hamming_pairs(sigs, max_hamming=max_hamming)
 
 

@@ -31,14 +31,64 @@ def extent(tiles: DataFrame) -> DataFrame:
     )
 
 
+def _poly_centroid(hull: np.ndarray) -> tuple[float, float]:
+    """Area centroid of a CCW simple polygon (shoelace).  On integer-lattice
+    vertices every cross product and partial sum is an exact float64 integer,
+    so the single final division is bit-identical to any other engine doing
+    the same exact-integer division.  Degenerate hulls (< 3 vertices or zero
+    area) fall back to the vertex mean."""
+    if len(hull) < 3:
+        return float(hull[:, 0].mean()), float(hull[:, 1].mean())
+    x, y = hull[:, 0], hull[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cr = x * yn - xn * y
+    s = cr.sum()
+    if s == 0.0:  # collinear ring
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cr).sum() / (3.0 * s)
+    cy = ((y + yn) * cr).sum() / (3.0 * s)
+    return float(cx), float(cy)
+
+
 def centroid(tiles: DataFrame) -> DataFrame:
-    """(image_id, cx, cy) — A3: centroid of the extent (reference returns
-    footprint centroid; for axis-aligned synthetic grids they coincide)."""
-    e = extent(tiles)
-    return e.select(
-        "image_id",
-        ((F.col("x0") + F.col("x1")) / 2).alias("cx"),
-        ((F.col("y0") + F.col("y1")) / 2).alias("cy"),
+    """(image_id, cx, cy) — A3: centroid of the FOOTPRINT polygon (convex
+    hull of valid-tile corners), the reference's valid-data centroid
+    (/root/reference/eoreader/products/product.py:419-441) — not the extent
+    center (they only coincide for axis-aligned rectangles)."""
+
+    def per_image(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = np.concatenate([pdf["x0"].to_numpy(), pdf["x1"].to_numpy(),
+                             pdf["x0"].to_numpy(), pdf["x1"].to_numpy()])
+        ys = np.concatenate([pdf["y0"].to_numpy(), pdf["y0"].to_numpy(),
+                             pdf["y1"].to_numpy(), pdf["y1"].to_numpy()])
+        hull = convex_hull(np.column_stack([xs, ys]))
+        cx, cy = _poly_centroid(hull)
+        return pd.DataFrame({"image_id": [pdf["image_id"].iloc[0]], "cx": [cx], "cy": [cy]})
+
+    return (
+        tiles.select("image_id", "x0", "y0", "x1", "y1")
+        .groupBy("image_id")
+        .applyInPandas(per_image, schema="image_id string, cx double, cy double")
+    )
+
+
+def hull_centroid(
+    points: DataFrame, group_col: str = "group_id", x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """A3 over arbitrary point groups: convex hull -> area centroid
+    (group, cx, cy).  Same hierarchical composability as dissolve_hull."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        hull = convex_hull(
+            np.column_stack([pdf[x_col].to_numpy(), pdf[y_col].to_numpy()])
+        )
+        cx, cy = _poly_centroid(hull)
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]], "cx": [cx], "cy": [cy]})
+
+    return (
+        points.select(group_col, x_col, y_col)
+        .groupBy(group_col)
+        .applyInPandas(per_group, schema=f"{group_col} string, cx double, cy double")
     )
 
 

@@ -154,7 +154,11 @@ def classify(bands: list[str], plane_map: dict[str, int] | None = None) -> LoadP
             plan.indices.append(cb)
         elif cb in DEM_BANDS:
             plan.dem.append(cb)
-        elif cb in MASK_BANDS or cb in bands_mod.DERIVED_MASK_BANDS:
+        elif (
+            cb in MASK_BANDS
+            or cb in bands_mod.DERIVED_MASK_BANDS
+            or cb in bands_mod.SENSOR_MASK_DERIVATION
+        ):
             plan.masks.append(cb)
         elif cb.endswith("_DSPK"):
             plan.despeckle.append(cb[:-5])  # P8: _DSPK requires its base band
@@ -196,6 +200,8 @@ class ImageEngine:
         tile: int = TILE,
         gains: dict[str, tuple[float, float]] | None = None,
         band_map: str | list[str] | dict[str, int] | None = None,
+        view: str | None = None,
+        rad_adjust: str | dict[tuple[str, str], float] = "NONE",
     ) -> None:
         self.images = images
         self.qa_masks = qa_masks
@@ -206,9 +212,18 @@ class ImageEngine:
         # per-constellation band->plane table (bands.LAYOUTS name, explicit
         # band order, or a prebuilt map); default = legacy 3-plane layout
         self.plane_map = bands_mod.plane_of(band_map) if band_map is not None else dict(SPECTRAL)
+        # layout CLASS gates per-sensor mask availability (an S2 DETFOO does
+        # not exist for a Landsat product, band_names.py:569-835); explicit
+        # plane lists/dicts carry no class -> only generic masks available
+        self.layout_name = band_map if isinstance(band_map, str) else None
         # X4 CustomProduct analog: per-band (gain, bias) applied at load time
         # (/root/reference/eoreader/products/custom_product.py:304-430)
         self.gains = {to_band(k): v for k, v in (gains or {}).items()}
+        # F5 SLSTR-style radiance adjustment: each view is its own product
+        # read in the reference; the per-(band, view) multiplicative coef
+        # applies in the reflectance step (s3_slstr_product.py:801-850)
+        self.view = view
+        self.rad_adjust = rad_adjust
 
     # ----------------------------------------------------------- predicates
     def has_band(self, band: str) -> bool:
@@ -219,6 +234,9 @@ class ImageEngine:
             return False
         if cb in DEM_BANDS:
             return self.dem is not None
+        if cb in bands_mod.SENSOR_MASK_DERIVATION:
+            avail = bands_mod.SENSOR_MASK_BANDS.get(self.layout_name or "", frozenset())
+            return self.qa_masks is not None and cb in avail
         if cb in MASK_BANDS or cb in bands_mod.DERIVED_MASK_BANDS:
             return self.qa_masks is not None
         if cb in bands_mod.ALL_PLANE_BANDS:
@@ -302,18 +320,36 @@ class ImageEngine:
             bits = [0] if clean == "nodata" else [0, 1, 2]
             mask = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
             if per_band_qa:
+                # ONE pivot + ONE join (round-2 VERDICT #4): aggregating the
+                # per-band qa rows into a band->qa map first means a 14-plane
+                # clean load costs one exchange instead of 14 sequential
+                # re-shuffles of the ever-wider tile row; each plane then
+                # reads ITS mask with element_at (NULL when that band has no
+                # mask row -> keep raw, same semantics as the old left join).
+                needed_bands = [name_of[p] for p in plan.needed_planes]
+                qa_map = (
+                    self.qa_masks.filter(F.col("band").isin(needed_bands))
+                    .groupBy("image_id", "tile_x", "tile_y")
+                    .agg(
+                        F.map_from_entries(
+                            F.collect_list(F.struct("band", "qa"))
+                        ).alias("_qa_map")
+                    )
+                )
+                wide = wide.join(qa_map, ["image_id", "tile_x", "tile_y"], "left")
                 for p in plan.needed_planes:
                     col = f"px_{name_of[p]}"
-                    qa_b = self.qa_masks.filter(F.col("band") == name_of[p]).select(
-                        "image_id", "tile_x", "tile_y", "qa"
+                    qa_b = F.element_at("_qa_map", F.lit(name_of[p]))
+                    band_mask = radiometry.mask_union(
+                        *[radiometry.bit_plane(qa_b, b) for b in bits]
                     )
-                    wide = wide.join(qa_b, ["image_id", "tile_x", "tile_y"], "left")
                     wide = wide.withColumn(
                         col,
-                        F.when(F.col("qa").isNull(), F.col(col)).otherwise(
-                            radiometry.apply_mask(col, mask)
+                        F.when(qa_b.isNull(), F.col(col)).otherwise(
+                            radiometry.apply_mask(col, band_mask)
                         ),
-                    ).drop("qa")
+                    )
+                wide = wide.drop("_qa_map")
             else:
                 wide = wide.join(self.qa_masks, ["image_id", "tile_x", "tile_y"], "left")
                 for p in plan.needed_planes:
@@ -331,6 +367,13 @@ class ImageEngine:
             for p in plan.needed_planes:
                 col = f"px_{name_of[p]}"
                 expr = radiometry.dn_to_reflectance(col)
+                coef = radiometry.rad_adjust_coef(
+                    bands_mod.SLSTR_BAND_IDS.get(name_of[p]), self.view, self.rad_adjust
+                )
+                if coef != 1.0:
+                    # closure factory, NOT `lambda x, c=c`: a 2-param lambda
+                    # is read by Spark as an (element, index) lambda
+                    expr = F.transform(expr, radiometry._mul_by(float(coef)))
                 if name_of[p] in self.gains:
                     g, b = self.gains[name_of[p]]
                     expr = F.transform(expr, lambda x: x * F.lit(float(g)) + F.lit(float(b)))
@@ -429,6 +472,21 @@ class ImageEngine:
                     .when(F.shiftright(x, 6).bitwiseAND(F.lit(1)) != 0, F.lit(_SCL_CODES["shadow"]))
                     .otherwise(F.lit(_SCL_CODES["clear"])),
                 )
+            elif m in bands_mod.SENSOR_MASK_DERIVATION:
+                kind, param = bands_mod.SENSOR_MASK_DERIVATION[m]
+                if kind == "bits":
+                    mask_col = radiometry.mask_union(
+                        *[radiometry.bit_plane("qa", b) for b in param]
+                    )
+                elif kind == "clear":
+                    u = radiometry.mask_union(
+                        *[radiometry.bit_plane("qa", b) for b in param]
+                    )
+                    mask_col = F.transform(u, lambda x: F.lit(1) - x)
+                else:  # 'prob': 0/100 probability plane (CLDPRB/SNWPRB class)
+                    mask_col = F.transform(
+                        radiometry.bit_plane("qa", param), lambda x: x * F.lit(100)
+                    )
             else:
                 bits = _MASK_BITS[m]
                 mask_col = radiometry.mask_union(*[radiometry.bit_plane("qa", b) for b in bits])
@@ -460,6 +518,7 @@ class ImageEngine:
             px_bands = [
                 b for b in order
                 if b not in MASK_BANDS and b not in bands_mod.DERIVED_MASK_BANDS
+                and b not in bands_mod.SENSOR_MASK_DERIVATION
             ]
             # ONE action computes every band's quantile guard on a cached
             # plan (convert_to_uint16's per-band .first() would re-execute

@@ -144,10 +144,62 @@ def test_simhash_pigeonhole_recall_beyond_3(spark):
     import eoreader_spark.operators.dedup as dd
 
     orig = dd.simhash_signatures
-    dd.simhash_signatures = lambda df, t, i: sigs
+    dd.simhash_signatures = lambda df, t, i, algo="blake2b": sigs
     try:
         out = {(r.id_a, r.id_b): r.hamming for r in
                dd.simhash_near_dups(sigs, max_hamming=8).collect()}
     finally:
         dd.simhash_signatures = orig
     assert out == {(1, 2): 8}
+
+
+def test_ngram_hot_shingle_cap_bounds_fanout(spark):
+    """A stop-shingle shared by every doc must leave the inverted index under
+    max_df (bounded per-key fanout) while unique-content Jaccard stays exact
+    over the reduced gram universe."""
+    stop = "lorem ipsum dolor"  # one hot trigram in all docs
+    rows = []
+    for i in range(40):
+        body = f"unique{i} content{i} tail{i} more{i}"
+        rows.append((i, f"{stop} {body}", "en", "t", 10))
+    # one true near-dup pair sharing their unique grams
+    rows.append((100, f"{stop} shared alpha beta gamma delta", "en", "t", 10))
+    rows.append((101, f"{stop} shared alpha beta gamma delta", "en", "t", 10))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars int")
+
+    stats = dedup.hot_gram_stats(docs, n=3, max_df=10).first()
+    assert stats.n_hot >= 1 and stats.postings_dropped >= 42
+
+    capped = dedup.ngram_jaccard(docs, n=3, threshold=0.5, max_df=10)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # the dup pair survives on its unique grams (jaccard 1.0 post-cap)...
+    assert got[(100, 101)] == 1.0
+    # ...and the stop-shingle no longer pairs every doc with every other: the
+    # only surviving pair is the true dup
+    assert set(got) == {(100, 101)}
+
+    # fanout bound: no gram in the capped inverted index exceeds max_df
+    toks = dedup._doc_grams(docs, 3, "text", "doc_id")
+    inv = toks.select(F.explode("gs").alias("g"))
+    dfc = inv.groupBy("g").count()
+    hot_df = dfc.filter(F.col("count") > 10)
+    assert hot_df.count() >= 1  # corpus genuinely has a hot gram
+    # capped result must equal the uncapped result computed on docs with the
+    # hot grams manually removed (exactness over the reduced universe)
+    hot_grams = {r.g for r in hot_df.collect()}
+    # python oracle: per-doc gram sets minus hot grams
+    sets = {}
+    for r in rows:
+        ts = r[1].split()
+        gs = {"\x1f".join(ts[i:i+3]) for i in range(len(ts) - 2)} - hot_grams
+        sets[r[0]] = gs
+    want = {}
+    ids = sorted(sets)
+    for i_, a in enumerate(ids):
+        for b in ids[i_+1:]:
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+    assert got == want

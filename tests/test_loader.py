@@ -237,3 +237,78 @@ def test_clean_masks_survive_reflectance(spark, engine):
     assert np.isnan(red[invalid]).all()
     assert np.isnan(ndvi[invalid]).all()
     assert np.isfinite(red[~invalid]).all()
+
+
+def test_sensor_mask_vocabulary_availability(spark):
+    """Per-sensor mask bands (band_names.py:569-835 analog): names resolve,
+    availability is gated by BOTH the layout class and the qa side table,
+    and a foreign mask refuses to load."""
+    from pyspark.sql import functions as F
+
+    images = datagen.gen_images(spark, 2, layout="S2_L2A").filter(F.col("fmt") == "raw8")
+    qa = datagen.gen_qa_masks(spark, 2)
+    s2 = loader.ImageEngine(images, qa_masks=qa, band_map="S2_L2A")
+    s2_dry = loader.ImageEngine(images, band_map="S2_L2A")  # no qa table
+    l8 = loader.ImageEngine(datagen.gen_images(spark, 2, layout="L8_OLI"),
+                            qa_masks=qa, band_map="L8_OLI")
+
+    # resolution: case-insensitive, verbatim canonical names
+    assert loader.to_band("cldprb") == "CLDPRB"
+    assert loader.to_band("MSK_CLASSI_OPAQUE") == "MSK_CLASSI_OPAQUE"
+    # S2 masks exist on the S2 engine WITH qa...
+    for m in ("DETFOO", "TECQUA", "CLDPRB", "SNWPRB", "MSK_CLASSI_OPAQUE"):
+        assert s2.has_band(m), m
+        assert not s2_dry.has_band(m), m  # ...not without the side table
+        assert not l8.has_band(m), m      # ...and not on a Landsat product
+    # Landsat masks are the converse
+    for m in ("QA_RADSAT", "SR_QA_AEROSOL", "ST_QA"):
+        assert l8.has_band(m) and not s2.has_band(m), m
+    # loading a foreign mask raises the band-availability error
+    with pytest.raises(loader.BandError):
+        l8.load(["CLDPRB"], clean="raw")
+
+    # derivation semantics: CLDPRB is 0/100 on the cloud bit; DETFOO is the
+    # INVERSE of the nodata bit (clear-where-valid)
+    wide = s2.load(["CLDPRB", "DETFOO"], clean="raw")
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    t = datagen.TILE
+    p0 = codecs.pixel_plane(0, 0, t, t).astype(np.int32)
+    assert np.array_equal(
+        np.asarray(r.px_CLDPRB).reshape(t, t), (p0 > 200).astype(int) * 100
+    )
+    assert np.array_equal(
+        np.asarray(r.px_DETFOO).reshape(t, t), (p0 % 97 != 0).astype(int)
+    )
+
+
+def test_slstr_view_coefficient_sets(spark):
+    """F5: the same product under view 'n' vs 'o' diverges by exactly the
+    per-(band, view) coefficient ratio; BT channels pass through unchanged
+    (s3_slstr_product.py:801-850 analog, S3.PN-SLSTR-L1.08 table)."""
+    from pyspark.sql import functions as F
+
+    from eoreader_spark.functions import radiometry
+
+    images = datagen.gen_images(spark, 2, layout="S3_SLSTR").filter(F.col("fmt") == "raw8")
+    wides = {}
+    for view in ("n", "o"):
+        eng = loader.ImageEngine(
+            images, band_map="S3_SLSTR", view=view, rad_adjust="S3_PN_SLSTR_L1_08"
+        )
+        wides[view] = (
+            eng.load(["GREEN", "TIR_1"], clean="raw")
+            .filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0")
+            .first()
+        )
+    g_n = np.asarray(wides["n"].px_GREEN)
+    g_o = np.asarray(wides["o"].px_GREEN)
+    # GREEN = S1: n coef 0.97, o coef 0.94 — exact per-pixel ratio of plain dn/255
+    dn = codecs.pixel_plane(0, 0, datagen.TILE, datagen.TILE).astype(np.float64) / 255.0
+    assert np.array_equal(g_n, (dn * 0.97).ravel())
+    assert np.array_equal(g_o, (dn * 0.94).ravel())
+    # TIR_1 has no entry in the set -> identical across views (pass-through)
+    assert np.array_equal(np.asarray(wides["n"].px_TIR_1), np.asarray(wides["o"].px_TIR_1))
+    # the named-set lookup itself
+    assert radiometry.rad_adjust_coef("S5", "o") == 1.04
+    assert radiometry.rad_adjust_coef("S9", "o") == 1.0  # unknown id
+    assert radiometry.rad_adjust_coef("S1", "n", "NONE") == 1.0

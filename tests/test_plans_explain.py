@@ -102,3 +102,23 @@ def test_stencil_shuffles_strips_only(spark):
     # re-reference it; AQE stage-cache reuses canonically-equal exchanges)
     strips_side = plan2.count("ENSURE_REQUIREMENTS")
     assert strips_side == 1
+
+
+def test_per_band_qa_clean_is_one_join(spark):
+    """A multi-plane clean load against a PER-BAND qa table must pivot qa to
+    a band->qa map and join ONCE — not once per plane (round-2 VERDICT #4:
+    N sequential shuffle joins re-sorted the ever-wider row N times)."""
+    from eoreader_spark import bands, datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 2, layout="S2_L2A").filter(F.col("fmt") == "raw8")
+    planes = {b: i for i, b in enumerate(bands.LAYOUTS["S2_L2A"])}
+    band_qa = datagen.gen_band_qa_masks(spark, 2, band_planes=planes)
+    eng = loader.ImageEngine(images, qa_masks=band_qa, band_map="S2_L2A")
+    wide = eng.load(list(planes), clean="clean", reflectance=False)
+    plan = _plan(wide, "simple")
+    # the qa pivot shows as one collect_list aggregate (partial + final)...
+    assert plan.count("collect_list(struct(band") == 2, plan
+    # ...and cleaning costs exactly ONE join regardless of plane count
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins == 1, plan

@@ -240,3 +240,54 @@ def test_knn_lazy_mode_exact(spark, tables):
     gk = {(r.query_id, r.rank): r.image_id for r in got}
     wk = {(r.query_id, r.rank): r.image_id for r in want}
     assert gk == wk
+
+
+def test_knn_never_resolving_rings_terminate_without_brute(spark, tables):
+    """Round-2 VERDICT #9: with fewer points than k, NO ring pass can ever
+    satisfy the >=k-hits test — rounds=None must still terminate via the
+    full-cover terminal pass (exact by construction) and the plan must not
+    contain a broadcast nested-loop brute (the old unbounded fallback)."""
+    scenes = tables["scenes"]
+    points = scenes.limit(2)  # fewer points than k=5 -> rings never resolve
+    queries = scenes.limit(6).selectExpr("image_id as query_id", "lon", "lat")
+    df = knn.knn_join(queries, points, k=5, res=3, k_cells=1)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in physical
+    got = df.collect()
+    want = knn.knn_brute(queries, points, k=5).collect()
+    gk = {(r.query_id, r.rank): r.image_id for r in got}
+    wk = {(r.query_id, r.rank): r.image_id for r in want}
+    assert gk == wk  # exact top-(n_points) per query, rank <= 2
+
+
+def test_knn_finite_rounds_oversized_residue_keeps_widening(spark, tables):
+    """Finite rounds with brute_limit=0: every residue counts as 'too big to
+    broadcast', so the join must reach exactness through ring-doubling alone
+    (no knn_brute / no broadcast of the residue)."""
+    scenes = tables["scenes"]
+    queries = scenes.limit(12).selectExpr("image_id as query_id", "lon", "lat")
+    df = knn.knn_join(queries, scenes, k=6, res=8, k_cells=1, rounds=1, brute_limit=0)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in physical
+    got = {(r.query_id, r.rank): r.image_id for r in df.collect()}
+    want = {(r.query_id, r.rank): r.image_id
+            for r in knn.knn_brute(queries, scenes, k=6).collect()}
+    assert got == want
+
+
+def test_footprint_centroid_is_polygon_centroid(spark):
+    """A3: centroid must be the AREA centroid of the hull, not the extent
+    center — a right triangle separates the two ((mean != bbox center))."""
+    pts = spark.createDataFrame(
+        [("t", 0.0, 0.0), ("t", 6.0, 0.0), ("t", 0.0, 6.0)],
+        "group_id string, x double, y double",
+    )
+    r = footprint.hull_centroid(pts).first()
+    assert (r.cx, r.cy) == (2.0, 2.0)  # triangle centroid, NOT (3, 3)
+    # tiles path: axis-aligned rectangle -> coincides with extent center
+    tiles = spark.createDataFrame(
+        [("img", 0, 0, 0.0, 0.0, 2.0, 1.0), ("img", 1, 0, 2.0, 0.0, 4.0, 1.0)],
+        "image_id string, tile_x int, tile_y int, x0 double, y0 double, x1 double, y1 double",
+    )
+    rc = footprint.centroid(tiles).first()
+    assert (rc.cx, rc.cy) == (2.0, 0.5)
