@@ -50,7 +50,7 @@ def dtype_kind(dt) -> str:
     return {"u": "i"}.get(k, k)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     spark = get_spark("oracle_check", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -58,6 +58,8 @@ def main(sf_dir: str) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -120,4 +122,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )
