@@ -1747,6 +1747,650 @@ def _sar_chain_oracle() -> str:
         """
 
 
+# -------------------------------------------- F3/F4, S12, X-family, A5, S2
+_BT_K1, _BT_K2 = 774.89, 1321.08  # Landsat-8 TIRS band-10 constants (public)
+_TOA_COEF = __import__("math").pi / (1500.0 * __import__("math").cos(__import__("math").radians(30.0)))
+_LOSSLESS_IMGS_SQL = """(VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000001', 1, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000007', 7, 256, 128),
+                ('img000000000009', 9, 64, 128),
+                ('img000000000010', 10, 64, 128))"""
+
+
+def q_radiometric_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + F4 on the hard gate: DN -> radiance (affine, dyadic gain/bias) ->
+    brightness temperature (K2/ln(K1/L+1)) AND TOA reflectance (pi*d^2*L /
+    (E0*cos(sza))).  TOA is a broadcast-literal multiply — both engines run
+    the identical double sequence, so floor-scaled sums are bit-exact; BT
+    crosses libm ln, so it rounds at 1e-4 where the worst-case margin over
+    all 256 DN values is 1.9e-3 (scanned in tests/test_stencil_gate.py)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.functions import radiometry
+    from eoreader_spark.operators import raster
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") != "jpeg")
+    tiles = raster.tiles_from_images(images, plane=0)
+    t = tiles.withColumn("L", radiometry.gain_bias("px", 0.125, 0.125))
+    t = t.withColumn("bt", radiometry.radiance_to_bt("L", _BT_K1, _BT_K2))
+    t = t.withColumn("toa", radiometry.toa_rad_to_refl("L", 1.0, 1500.0, 30.0))
+    bt_scaled = F.expr("transform(bt, v -> cast(round(v * 10000) as bigint))")
+    toa_scaled = F.expr("transform(toa, v -> cast(floor(v * 1e7) as bigint))")
+    agg = lambda c: F.sum(F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x))  # noqa: E731
+    return (
+        t.select(
+            "image_id", F.size("px").cast("long").alias("n"),
+            bt_scaled.alias("bts"), toa_scaled.alias("toas"),
+        )
+        .groupBy("image_id")
+        .agg(F.sum("n").alias("n_px"), agg("bts").alias("bt_sum"), agg("toas").alias("toa_sum"))
+        .orderBy("image_id")
+    )
+
+
+def _radiometric_oracle() -> str:
+    return f"""
+            WITH imgs(image_id, seed, h, w) AS {_LOSSLESS_IMGS_SQL},
+            px AS (
+                SELECT image_id,
+                       ((seed*7 + x*13 + y*17 + (x*y) % 29) % 256) * 0.125 + 0.125 AS L
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px,
+                   cast(sum(round({_BT_K2} / ln({_BT_K1} / L + 1.0) * 10000)) AS BIGINT) AS bt_sum,
+                   cast(sum(floor(L * {_TOA_COEF!r} * 1e7)) AS BIGINT) AS toa_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 VRT-mosaic on the hard gate, VALUE-EXACT: a constant-7 overlay of
+    every tile_y=0 tile mosaics OVER the plane-0 tiles (first source wins on
+    overlapping tile keys); per-image integer sums replay in SQL."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import raster, warp
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") != "jpeg")
+    tiles = raster.tiles_from_images(images, plane=0)
+    overlay = tiles.filter("tile_y = 0").withColumn(
+        "px", F.expr("transform(px, v -> cast(7.0 as float))")
+    )
+    m = warp.mosaic([overlay, tiles])
+    s = F.aggregate(
+        F.expr("transform(px, v -> cast(v as bigint))"),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return (
+        m.select("image_id", F.size("px").cast("long").alias("n"), s.alias("s"))
+        .groupBy("image_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("n").alias("n_px"),
+            F.sum("s").alias("px_sum"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _mosaic_oracle() -> str:
+    # tiles with ty = 0 come from the overlay (constant 7); the rest keep
+    # the plane-0 closed form
+    return f"""
+            WITH imgs(image_id, seed, h, w) AS {_LOSSLESS_IMGS_SQL},
+            px AS (
+                SELECT image_id, (w // 64) * (h // 64) AS n_tiles,
+                       CASE WHEN y < 64 THEN 7
+                            ELSE (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 END AS v
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, cast(max(n_tiles) AS BIGINT) AS n_tiles,
+                   count(*) AS n_px, cast(sum(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (batch analog of streaming.events.sessionize, which
+    stays pytest-covered via its stream==batch equivalence test): per-user
+    30-min-gap sessions via lag + cumulative-sum windows, reduced to a
+    session-length histogram."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", F.unix_timestamp("ts").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t")
+    new_s = (F.col("t") - F.lag("t").over(w) > 1800).cast("int")
+    sess = ev.withColumn("ns", F.coalesce(new_s, F.lit(0))).withColumn(
+        "sid", F.sum("ns").over(w)
+    )
+    per_session = sess.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_session.groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+def _sessionize_oracle() -> str:
+    return """
+            WITH t AS (
+                SELECT user_id, epoch(ts) AS t FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+                            THEN 1 ELSE 0 END AS ns, t
+                FROM t
+            ),
+            sid AS (
+                SELECT user_id,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s
+            ),
+            per_session AS (
+                SELECT user_id, sid, count(*) AS n_events
+                FROM sid GROUP BY user_id, sid
+            )
+            SELECT n_events, count(*) AS n_sessions
+            FROM per_session GROUP BY n_events ORDER BY n_events
+        """
+
+
+def q_custom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 + X2 + X4 on the hard gate, VALUE-EXACT: a user-REGISTERED
+    parametric index (alpha=0.5 closure -> the vectorized pandas-UDF kernel
+    path in the loader) over a CustomProduct-style per-band gain/bias
+    (RED' = RED*0.5 + 0.25).  Scaling by the value's own denominator (4080)
+    makes every output an exact integer: round(v*4080) = 2*dn_nir - 2*dn_red
+    - 255 regardless of float32 rounding inside the kernel (error bound
+    ~1e-3 << 0.5)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.functions import indices
+    from eoreader_spark.plans import loader
+
+    def make_xdiff(alpha: float):
+        return lambda b: (alpha * b["NIR"] - b["RED"]) * 0.25
+
+    indices.register_index("XDIFF_GATE", ["NIR", "RED"], make_xdiff(0.5))
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    eng = loader.ImageEngine(images, gains={"RED": (0.5, 0.25)})
+    wide = eng.load(["XDIFF_GATE"], clean="raw")
+    scaled = F.expr("transform(px_XDIFF_GATE, v -> cast(round(cast(v as double) * 4080) as bigint))")
+    return (
+        wide.select(
+            "image_id",
+            F.size("px_XDIFF_GATE").cast("long").alias("n"),
+            F.aggregate(scaled, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+            F.array_min(scaled).alias("mn"),
+            F.array_max(scaled).alias("mx"),
+        )
+        .groupBy("image_id")
+        .agg(
+            F.sum("n").alias("n_px"), F.sum("s").alias("xdiff_sum"),
+            F.min("mn").alias("xdiff_min"), F.max("mx").alias("xdiff_max"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _custom_index_oracle() -> str:
+    # round(v*4080) = 2*dn_nir - 2*dn_red - 255 (see q_custom_index)
+    return """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       2 * ((seed*7 + 62 + x*13 + y*17 + (x*y) % 29) % 256)
+                       - 2 * ((seed*7 + x*13 + y*17 + (x*y) % 29) % 256)
+                       - 255 AS v
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px,
+                   cast(sum(v) AS BIGINT) AS xdiff_sum,
+                   min(v) AS xdiff_min, max(v) AS xdiff_max
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+_ANGLE_SPEC = [
+    # (image_id, saa checkerboard pair, sza column-parity pair, h, w); the
+    # circular mean of an exact half/half mix of two azimuths is their
+    # BISECTOR — an exact integer, mid-bucket at 4dp on both engines.
+    ("angA", 350, 30, 20, 30, 64, 64),
+    ("angB", 300, 40, 10, 50, 128, 64),
+    ("angC", 10, 50, 25, 25, 64, 128),
+    ("angD", 200, 240, 0, 60, 128, 128),
+]
+
+
+def q_mean_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 mean sun angles on the hard gate: checkerboard azimuth grids that
+    STRADDLE NORTH (350/30 must average to 10, not 190 — the circular-mean
+    requirement) built from JVM expressions, through the real
+    mean_sun_angles aggregate."""
+    from eoreader_spark.operators import raster
+
+    df = spark.createDataFrame(
+        _ANGLE_SPEC, "image_id string, a1 int, a2 int, z1 int, z2 int, h int, w int"
+    )
+    gx = "(t.tx * 64 + (k % 64))"
+    gy = "(t.ty * 64 + (k div 64))"
+    tiles = df.selectExpr(
+        "image_id", "a1", "a2", "z1", "z2",
+        "explode(flatten(transform(sequence(0, h div 64 - 1), ty ->"
+        " transform(sequence(0, w div 64 - 1), tx -> struct(tx as tx, ty as ty))))) as t",
+    ).selectExpr(
+        "image_id", "t.tx as tile_x", "t.ty as tile_y",
+        f"transform(sequence(0, 4095), k -> cast(case when ({gx} + {gy}) % 2 = 0"
+        " then a1 else a2 end as float)) as saa",
+        f"transform(sequence(0, 4095), k -> cast(case when {gx} % 2 = 0"
+        " then z1 else z2 end as float)) as sza",
+    )
+    out = raster.mean_sun_angles(tiles)
+    return out.select(
+        "image_id",
+        F.round("mean_azimuth", 4).alias("mean_azimuth"),
+        F.round("mean_zenith", 4).alias("mean_zenith"),
+        "n_px",
+    ).orderBy("image_id")
+
+
+def _mean_angles_oracle() -> str:
+    rows = ",\n                ".join(
+        f"('{i}', {a1}, {a2}, {z1}, {z2}, {h}, {w})"
+        for (i, a1, a2, z1, z2, h, w) in _ANGLE_SPEC
+    )
+    az = (
+        "round((degrees(atan2(sin(radians(a1)) + sin(radians(a2)),"
+        " cos(radians(a1)) + cos(radians(a2)))) + 360.0) % 360.0, 4)"
+    )
+    return f"""
+            WITH imgs(image_id, a1, a2, z1, z2, h, w) AS (VALUES
+                {rows})
+            SELECT image_id,
+                   {az} AS mean_azimuth,
+                   round((z1 + z2) / 2.0, 4) AS mean_zenith,
+                   cast(h AS BIGINT) * w AS n_px
+            FROM imgs ORDER BY image_id
+        """
+
+
+def q_archive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 archive scan on the hard gate, VALUE-EXACT: deterministic in-memory
+    zips (member names/sizes are closed forms of the archive id) scanned by
+    the REAL no-extraction readers — list_members for the inventory,
+    read_members('*B0*.dat') for in-place content reads.  Any corruption of
+    names, sizes, or member contents breaks the hash."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark.sources import archive
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                buf = _io.BytesIO()
+                with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_STORED) as z:
+                    for k in range(j % 4 + 2):
+                        size = (j * 13 + k * 97) % 500 + 10
+                        z.writestr(
+                            f"scene{j}/GRANULE/B{k:02d}.dat",
+                            bytes([(j * 31 + k * 7) % 256]) * size,
+                        )
+                rows.append((f"arc{j}", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["archive_id", "bytes"])
+
+    archives = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="archive_id string, bytes binary"
+    )
+    inv = archive.list_members(archives).groupBy("archive_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("size").alias("total_size"),
+        F.max("member").alias("last_member"),
+    )
+    matched = archive.read_members(archives, "*B0[01]*.dat")
+    reads = matched.groupBy("archive_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.length("content")).alias("content_bytes"),
+        # first byte of each member content, summed — proves the CONTENT
+        # came out of the right member, not just the inventory
+        F.sum(F.expr("conv(substr(hex(content), 1, 2), 16, 10)").cast("long")).alias(
+            "first_byte_sum"
+        ),
+    )
+    return inv.join(reads, "archive_id").orderBy("archive_id")
+
+
+def _archive_oracle() -> str:
+    return """
+            WITH m AS (
+                SELECT j, k,
+                       (j * 13 + k * 97) % 500 + 10 AS size,
+                       (j * 31 + k * 7) % 256 AS fb
+                FROM generate_series(0, 5) AS gj(j),
+                     generate_series(0, 5) AS gk(k)
+                WHERE k < (j % 4) + 2
+            )
+            SELECT 'arc' || cast(j AS varchar) AS archive_id,
+                   count(*) AS n_members,
+                   cast(sum(size) AS BIGINT) AS total_size,
+                   max('scene' || cast(j AS varchar) || '/GRANULE/B'
+                       || lpad(cast(k AS varchar), 2, '0') || '.dat') AS last_member,
+                   cast(sum(CASE WHEN k <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   cast(sum(CASE WHEN k <= 1 THEN size ELSE 0 END) AS BIGINT) AS content_bytes,
+                   cast(sum(CASE WHEN k <= 1 THEN fb ELSE 0 END) AS BIGINT) AS first_byte_sum
+            FROM m GROUP BY j ORDER BY archive_id
+        """
+
+
+# ------------------------------------- S9/S10 sink, S13, J1, X3, X5 entries
+def q_stack_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 raster sink + S10 uint16 conversion on the hard gate, VALUE-EXACT:
+    stack(['RED','NIR']) with cleaning writes the uint16 parquet stack and
+    re-reads it; masked pixels become 65535, valid ones
+    round(dn/255*10000) — the identical double sequence on both engines
+    (dn*2000/51 never lands on .5, so HALF_UP == half-away)."""
+    import tempfile
+
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    qa = datagen.gen_qa_masks(spark, 12).join(
+        F.broadcast(images.select("image_id")), "image_id"
+    )
+    eng = loader.ImageEngine(images, qa_masks=qa)
+    out_path = tempfile.mkdtemp(prefix="stack_sink_") + "/stack.parquet"
+    stacked = eng.stack(["RED", "NIR"], out_path=out_path, as_uint16=True, clean="clean")
+    aggs = [F.count(F.lit(1)).alias("n_tiles")]
+    for b in ("RED", "NIR"):
+        col = f"px_{b}"
+        nodata = F.size(F.filter(col, lambda x: x == 65535))
+        s = F.aggregate(
+            F.filter(col, lambda x: x != 65535),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long"),
+        )
+        aggs.append(F.sum(nodata).cast("long").alias(f"n_nodata_{b}"))
+        aggs.append(F.sum(s).alias(f"u16_sum_{b}"))
+    return stacked.groupBy("image_id").agg(*aggs).orderBy("image_id")
+
+
+def _stack_sink_oracle() -> str:
+    cols = []
+    for b, p in (("RED", 0), ("NIR", 2)):
+        v = f"(seed*7 + {p}*31 + x*13 + y*17 + (x*y) % 29) % 256"
+        # invalid pixels come from the PRODUCT-LEVEL qa (plane 0 bits 0/1/2)
+        bad = "(p0 % 97 = 0 OR p0 % 89 = 0 OR p0 > 250)"
+        cols.append(f"cast(sum(CASE WHEN {bad} THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata_{b}")
+        cols.append(
+            f"cast(sum(CASE WHEN {bad} THEN 0"
+            f" ELSE least(round(({v} + 0.0) / 255.0 * 10000.0), 65534.0) END) AS BIGINT)"
+            f" AS u16_sum_{b}"
+        )
+    cols_sql = ",\n                   ".join(cols)
+    return f"""
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            px AS (
+                SELECT image_id, w, h,
+                       (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 AS p0, seed, x, y
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, cast(max((w // 64) * (h // 64)) AS BIGINT) AS n_tiles,
+                   {cols_sql}
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_quicklook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 quicklook / decimated read on the hard gate, VALUE-EXACT: box
+    4x4-downsample + raw8 re-encode through the REAL quicklook operator; the
+    thumbnail BYTES are summed JVM-side via hex pairs.  numpy's half-even
+    block-mean rounding is replayed exactly in SQL (m + (f>8) + (f==8)*(m%2)
+    over the 16-pixel block sum)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import raster
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    ql = raster.quicklook(images, factor=4, fmt="raw8")
+    byte_sum = F.expr(
+        "aggregate(transform(sequence(1, length(bytes)),"
+        " i -> cast(conv(substr(hx, 2*i - 1, 2), 16, 10) as bigint)),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        ql.withColumn("hx", F.hex("bytes"))
+        .select(
+            "image_id", F.col("w").cast("long").alias("thumb_w"),
+            F.col("h").cast("long").alias("thumb_h"),
+            F.length("bytes").cast("long").alias("n_bytes"),
+            byte_sum.alias("byte_sum"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _quicklook_oracle() -> str:
+    # 16-term 4x4 block sum per plane, then numpy-banker's rounding
+    planes = []
+    for p in (0, 1, 2):
+        terms = " + ".join(
+            f"(seed*7 + {p}*31 + (4*x+{dx})*13 + (4*y+{dy})*17"
+            f" + ((4*x+{dx})*(4*y+{dy})) % 29) % 256"
+            for dy in range(4) for dx in range(4)
+        )
+        planes.append(f"({terms}) AS s{p}")
+    plane_cols = ",\n                       ".join(planes)
+    # half-even: m + (f>8 -> 1 | f<8 -> 0 | f==8 -> m%2)
+    rounded = " + ".join(
+        f"(s{p} // 16) + (CASE WHEN s{p} % 16 > 8 THEN 1"
+        f" WHEN s{p} % 16 = 8 THEN (s{p} // 16) % 2 ELSE 0 END)"
+        for p in (0, 1, 2)
+    )
+    return f"""
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            blocks AS (
+                SELECT image_id, w // 4 AS tw, h // 4 AS th,
+                       {plane_cols}
+                FROM imgs,
+                     generate_series(0, 63) AS gy(y),
+                     generate_series(0, 63) AS gx(x)
+                WHERE y < h // 4 AND x < w // 4
+            )
+            SELECT image_id,
+                   cast(max(tw) AS BIGINT) AS thumb_w,
+                   cast(max(th) AS BIGINT) AS thumb_h,
+                   cast(3 * count(*) AS BIGINT) AS n_bytes,
+                   cast(sum({rounded}) AS BIGINT) AS byte_sum
+            FROM blocks GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_collocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 band collocation on the hard gate, VALUE-EXACT: two independently
+    decoded band tile sets (planes 0 and 2) equi-join on the tile key via
+    the REAL collocate operator; scaled-integer ND sums replay in SQL."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import raster
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    red = raster.tiles_from_images(images, plane=0)
+    nir = raster.tiles_from_images(images, plane=2)
+    wide = raster.collocate({"RED": red, "NIR": nir})
+    diff = F.expr(
+        "aggregate(zip_with(px_NIR, px_RED, (n, r) -> cast(n as bigint) - cast(r as bigint)),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        wide.select("image_id", F.size("px_RED").cast("long").alias("n"), diff.alias("d"))
+        .groupBy("image_id")
+        .agg(F.sum("n").alias("n_px"), F.sum("d").alias("nd_sum"))
+        .orderBy("image_id")
+    )
+
+
+def _collocate_oracle() -> str:
+    return """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + 62 + x*13 + y*17 + (x*y) % 29) % 256
+                       - (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 AS d
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px, cast(sum(d) AS BIGINT) AS nd_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_stencil_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 pluggable kernel chain on the hard gate, VALUE-EXACT: a USER
+    3x3-nanmax kernel through apply_stencil (the extension point under
+    slope/hillshade/despeckle) over the stripe images — interior outputs are
+    exactly greatest(left, center, right) of the stripe values."""
+    import numpy as np
+
+    from eoreader_spark.operators import stencil
+
+    def nanmax3(pad: np.ndarray) -> np.ndarray:
+        t = pad.shape[0] - 2
+        stack = np.stack(
+            [pad[1 + dy : 1 + dy + t, 1 + dx : 1 + dx + t]
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        )
+        return np.nanmax(stack, axis=0)
+
+    tiles = _expr_tiles(
+        spark, _LEE_SPEC,
+        "case when ({gx} % 6) < 3 then cast(a as double) else cast(b as double) end",
+    ).select("image_id", "tile_x", "tile_y", "px")
+    out = stencil.apply_stencil(tiles, nanmax3)
+    return _stencil_gate(spark, _LEE_SPEC, out, rounded=False)
+
+
+def _stencil_custom_oracle() -> str:
+    return f"""
+            WITH imgs(image_id, a, b, h, w) AS (VALUES
+                {_spec_values_sql(_LEE_SPEC)}),
+            px AS (
+                SELECT image_id,
+                       greatest(
+                           CASE WHEN ((x - 1 + 6) % 6) < 3 THEN a ELSE b END,
+                           CASE WHEN (x % 6) < 3 THEN a ELSE b END,
+                           CASE WHEN ((x + 1) % 6) < 3 THEN a ELSE b END) AS v
+                FROM imgs,
+                     generate_series(1, 254) AS gy(y),
+                     generate_series(1, 254) AS gx(x)
+                WHERE y <= h - 2 AND x <= w - 2
+            )
+            SELECT image_id, count(*) AS n_int,
+                   cast(sum(v) AS BIGINT) AS px_sum,
+                   cast(min(v) AS BIGINT) AS v_min, cast(max(v) AS BIGINT) AS v_max
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_dem_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 exogenous layers on the hard gate, VALUE-EXACT: a user DEM table
+    attaches through ImageEngine(dem=) and loads as its own band next to a
+    decoded plane (J3 tile-key join); integer sums replay in SQL."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    dem = spark.createDataFrame(
+        [("img000000000000", 64, 64), ("img000000000003", 128, 64),
+         ("img000000000006", 256, 64), ("img000000000009", 64, 128)],
+        "image_id string, h int, w int",
+    ).selectExpr(
+        "image_id",
+        "explode(flatten(transform(sequence(0, h div 64 - 1), ty ->"
+        " transform(sequence(0, w div 64 - 1), tx -> struct(tx as tx, ty as ty))))) as t",
+    ).selectExpr(
+        "image_id", "t.tx as tile_x", "t.ty as tile_y",
+        "transform(sequence(0, 4095), k -> cast("
+        " (3 * (t.tx * 64 + (k % 64)) + 5 * (t.ty * 64 + (k div 64))) % 101"
+        " as float)) as z",
+    )
+    eng = loader.ImageEngine(images, dem=dem)
+    wide = eng.load(["RED", "DEM"], clean="raw", reflectance=False)
+    agg = lambda c: F.sum(  # noqa: E731
+        F.aggregate(
+            F.expr(f"transform({c}, v -> cast(v as bigint))"),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        )
+    )
+    return (
+        wide.groupBy("image_id")
+        .agg(
+            F.sum(F.size("px_RED")).cast("long").alias("n_px"),
+            agg("px_RED").alias("red_sum"),
+            agg("px_DEM").alias("dem_sum"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _dem_attach_oracle() -> str:
+    return """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 AS red,
+                       (3 * x + 5 * y) % 101 AS z
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px,
+                   cast(sum(red) AS BIGINT) AS red_sum,
+                   cast(sum(z) AS BIGINT) AS dem_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -1816,6 +2460,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid": q_centroid,
         "sensor_masks": q_sensor_masks,
         "slstr_view": q_slstr_view,
+        "radiometric_chain": q_radiometric_chain,
+        "mosaic": q_mosaic,
+        "sessionize_batch": q_sessionize_batch,
+        "custom_index": q_custom_index,
+        "mean_angles": q_mean_angles,
+        "archive_scan": q_archive_scan,
+        "stack_sink": q_stack_sink,
+        "quicklook": q_quicklook,
+        "collocate": q_collocate,
+        "stencil_custom": q_stencil_custom,
+        "dem_attach": q_dem_attach,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -2293,6 +2948,17 @@ def oracle_sql() -> dict[str, str]:
         "centroid": _centroid_oracle(),
         "sensor_masks": _sensor_masks_oracle(),
         "slstr_view": _slstr_view_oracle(),
+        "radiometric_chain": _radiometric_oracle(),
+        "mosaic": _mosaic_oracle(),
+        "sessionize_batch": _sessionize_oracle(),
+        "custom_index": _custom_index_oracle(),
+        "mean_angles": _mean_angles_oracle(),
+        "archive_scan": _archive_oracle(),
+        "stack_sink": _stack_sink_oracle(),
+        "quicklook": _quicklook_oracle(),
+        "collocate": _collocate_oracle(),
+        "stencil_custom": _stencil_custom_oracle(),
+        "dem_attach": _dem_attach_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5
         # ties possible for integer v), clean = qa bits 0/1/2 from the RAW

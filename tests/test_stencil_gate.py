@@ -71,3 +71,29 @@ def test_lee_spec_exactness_preconditions():
         assert 2 * (a - b) ** 2 / 9 == 8.0
         # outputs (5a+b)/6 and (a+5b)/6 must be integers
         assert (5 * a + b) % 6 == 0 and (a + 5 * b) % 6 == 0
+
+
+def test_bt_rounding_margins():
+    """radiometric_chain crosses libm ln (JVM Math.log vs DuckDB C log can
+    differ in the last ulp).  Every one of the 256 possible BT values must
+    sit far from a round(bt*1e4) half-boundary relative to that drift."""
+    dn = np.arange(0, 256)
+    L = (dn + 1.0) * 0.125
+    bt = entrymod._BT_K2 / np.log(entrymod._BT_K1 / L + 1.0)
+    x = bt * 1e4
+    margins = np.abs(x - np.floor(x) - 0.5)
+    assert margins.min() > 1e-4  # observed 1.9e-3; libm drift ~1e-8
+
+
+def test_mean_angle_bisectors_are_integers():
+    """mean_angles relies on exact half/half azimuth mixes averaging to an
+    integer bisector (mid-bucket at 4dp); re-derive per spec row."""
+    import math
+
+    for _img, a1, a2, _z1, _z2, h, w in entrymod._ANGLE_SPEC:
+        assert h % 2 == 0 and w % 2 == 0  # exact checkerboard halves
+        s = math.sin(math.radians(a1)) + math.sin(math.radians(a2))
+        c = math.cos(math.radians(a1)) + math.cos(math.radians(a2))
+        mean = (math.degrees(math.atan2(s, c)) + 360.0) % 360.0
+        assert abs(mean - round(mean)) < 1e-9, (a1, a2, mean)
+        assert _margin(mean, 4) > 1e-5 or abs(mean - round(mean)) < 1e-9
