@@ -2391,6 +2391,107 @@ def _dem_attach_oracle() -> str:
         """
 
 
+def q_geotiff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 REAL-container read on the hard gate, VALUE-EXACT: deterministic
+    images encoded as genuine GeoTIFF bytes (pure-numpy TIFF 6.0 writer,
+    sources/geotiff.py — uncompressed planar + ModelPixelScale/Tiepoint/
+    GeoKey EPSG tags) decode through the STANDARD tile path (fmt='tiff' in
+    the codec table); integer pixel sums replay the closed form."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark import codecs
+    from eoreader_spark.operators import raster
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (64, 64) if j % 2 == 0 else (128, 64)
+                img = _c.make_image(j, h, w, planes=3)
+                rows.append((f"tif{j:03d}", _c.encode(img, "tiff"), w, h, "tiff"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = raster.tiles_from_images(images, plane=1)  # GREEN plane via TIFF
+    s = F.aggregate(
+        F.expr("transform(px, v -> cast(v as bigint))"),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return (
+        tiles.select("image_id", F.size("px").cast("long").alias("n"), s.alias("s"))
+        .groupBy("image_id")
+        .agg(F.sum("n").alias("n_px"), F.sum("s").alias("px_sum"))
+        .orderBy("image_id")
+    )
+
+
+def _geotiff_oracle() -> str:
+    # plane 1 of make_image: (seed*7 + 31 + x*13 + y*17 + (x*y)%29) % 256
+    return """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('tif000', 0, 64, 64), ('tif001', 1, 128, 64),
+                ('tif002', 2, 64, 64), ('tif003', 3, 128, 64),
+                ('tif004', 4, 64, 64), ('tif005', 5, 128, 64)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + 31 + x*13 + y*17 + (x*y) % 29) % 256 AS v
+                FROM imgs,
+                     generate_series(0, 127) AS gy(y),
+                     generate_series(0, 63) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px, cast(sum(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
+def q_gcp_ortho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 GCP variant on the hard gate, VALUE-EXACT: the sensor model is FIT
+    from four control points (affine_from_gcps least squares) instead of
+    given; the fitted transform is the same integer (3,5) shift as
+    warp_shift, and lstsq's ~1e-15 noise is irrelevant under nearest
+    resampling (0.5 rounding margin)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import raster, warp
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") != "jpeg")
+    tiles = raster.tiles_from_images(images, plane=0)
+    true = warp.Affine(1, 0, -3, 0, 1, -5)
+    gcps = []
+    for col, row in [(0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (37.0, 81.0)]:
+        import numpy as np
+
+        x, y = true.apply(np.array([col]), np.array([row]))
+        gcps.append((col, row, float(x[0]), float(y[0])))
+    warped = warp.orthorectify_gcps(
+        tiles, gcps, dst_transform=warp.Affine(1, 0, 0, 0, 1, 0), method="nearest"
+    )
+    valid = F.filter("px", lambda x: ~F.isnan(x))
+    per_tile = warped.select(
+        "image_id",
+        F.size("px").cast("long").alias("n"),
+        F.size(valid).alias("nv"),
+        F.aggregate(
+            F.transform(valid, lambda x: x.cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ).alias("s"),
+    )
+    return (
+        per_tile.groupBy("image_id")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("nv").cast("long").alias("n_valid"),
+            F.sum("s").alias("px_sum"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -2471,9 +2572,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocate": q_collocate,
         "stencil_custom": q_stencil_custom,
         "dem_attach": q_dem_attach,
+        "geotiff_read": q_geotiff_read,
+        "gcp_ortho": q_gcp_ortho,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
+
+
+_WARP_SHIFT_SQL = """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000001', 1, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000007', 7, 256, 128),
+                ('img000000000009', 9, 64, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       CASE WHEN (y % 64) + 5 <= 63 AND (x % 64) + 3 <= 63
+                            THEN (seed*7 + (x+3)*13 + (y+5)*17 + ((x+3)*(y+5)) % 29) % 256
+                       END AS v
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   count(v) AS n_valid,
+                   cast(sum(coalesce(v, 0)) AS BIGINT) AS px_sum
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
 
 def _reader_dispatch_oracle() -> str:
     from eoreader_spark.sources import reader
@@ -2959,6 +3090,7 @@ def oracle_sql() -> dict[str, str]:
         "collocate": _collocate_oracle(),
         "stencil_custom": _stencil_custom_oracle(),
         "dem_attach": _dem_attach_oracle(),
+        "geotiff_read": _geotiff_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5
         # ties possible for integer v), clean = qa bits 0/1/2 from the RAW
@@ -3029,32 +3161,10 @@ def oracle_sql() -> dict[str, str]:
         # warp_shift: the 8 lossless (raw8/png) images of the first 12, dims
         # from datagen.image_dims; sampled value = pixel_fn(seed, plane 0,
         # y+5, x+3) when the shifted point stays inside the 64x64 tile
-        "warp_shift": """
-            WITH imgs(image_id, seed, h, w) AS (VALUES
-                ('img000000000000', 0, 64, 64),
-                ('img000000000001', 1, 64, 64),
-                ('img000000000003', 3, 128, 64),
-                ('img000000000004', 4, 128, 64),
-                ('img000000000006', 6, 256, 64),
-                ('img000000000007', 7, 256, 128),
-                ('img000000000009', 9, 64, 128),
-                ('img000000000010', 10, 64, 128)),
-            px AS (
-                SELECT image_id,
-                       CASE WHEN (y % 64) + 5 <= 63 AND (x % 64) + 3 <= 63
-                            THEN (seed*7 + (x+3)*13 + (y+5)*17 + ((x+3)*(y+5)) % 29) % 256
-                       END AS v
-                FROM imgs,
-                     generate_series(0, 255) AS gy(y),
-                     generate_series(0, 255) AS gx(x)
-                WHERE y < h AND x < w
-            )
-            SELECT image_id,
-                   count(*) AS n_px,
-                   count(v) AS n_valid,
-                   cast(sum(coalesce(v, 0)) AS BIGINT) AS px_sum
-            FROM px GROUP BY image_id ORDER BY image_id
-        """,
+        "warp_shift": _WARP_SHIFT_SQL,
+        # same closed form: the GCP least-squares FIT reproduces the
+        # (3,5)-shift transform warp_shift states directly
+        "gcp_ortho": _WARP_SHIFT_SQL,
         # warp_bilinear: half-pixel shift -> all weights 0.25; 4*out = sum of
         # the 4 sampled integers (exact).  Valid iff the 2x2 sample window
         # stays inside the 64x64 tile: local x <= 60, local y <= 61.

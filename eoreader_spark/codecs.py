@@ -170,8 +170,23 @@ def decode_jpeg(data: bytes, h: int | None = None, w: int | None = None) -> np.n
     return np.clip(arr, 0, 255).astype(np.uint8)
 
 
-_ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg}
-_DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg}
+def encode_tiff(img: np.ndarray) -> bytes:
+    """REAL GeoTIFF container (uncompressed planar, pure-numpy writer —
+    sources/geotiff.py); the codec seam's first real container format."""
+    from eoreader_spark.sources import geotiff
+
+    return geotiff.encode_geotiff(img)
+
+
+def decode_tiff(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    from eoreader_spark.sources import geotiff
+
+    img, _meta = geotiff.decode_geotiff(data)
+    return img.astype(np.uint8)
+
+
+_ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg, "tiff": encode_tiff}
+_DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg, "tiff": decode_tiff}
 
 
 def register_codec(fmt: str, encoder, decoder) -> None:

@@ -136,6 +136,69 @@ def padded_tiles(
     return joined.select(*_KEY, F.expr(pad_expr).alias("_pad"))
 
 
+def halo_rows(tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> DataFrame:
+    """Strips-only exchange -> (key, px, halo) rows where ``halo`` is ONE
+    flat 4T+4 float array (nw, top row, ne, left col, right col, sw, bottom
+    row, se; NaN where the image has no neighbour), NULL for tiles with no
+    neighbours at all.
+
+    Why one flat column and no JVM pad assembly (round-3 finding, BENCH.md):
+    (a) carrying 8 separate array columns through the SortMergeJoin made the
+    post-join row->Arrow conversion ~4x slower than the same bytes in one
+    array; (b) the old flatten/transform pad expression is a higher-order
+    function — interpreted per element (~284M element evals per 65k-tile
+    pass), reaching compiled speed only after HotSpot warms the interpreter
+    path, i.e. a 10-20x cold-JVM cliff that EVERY fresh executor would pay
+    at cluster scale.  The coalesce/concat layout below is plain codegen'd
+    expressions; the (T+2)^2 pad is assembled in numpy (vectorized strided
+    writes) inside the kernel pass that already crosses Arrow."""
+    import pyspark.sql.functions as F
+
+    t = tile
+    centers = tiles if partitioned else tiles.repartition(*_KEY)
+    strips = _strip_rows(tiles, tile)
+    halos = strips.groupBy(*_KEY).agg(
+        *[
+            F.max(F.when(F.col("dir") == c, F.col("strip"))).alias(c)
+            for c in _DIR_COLS.values()
+        ]
+    )
+    nan1 = "array(cast('NaN' as float))"
+    nanrow = f"transform(sequence(1, {t}), i -> cast('NaN' as float))"
+    flat = F.expr(
+        f"concat(coalesce(h_nw, {nan1}), coalesce(h_top, {nanrow}),"
+        f" coalesce(h_ne, {nan1}), coalesce(h_left, {nanrow}),"
+        f" coalesce(h_right, {nanrow}), coalesce(h_sw, {nan1}),"
+        f" coalesce(h_bot, {nanrow}), coalesce(h_se, {nan1}))"
+    )
+    hflat = halos.select(*_KEY, flat.alias("halo"))
+    return centers.join(hflat, _KEY, "left")
+
+
+def assemble_pads(pdf: pd.DataFrame, t: int, px_col: str = "px") -> np.ndarray:
+    """(n, T+2, T+2) float32 pads from (px, halo) rows — vectorized numpy
+    strided writes; NaN outside the image (missing halo row or direction)."""
+    n = len(pdf)
+    pad = np.full((n, t + 2, t + 2), np.nan, dtype=np.float32)
+    pad[:, 1 : t + 1, 1 : t + 1] = np.stack(
+        [np.asarray(p, dtype=np.float32) for p in pdf[px_col]]
+    ).reshape(n, t, t)
+    hv = pdf["halo"].to_numpy()
+    mask = pd.notna(hv)
+    if mask.any():
+        idx = np.nonzero(mask)[0]
+        h = np.stack([np.asarray(hv[i], dtype=np.float32) for i in idx])
+        pad[idx, 0, 0] = h[:, 0]
+        pad[idx, 0, 1 : t + 1] = h[:, 1 : 1 + t]
+        pad[idx, 0, t + 1] = h[:, 1 + t]
+        pad[idx, 1 : t + 1, 0] = h[:, 2 + t : 2 + 2 * t]
+        pad[idx, 1 : t + 1, t + 1] = h[:, 2 + 2 * t : 2 + 3 * t]
+        pad[idx, t + 1, 0] = h[:, 2 + 3 * t]
+        pad[idx, t + 1, 1 : t + 1] = h[:, 3 + 3 * t : 3 + 4 * t]
+        pad[idx, t + 1, t + 1] = h[:, 3 + 4 * t]
+    return pad
+
+
 def apply_stencil(
     tiles: DataFrame,
     kernel: Callable[[np.ndarray], np.ndarray],
@@ -144,31 +207,26 @@ def apply_stencil(
     partitioned: bool = False,
 ) -> DataFrame:
     """Generic 3x3-halo stencil with a PYTHON kernel (X3 extension point):
-    kernel((T+2,T+2) padded) -> (T,T).  The halo path is all-JVM
-    (padded_tiles); only the kernel pass crosses Arrow, as one flat float
-    array per tile.  The built-in kernels (slope/hillshade/despeckle) use
-    apply_stencil_expr instead — zero Python, zero Arrow."""
-    import pyspark.sql.functions as F  # noqa: F401
-
+    kernel((T+2,T+2) padded) -> (T,T).  Strips-only shuffle; the flat halo
+    column joins the center tiles JVM-side, and the pad assembles in numpy
+    inside the one Arrow pass (see halo_rows for why)."""
     t = tile
-    padded = padded_tiles(tiles, tile, partitioned)
+    joined = halo_rows(tiles, tile, partitioned)
     schema = f"image_id string, tile_x int, tile_y int, {out_col} array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            pads = assemble_pads(pdf, t)
             out_px = [
-                kernel(
-                    np.asarray(pad, dtype=np.float32).reshape(t + 2, t + 2)
-                ).astype(np.float32).ravel()
-                for pad in pdf["_pad"]
+                kernel(pads[i]).astype(np.float32).ravel() for i in range(len(pdf))
             ]
             out = pdf[["image_id", "tile_x", "tile_y"]].copy()
             out[out_col] = out_px
             yield out
 
-    return padded.mapInPandas(batch, schema=schema)
+    return joined.mapInPandas(batch, schema=schema)
 
 
 def _nb(dy: int, dx: int, t: int) -> str:

@@ -180,6 +180,42 @@ def orthorectify(
     return joined.mapInPandas(batch, schema=schema)
 
 
+def affine_from_gcps(gcps: list[tuple[float, float, float, float]]) -> Affine:
+    """Least-squares affine fit from ground control points (col, row, x, y):
+    the rasterio ``transform.from_gcps`` analog for the GCP-based
+    orthorectification path (reference accepts GCPs as well as RPCs,
+    /root/reference/eoreader/products/product.py:2842-2909).
+
+    Solves ground = A @ pixel + b in one dense lstsq (>= 3 non-collinear
+    GCPs); exact when the GCPs are affine-consistent, least-squares best fit
+    otherwise.  The result broadcasts into warp_affine/orthorectify like any
+    hand-built transform."""
+    g = np.asarray(gcps, dtype=np.float64)
+    if g.shape[0] < 3:
+        raise ValueError("affine_from_gcps needs >= 3 GCPs")
+    M = np.column_stack([g[:, 0], g[:, 1], np.ones(len(g))])
+    sol, *_ = np.linalg.lstsq(M, g[:, 2:4], rcond=None)
+    cx, cy = sol[:, 0], sol[:, 1]
+    return Affine(cx[0], cx[1], cx[2], cy[0], cy[1], cy[2])
+
+
+def orthorectify_gcps(
+    tiles: DataFrame,
+    gcps: list[tuple[float, float, float, float]],
+    dst_transform: Affine,
+    method: str = "bilinear",
+    tile: int = TILE,
+    px_col: str = "px",
+) -> DataFrame:
+    """J5 GCP variant: fit the sensor model from control points, then warp —
+    the reference's GCP path (no height term; for RPC + DEM use
+    orthorectify)."""
+    return warp_affine(
+        tiles, src_transform=affine_from_gcps(gcps), dst_transform=dst_transform,
+        method=method, tile=tile, px_col=px_col,
+    )
+
+
 def geocode_swath(
     swath: DataFrame,
     grid: DataFrame,

@@ -88,13 +88,15 @@ def test_stencil_shuffles_strips_only(spark):
     assert plan.count("REPARTITION_BY_COL") == 1  # centers: once, reusable
     assert plan.count("ENSURE_REQUIREMENTS") == 1  # strips only
     assert "partial_max" in plan  # map-side combine before the strip exchange
-    # the halo path (strip extraction, pivot, pad assembly) is ALL-JVM: the
-    # only MapInPandas stages are the dem GENERATOR (appears twice: centers
-    # and strips subtrees, deduped at runtime by AQE stage reuse) and the
-    # single numpy KERNEL pass over the flat pad
+    # the halo path (strip extraction, pivot, flat-halo concat) is ALL-JVM
+    # codegen'd expressions: the only MapInPandas stages are the dem
+    # GENERATOR (appears twice: centers and strips subtrees, deduped at
+    # runtime by AQE stage reuse) and the single numpy KERNEL pass that
+    # receives (px, halo) and assembles the pad in numpy (round-3 redesign:
+    # one flat halo column through the join, no interpreted-HOF pad expr)
     physical = plan.split("== Physical Plan ==")[-1]
     assert physical.count("MapInPandas") <= 3
-    assert "h_left" in plan and "_pad" in plan  # JVM pivot + assembly present
+    assert "h_left" in plan and "halo" in plan  # JVM pivot + flat halo present
     # pre-partitioned source (bucketed at rest): NO full-payload exchange
     part = dem.repartition("image_id", "tile_x", "tile_y")
     plan2 = _plan(stencil.slope(part, partitioned=True), mode="extended")

@@ -144,3 +144,28 @@ def test_stac_roundtrip_open(spark):
         assert r.orbit_direction == s.orbit_direction
         assert r.cloud_cover == s.cloud_cover
         assert r.geom_wkt.startswith("POLYGON")
+
+
+def test_affine_from_gcps_exact_and_lstsq(spark):
+    """J5 GCP path: affine-consistent GCPs recover the transform (to float
+    noise); a redundant noisy set still best-fits; < 3 points refuses."""
+    import numpy as np
+    import pytest as _pytest
+
+    from eoreader_spark.operators.warp import Affine, affine_from_gcps
+
+    true = Affine(2.0, 0.5, 100.0, -0.25, 3.0, -40.0)
+    pts = [(0.0, 0.0), (50.0, 0.0), (0.0, 50.0), (37.0, 81.0), (12.0, 5.0)]
+    gcps = []
+    for c, r in pts:
+        x, y = true.apply(np.array([c]), np.array([r]))
+        gcps.append((c, r, float(x[0]), float(y[0])))
+    fit = affine_from_gcps(gcps)
+    for attr in "abcdef":
+        assert abs(getattr(fit, attr) - getattr(true, attr)) < 1e-9
+    # redundant + symmetric noise: mean-zero perturbation keeps the fit close
+    noisy = [(c, r, x + (0.1 if i % 2 else -0.1), y) for i, (c, r, x, y) in enumerate(gcps[:4])]
+    fit2 = affine_from_gcps(noisy)
+    assert abs(fit2.a - true.a) < 0.05
+    with _pytest.raises(ValueError):
+        affine_from_gcps(gcps[:2])
