@@ -2492,6 +2492,74 @@ def q_gcp_ortho(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 CleanMethod levels on the hard gate, VALUE-EXACT: the SAME plane
+    loaded at clean='raw' / 'nodata' / 'clean' yields strictly decreasing
+    valid counts (raw >= nodata >= clean) with closed-form values — the
+    reference's RAW/NODATA/CLEAN ladder (optical_product.py:48-67)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    qa = datagen.gen_qa_masks(spark, 12).join(
+        F.broadcast(images.select("image_id")), "image_id"
+    )
+    eng = loader.ImageEngine(images, qa_masks=qa)
+    outs = []
+    for level in ("raw", "nodata", "clean"):
+        wide = eng.load(["RED"], clean=level, reflectance=False)
+        valid = F.filter("px_RED", lambda x: x.isNotNull() & ~F.isnan(x))
+        outs.append(
+            wide.groupBy("image_id").agg(
+                F.sum(F.size(valid)).cast("long").alias(f"n_valid_{level}"),
+                F.sum(
+                    F.aggregate(
+                        F.transform(valid, lambda x: x.cast("long")),
+                        F.lit(0).cast("long"), lambda a, x: a + x,
+                    )
+                ).alias(f"dn_sum_{level}"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.join(o, "image_id")
+    return out.orderBy("image_id")
+
+
+def _clean_levels_oracle() -> str:
+    cols = []
+    for level, bad in (
+        ("raw", "FALSE"),
+        ("nodata", "p0 % 97 = 0"),
+        ("clean", "p0 % 97 = 0 OR p0 % 89 = 0 OR p0 > 250"),
+    ):
+        cols.append(
+            f"cast(sum(CASE WHEN {bad} THEN 0 ELSE 1 END) AS BIGINT) AS n_valid_{level}"
+        )
+        cols.append(
+            f"cast(sum(CASE WHEN {bad} THEN 0 ELSE p0 END) AS BIGINT) AS dn_sum_{level}"
+        )
+    cols_sql = ",\n                   ".join(cols)
+    return f"""
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 AS p0
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id,
+                   {cols_sql}
+            FROM px GROUP BY image_id ORDER BY image_id
+        """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -2574,6 +2642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_attach": q_dem_attach,
         "geotiff_read": q_geotiff_read,
         "gcp_ortho": q_gcp_ortho,
+        "clean_levels": q_clean_levels,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3091,6 +3160,7 @@ def oracle_sql() -> dict[str, str]:
         "stencil_custom": _stencil_custom_oracle(),
         "dem_attach": _dem_attach_oracle(),
         "geotiff_read": _geotiff_oracle(),
+        "clean_levels": _clean_levels_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5
         # ties possible for integer v), clean = qa bits 0/1/2 from the RAW
