@@ -53,32 +53,45 @@ _DIR_COLS = {
 }
 
 
-def _strip_exprs(tile: int) -> dict[tuple[int, int], str]:
+def _strip_exprs(tile: int, px_col: str = "px") -> dict[tuple[int, int], str]:
     """JVM strip-extraction expressions over a row-major (T,T) px array —
     slices for rows, strided element_at for columns; pure codegen, NO
     Python/Arrow in the extraction pass."""
-    t = tile
+    t, px = tile, px_col
     return {
-        (0, 1): f"slice(px, {t * (t - 1) + 1}, {t})",   # sender's bottom row
-        (0, -1): f"slice(px, 1, {t})",                   # sender's top row
-        (1, 0): f"transform(sequence(0, {t - 1}), i -> element_at(px, i * {t} + {t}))",
-        (-1, 0): f"transform(sequence(0, {t - 1}), i -> element_at(px, i * {t} + 1))",
-        (1, 1): f"array(element_at(px, {t * t}))",       # sender's SE corner
-        (1, -1): f"array(element_at(px, {t}))",          # sender's NE corner
-        (-1, 1): f"array(element_at(px, {t * (t - 1) + 1}))",  # sender's SW
-        (-1, -1): "array(element_at(px, 1))",            # sender's NW corner
+        (0, 1): f"slice({px}, {t * (t - 1) + 1}, {t})",   # sender's bottom row
+        (0, -1): f"slice({px}, 1, {t})",                   # sender's top row
+        (1, 0): f"transform(sequence(0, {t - 1}), i -> element_at({px}, i * {t} + {t}))",
+        (-1, 0): f"transform(sequence(0, {t - 1}), i -> element_at({px}, i * {t} + 1))",
+        (1, 1): f"array(element_at({px}, {t * t}))",       # sender's SE corner
+        (1, -1): f"array(element_at({px}, {t}))",          # sender's NE corner
+        (-1, 1): f"array(element_at({px}, {t * (t - 1) + 1}))",  # sender's SW
+        (-1, -1): f"array(element_at({px}, 1))",            # sender's NW corner
     }
 
 
-def _strip_rows(tiles: DataFrame, tile: int) -> DataFrame:
+def _strip_rows(
+    tiles: DataFrame, tile: int, px_cols: tuple[str, ...] = ("px",)
+) -> DataFrame:
     """Emit ONLY the 8 neighbour-addressed edge strips of each tile (the
-    center tile does NOT re-enter the shuffle), entirely JVM-side."""
+    center tile does NOT re-enter the shuffle), entirely JVM-side.  With
+    several px columns (multi-band stencil) each direction's strip is the
+    per-band strips CONCATENATED in px_cols order — bands share ONE strips
+    exchange instead of one per band."""
     import pyspark.sql.functions as F
 
-    exprs = _strip_exprs(tile)
+    per_col = {c: _strip_exprs(tile, c) for c in px_cols}
+    strip_of = {
+        d: (
+            per_col[px_cols[0]][d]
+            if len(px_cols) == 1
+            else "concat(" + ", ".join(per_col[c][d] for c in px_cols) + ")"
+        )
+        for d in _DIRS
+    }
     structs = ", ".join(
         f"named_struct('tile_x', tile_x + {dx}, 'tile_y', tile_y + {dy},"
-        f" 'dir', '{_DIR_COLS[(dx, dy)]}', 'strip', {exprs[(dx, dy)]})"
+        f" 'dir', '{_DIR_COLS[(dx, dy)]}', 'strip', {strip_of[(dx, dy)]})"
         for dx, dy in _DIRS
     )
     return tiles.select(
@@ -136,7 +149,12 @@ def padded_tiles(
     return joined.select(*_KEY, F.expr(pad_expr).alias("_pad"))
 
 
-def halo_rows(tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> DataFrame:
+def halo_rows(
+    tiles: DataFrame,
+    tile: int = TILE,
+    partitioned: bool = False,
+    px_cols: tuple[str, ...] = ("px",),
+) -> DataFrame:
     """Strips-only exchange -> (key, px, halo) rows where ``halo`` is ONE
     flat 4T+4 float array (nw, top row, ne, left col, right col, sw, bottom
     row, se; NaN where the image has no neighbour), NULL for tiles with no
@@ -155,16 +173,17 @@ def halo_rows(tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> 
     import pyspark.sql.functions as F
 
     t = tile
+    nb = len(px_cols)
     centers = tiles if partitioned else tiles.repartition(*_KEY)
-    strips = _strip_rows(tiles, tile)
+    strips = _strip_rows(tiles, tile, px_cols)
     halos = strips.groupBy(*_KEY).agg(
         *[
             F.max(F.when(F.col("dir") == c, F.col("strip"))).alias(c)
             for c in _DIR_COLS.values()
         ]
     )
-    nan1 = "array(cast('NaN' as float))"
-    nanrow = f"transform(sequence(1, {t}), i -> cast('NaN' as float))"
+    nan1 = f"transform(sequence(1, {nb}), i -> cast('NaN' as float))"
+    nanrow = f"transform(sequence(1, {nb * t}), i -> cast('NaN' as float))"
     flat = F.expr(
         f"concat(coalesce(h_nw, {nan1}), coalesce(h_top, {nanrow}),"
         f" coalesce(h_ne, {nan1}), coalesce(h_left, {nanrow}),"
@@ -175,28 +194,51 @@ def halo_rows(tiles: DataFrame, tile: int = TILE, partitioned: bool = False) -> 
     return centers.join(hflat, _KEY, "left")
 
 
-def assemble_pads(pdf: pd.DataFrame, t: int, px_col: str = "px") -> np.ndarray:
-    """(n, T+2, T+2) float32 pads from (px, halo) rows — vectorized numpy
-    strided writes; NaN outside the image (missing halo row or direction)."""
+def assemble_pads_multi(
+    pdf: pd.DataFrame, t: int, px_cols: tuple[str, ...] = ("px",)
+) -> dict[str, np.ndarray]:
+    """{px_col: (n, T+2, T+2) float32 pads} from (px..., halo) rows —
+    vectorized numpy strided writes; NaN outside the image (missing halo row
+    or direction).  The flat halo segments are band-concatenated in px_cols
+    order (see _strip_rows)."""
+    nb = len(px_cols)
     n = len(pdf)
-    pad = np.full((n, t + 2, t + 2), np.nan, dtype=np.float32)
-    pad[:, 1 : t + 1, 1 : t + 1] = np.stack(
-        [np.asarray(p, dtype=np.float32) for p in pdf[px_col]]
-    ).reshape(n, t, t)
+    pads = {c: np.full((n, t + 2, t + 2), np.nan, dtype=np.float32) for c in px_cols}
+    for c in px_cols:
+        pads[c][:, 1 : t + 1, 1 : t + 1] = np.stack(
+            [np.asarray(p, dtype=np.float32) for p in pdf[c]]
+        ).reshape(n, t, t)
     hv = pdf["halo"].to_numpy()
     mask = pd.notna(hv)
     if mask.any():
         idx = np.nonzero(mask)[0]
         h = np.stack([np.asarray(hv[i], dtype=np.float32) for i in idx])
-        pad[idx, 0, 0] = h[:, 0]
-        pad[idx, 0, 1 : t + 1] = h[:, 1 : 1 + t]
-        pad[idx, 0, t + 1] = h[:, 1 + t]
-        pad[idx, 1 : t + 1, 0] = h[:, 2 + t : 2 + 2 * t]
-        pad[idx, 1 : t + 1, t + 1] = h[:, 2 + 2 * t : 2 + 3 * t]
-        pad[idx, t + 1, 0] = h[:, 2 + 3 * t]
-        pad[idx, t + 1, 1 : t + 1] = h[:, 3 + 3 * t : 3 + 4 * t]
-        pad[idx, t + 1, t + 1] = h[:, 3 + 4 * t]
-    return pad
+        # segment offsets in the flat layout: nw | top | ne | left | right
+        # | sw | bot | se, each holding nb band blocks
+        nw = 0
+        top = nw + nb
+        ne = top + nb * t
+        left = ne + nb
+        right = left + nb * t
+        sw = right + nb * t
+        bot = sw + nb
+        se = bot + nb * t
+        for i, c in enumerate(px_cols):
+            p = pads[c]
+            p[idx, 0, 0] = h[:, nw + i]
+            p[idx, 0, 1 : t + 1] = h[:, top + i * t : top + (i + 1) * t]
+            p[idx, 0, t + 1] = h[:, ne + i]
+            p[idx, 1 : t + 1, 0] = h[:, left + i * t : left + (i + 1) * t]
+            p[idx, 1 : t + 1, t + 1] = h[:, right + i * t : right + (i + 1) * t]
+            p[idx, t + 1, 0] = h[:, sw + i]
+            p[idx, t + 1, 1 : t + 1] = h[:, bot + i * t : bot + (i + 1) * t]
+            p[idx, t + 1, t + 1] = h[:, se + i]
+    return pads
+
+
+def assemble_pads(pdf: pd.DataFrame, t: int, px_col: str = "px") -> np.ndarray:
+    """Single-band pad assembly (see assemble_pads_multi)."""
+    return assemble_pads_multi(pdf, t, (px_col,))[px_col]
 
 
 def apply_stencil(
@@ -227,6 +269,49 @@ def apply_stencil(
             yield out
 
     return joined.mapInPandas(batch, schema=schema)
+
+
+def apply_stencil_multi(
+    tiles: DataFrame,
+    kernels: dict[str, tuple[str, Callable[[np.ndarray], np.ndarray]]],
+    tile: int = TILE,
+    partitioned: bool = False,
+) -> DataFrame:
+    """Several stencil kernels over several bands in ONE pass: kernels maps
+    out_col -> (px_col, kernel).  All bands share a single strips exchange,
+    a single halo join, and a single Arrow pass — the fused form the loader
+    uses for SLOPE+HILLSHADE(+DEM) over one DEM and for multi-band
+    despeckle, instead of one exchange + join per output (the round-2
+    VERDICT #2 join-per-thing anti-pattern, killed for stencils too)."""
+    t = tile
+    px_cols = tuple(dict.fromkeys(pc for pc, _ in kernels.values()))
+    joined = halo_rows(tiles, tile, partitioned, px_cols=px_cols)
+    out_cols = list(kernels)
+    schema = "image_id string, tile_x int, tile_y int, " + ", ".join(
+        f"{oc} array<float>" for oc in out_cols
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pads = assemble_pads_multi(pdf, t, px_cols)
+            out = pdf[["image_id", "tile_x", "tile_y"]].copy()
+            for oc, (pc, kernel) in kernels.items():
+                p = pads[pc]
+                out[oc] = [
+                    kernel(p[i]).astype(np.float32).ravel() for i in range(len(pdf))
+                ]
+            yield out
+
+    return joined.mapInPandas(batch, schema=schema)
+
+
+def center_kernel(pad: np.ndarray) -> np.ndarray:
+    """Identity kernel (returns the unpadded center) — lets a raw band ride
+    a fused apply_stencil_multi pass for free (e.g. DEM next to SLOPE)."""
+    t = pad.shape[0] - 2
+    return pad[1 : t + 1, 1 : t + 1]
 
 
 def _nb(dy: int, dx: int, t: int) -> str:

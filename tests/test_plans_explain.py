@@ -124,3 +124,25 @@ def test_per_band_qa_clean_is_one_join(spark):
     # ...and cleaning costs exactly ONE join regardless of plane count
     n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
     assert n_joins == 1, plan
+
+
+def test_fused_dem_stencil_is_one_pass(spark):
+    """DEM + SLOPE + HILLSHADE must share ONE strips exchange, ONE halo join
+    and ONE MapInPandas kernel pass (round-3 fusion), attached to the wide
+    row with a single derived-side join."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 2).filter(F.col("fmt") == "raw8")
+    dem = datagen.gen_dem(spark, 2)
+    eng = loader.ImageEngine(images, dem=dem)
+    wide = eng.load(["RED", "DEM", "SLOPE", "HILLSHADE"], clean="raw", reflectance=False)
+    plan = _plan(wide, "simple")
+    # ONE strips pivot: 8 partial_max direction aggregates (a second stencil
+    # pass would double this to 16)
+    assert plan.count("partial_max") == 8, plan
+    # ...and exactly TWO joins total: the internal halo join + ONE join that
+    # attaches all three derived bands to the wide row (the unfused form
+    # had 3 halo joins + 3 attach joins)
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins == 2, plan

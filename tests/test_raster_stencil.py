@@ -276,3 +276,32 @@ def test_apply_stencil_custom_python_kernel(spark):
     pad[1:-1, 1:-1] = z
     want = max3x3(pad)
     assert np.allclose(np.asarray(r.px).reshape(t, t), want, atol=1e-4)
+
+
+def test_multi_band_despeckle_matches_single(spark):
+    """apply_stencil_multi over two bands must equal two single-band
+    despeckle runs bit-for-bit (shared strips exchange changes the plan,
+    not the values)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import stencil
+
+    dem = datagen.gen_dem(spark, 3).withColumnRenamed("z", "px")
+    two = dem.withColumn("px2", F.expr("transform(px, v -> v * cast(2 as float))"))
+    fused = stencil.apply_stencil_multi(
+        two,
+        {"o1": ("px", stencil.lee_kernel_factory()),
+         "o2": ("px2", stencil.lee_kernel_factory())},
+    )
+    single1 = stencil.despeckle(dem)
+    single2 = stencil.despeckle(
+        two.select("image_id", "tile_x", "tile_y", F.col("px2").alias("px"))
+    )
+    f = {(r.image_id, r.tile_x, r.tile_y): (r.o1, r.o2) for r in fused.collect()}
+    s1 = {(r.image_id, r.tile_x, r.tile_y): r.px for r in single1.collect()}
+    s2 = {(r.image_id, r.tile_x, r.tile_y): r.px for r in single2.collect()}
+    assert set(f) == set(s1) == set(s2)
+    import numpy as np
+
+    for k in f:
+        np.testing.assert_array_equal(np.asarray(f[k][0]), np.asarray(s1[k]))
+        np.testing.assert_array_equal(np.asarray(f[k][1]), np.asarray(s2[k]))
