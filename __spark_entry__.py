@@ -2560,6 +2560,117 @@ def _clean_levels_oracle() -> str:
         """
 
 
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text fingerprinting (rolling document hash) on the value-exact gate:
+    hash_algo='md5x15' keys each token on md5 (shared by every engine), so
+    the order-sensitive modular fold replays in DuckDB via list_reduce."""
+    from eoreader_spark.operators import text as textops
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return docs.select(
+        "doc_id", textops.fingerprint(F.col("text"), hash_algo="md5x15").alias("fp")
+    ).orderBy("doc_id")
+
+
+def q_image_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image path, VALUE-EXACT: real decode of raw8 payloads in
+    the media table + 8x8 box-resize feature extraction (mapInPandas).  Dims
+    are multiples of 8 with power-of-two block counts, so every block mean is
+    exact in float32 and f*64 is an engine-independent integer; the oracle
+    replays the closed-form pixel function and block sums in SQL."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import multimodal
+
+    media = datagen.gen_media(spark, 24)
+    feats = multimodal.image_features(media, resize=8)
+    scaled = F.transform("features", lambda x: x * 64)
+    return (
+        feats.select(
+            "media_id",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x).cast("long").alias("feat_sum_x64"),
+            F.array_min(scaled).cast("long").alias("feat_min_x64"),
+            F.array_max(scaled).cast("long").alias("feat_max_x64"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def q_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path, VALUE-EXACT: REAL stdlib-wave decode of PCM WAV
+    payloads; round(sig*32768) reconstructs the int16 samples bit-for-bit
+    (division by a power of two is exact), so the integer sample stats replay
+    from the generator's closed form via generate_series."""
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import multimodal
+
+    media = datagen.gen_media(spark, 24)
+    return multimodal.audio_stats(media).orderBy("media_id")
+
+
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 clean-band cache / memoized resume on the gate: run 1 commits the
+    even cells only (a simulated kill between stages), the resumed run's
+    pending() anti-join recomputes ONLY the missing odd cells.  Output =
+    latest lineage rows (cell -> row_count) plus the resumed run's
+    rows_written, which equals the odd-cell total iff the resume skipped
+    every committed cell.  The 8-row collect freezes results before the tmp
+    store is deleted (bounded metadata, not data)."""
+    import shutil
+    import tempfile
+
+    from eoreader_spark.lineage import LineageStore
+
+    root = tempfile.mkdtemp(prefix="eordr_lineage_gate_")
+    try:
+        store = LineageStore(spark, root)
+        orders = _t(spark, sf_dir, "orders").withColumn(
+            "cell", (F.col("o_orderkey") % 8).cast("long")
+        )
+        store.run_stage("orders_by_cell", orders.filter(F.col("cell") % 2 == 0), "cell")
+        res = store.run_stage("orders_by_cell", orders, "cell")
+        rows = sorted(
+            (int(r["part_key"]), int(r["row_count"]), int(res["rows_written"]))
+            for r in store.lineage_latest().select("part_key", "row_count").collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "part_key long, row_count long, resumed_rows long"
+    ).orderBy("part_key")
+
+
+def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 band-existence predicates across three engine configurations: a
+    generic 3-plane layout with qa+DEM side tables attached, a 14-plane
+    S2-L2A layout with neither, and a SAR layout.  The oracle states the
+    expected availability matrix from the published band semantics (SWIR
+    needs the multispectral layout, masks need a qa table, SLOPE needs a DEM,
+    despeckle needs the SAR plane), independent of the engine code path."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    probes = [
+        "CLOUD_MASK", "NBR", "NDVI", "NIR", "RED",
+        "SCL", "SLOPE", "SWIR_2", "VV", "VV_DSPK",
+    ]
+    cfgs = [
+        (
+            "LEGACY3",
+            dict(qa_masks=datagen.gen_qa_masks(spark, 2), dem=datagen.gen_dem(spark, 2)),
+        ),
+        ("S2_L2A", {}),
+        ("S1_GRD", {}),
+    ]
+    rows = []
+    for name, kw in cfgs:
+        eng = loader.ImageEngine(datagen.gen_images(spark, 2, layout=name), band_map=name, **kw)
+        rows += [(name, b, int(eng.has_band(b))) for b in probes]
+    return spark.createDataFrame(rows, "layout string, band string, available int").orderBy(
+        "layout", "band"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -2643,6 +2754,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_read": q_geotiff_read,
         "gcp_ortho": q_gcp_ortho,
         "clean_levels": q_clean_levels,
+        "fingerprint": q_fingerprint,
+        "image_feats": q_image_feats,
+        "audio_feats": q_audio_feats,
+        "lineage_resume": q_lineage_resume,
+        "band_presence": q_band_presence,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3266,5 +3382,106 @@ def oracle_sql() -> dict[str, str]:
                    count(v4) AS n_valid,
                    cast(sum(coalesce(v4, 0)) AS BIGINT) AS px4_sum
             FROM px GROUP BY image_id ORDER BY image_id
+        """,
+        # fingerprint: the md5x15 token hash is shared by both engines; the
+        # rolling fold replays with list_reduce (acc*31 < 2^61, hash < 2^60
+        # keep every intermediate in BIGINT; all operands nonnegative so
+        # DuckDB % == Spark pmod)
+        "fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(cast(0 AS BIGINT),
+                           list_transform(
+                               regexp_split_to_array(trim(lower(text)), '\s+'),
+                               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT
+                                    % 72057594037927931)),
+                       (acc, x) -> (acc * 31 + x) % 72057594037927931) AS fp
+            FROM documents WHERE doc_id < 60 ORDER BY doc_id
+        """,
+        # image_feats: gen_media's closed-form raw8 pixels; feature f(block)
+        # = blocksum/(bh*bw); f*64 = blocksum * 4096/(h*w), an integer for
+        # every generated dim (h*w in {1024, 2048, 4096})
+        "image_feats": """
+            WITH imgs AS (
+                SELECT i, 'med' || lpad(cast(i AS VARCHAR), 8, '0') AS media_id,
+                       CASE WHEN (i // 2) % 2 = 0 THEN 32 ELSE 64 END AS h,
+                       CASE WHEN (i // 2) % 3 = 0 THEN 64 ELSE 32 END AS w
+                FROM generate_series(0, 23) AS g(i) WHERE i % 2 = 0
+            ),
+            px AS (
+                SELECT media_id, h, w, p, y, x,
+                       (i*7 + p*31 + x*13 + y*17 + (x*y) % 29) % 256 AS v
+                FROM imgs,
+                     generate_series(0, 2) AS gp(p),
+                     generate_series(0, 63) AS gy(y),
+                     generate_series(0, 63) AS gx(x)
+                WHERE y < h AND x < w
+            ),
+            blocks AS (
+                SELECT media_id, h, w, p, (y*8) // h AS by, (x*8) // w AS bx,
+                       sum(v) * (4096 // (h*w)) AS fx64
+                FROM px GROUP BY media_id, h, w, p, (y*8) // h, (x*8) // w
+            )
+            SELECT media_id,
+                   cast(count(*) AS BIGINT) AS n_feat,
+                   cast(sum(fx64) AS BIGINT) AS feat_sum_x64,
+                   cast(min(fx64) AS BIGINT) AS feat_min_x64,
+                   cast(max(fx64) AS BIGINT) AS feat_max_x64
+            FROM blocks GROUP BY media_id ORDER BY media_id
+        """,
+        # audio_feats: generator closed form for the odd (audio) media ids
+        "audio_feats": """
+            WITH s AS (
+                SELECT i, ((i*7919 + j*31) % 4001) - 2000 AS k
+                FROM generate_series(0, 23) AS g(i),
+                     generate_series(0, 2047) AS gj(j)
+                WHERE i % 2 = 1
+            )
+            SELECT 'med' || lpad(cast(i AS VARCHAR), 8, '0') AS media_id,
+                   cast(count(*) AS BIGINT) AS n_samples,
+                   cast(sum(k) AS BIGINT) AS s_sum,
+                   cast(min(k) AS BIGINT) AS s_min,
+                   cast(max(k) AS BIGINT) AS s_max,
+                   cast(sum(k*k) AS BIGINT) AS ss_sum
+            FROM s GROUP BY i ORDER BY media_id
+        """,
+        # lineage_resume: final per-cell counts are the full groupBy; the
+        # resumed run wrote exactly the odd cells (even cells were committed
+        # by run 1 and must be skipped by the pending anti-join)
+        "lineage_resume": """
+            WITH c AS (
+                SELECT o_orderkey % 8 AS part_key, count(*) AS row_count
+                FROM orders GROUP BY 1
+            )
+            SELECT part_key,
+                   cast(row_count AS BIGINT) AS row_count,
+                   cast((SELECT sum(row_count) FROM c WHERE part_key % 2 = 1)
+                        AS BIGINT) AS resumed_rows
+            FROM c ORDER BY part_key
+        """,
+        # band_presence: expected availability from published band semantics
+        # (S2 MSI L2A carries SWIR -> NBR computable; a generic 3-plane
+        # RGB/NIR layout does not; masks need an attached qa table; SLOPE
+        # needs a DEM; Sentinel-1 GRD carries VV/VH only)
+        "band_presence": """
+            SELECT layout, band, cast(available AS INTEGER) AS available
+            FROM (VALUES
+                ('LEGACY3', 'CLOUD_MASK', 1), ('LEGACY3', 'NBR', 0),
+                ('LEGACY3', 'NDVI', 1), ('LEGACY3', 'NIR', 1),
+                ('LEGACY3', 'RED', 1), ('LEGACY3', 'SCL', 1),
+                ('LEGACY3', 'SLOPE', 1), ('LEGACY3', 'SWIR_2', 0),
+                ('LEGACY3', 'VV', 0), ('LEGACY3', 'VV_DSPK', 0),
+                ('S2_L2A', 'CLOUD_MASK', 0), ('S2_L2A', 'NBR', 1),
+                ('S2_L2A', 'NDVI', 1), ('S2_L2A', 'NIR', 1),
+                ('S2_L2A', 'RED', 1), ('S2_L2A', 'SCL', 0),
+                ('S2_L2A', 'SLOPE', 0), ('S2_L2A', 'SWIR_2', 1),
+                ('S2_L2A', 'VV', 0), ('S2_L2A', 'VV_DSPK', 0),
+                ('S1_GRD', 'CLOUD_MASK', 0), ('S1_GRD', 'NBR', 0),
+                ('S1_GRD', 'NDVI', 0), ('S1_GRD', 'NIR', 0),
+                ('S1_GRD', 'RED', 0), ('S1_GRD', 'SCL', 0),
+                ('S1_GRD', 'SLOPE', 0), ('S1_GRD', 'SWIR_2', 0),
+                ('S1_GRD', 'VV', 1), ('S1_GRD', 'VV_DSPK', 1)
+            ) AS t(layout, band, available)
+            ORDER BY layout, band
         """,
     }

@@ -445,6 +445,58 @@ def gen_band_qa_masks(
     return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
 
 
+def gen_media(spark: SparkSession, n: int) -> DataFrame:
+    """T9 `media` — multimodal payload rows (operators/multimodal.MEDIA_SCHEMA):
+    even ids carry raw8 images from the closed-form pixel function, odd ids
+    carry REAL 16-bit PCM WAV bytes with samples
+
+        pcm16[j] = ((id*7919 + j*31) % 4001) - 2000,  j in [0, 2048)
+
+    — both replayable in SQL (the image via pixel_plane's formula, the audio
+    via generate_series), so multimodal decode can sit on the value-exact
+    gate.  Image dims are multiples of 8 with power-of-two block counts so
+    8x8 box-means are exact in float32."""
+    import io as _io
+    import wave as _wave
+
+    schema = (
+        "media_id string, kind string, bytes binary, fmt string,"
+        " w int, h int, sample_rate int, n_frames int"
+    )
+    n_samples, sr = 2048, 16000
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                mid = f"med{i:08d}"
+                if i % 2 == 0:
+                    m = i // 2
+                    h = 32 if m % 2 == 0 else 64
+                    w = 64 if m % 3 == 0 else 32
+                    img = codecs.make_image(i, h, w, planes=3)
+                    rows.append((mid, "image", codecs.encode(img, "raw8"), "raw8", w, h, 0, 0))
+                else:
+                    j = np.arange(n_samples, dtype=np.int64)
+                    pcm16 = (((i * 7919 + j * 31) % 4001) - 2000).astype("<i2")
+                    buf = _io.BytesIO()
+                    with _wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(sr)
+                        wf.writeframes(pcm16.tobytes())
+                    rows.append((mid, "audio", buf.getvalue(), "wav", 0, 0, sr, n_samples))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "bytes", "fmt", "w", "h", "sample_rate", "n_frames",
+                ],
+            )
+
+    return spark.range(n, numPartitions=max(4, n // 256)).mapInPandas(batch, schema=schema)
+
+
 def parent_cell_udf(parent_res: int):
     """Vectorized cell->parent-cell column (partition-key derivation)."""
     from pyspark.sql import functions as F

@@ -124,6 +124,34 @@ def audio_features(media: DataFrame, n_mels: int = 16, fake: bool = False) -> Da
     return media.filter("kind = 'audio'").mapInPandas(batch, schema=schema)
 
 
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Integer sample statistics over REAL-decoded PCM WAV payloads.
+
+    decode_wav's float32 signal is pcm16/32768 — exact for every int16 (the
+    divisor is a power of two), so round(sig*32768) reconstructs the encoded
+    samples bit-for-bit and the emitted sums are engine-independent integers:
+    this is the value-exact gate surface for the multimodal audio path
+    (sum of squares stays < 2^62 for any WAV under ~2^31 samples)."""
+    schema = (
+        "media_id string, n_samples long, s_sum long, s_min long, s_max long, ss_sum long"
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                sig, _ = decode_wav(bytes(data))  # REAL decode
+                k = np.round(sig.astype(np.float64) * 32768.0).astype(np.int64)
+                rows.append(
+                    (mid, len(k), int(k.sum()), int(k.min()), int(k.max()), int((k * k).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "s_sum", "s_min", "s_max", "ss_sum"]
+            )
+
+    return media.filter("kind = 'audio'").mapInPandas(batch, schema=schema)
+
+
 def video_frame_sample(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """STUB: video decode needs ffmpeg (absent).  Emits one row per sampled
     frame with a per-frame feature vector; with fake=True frames are

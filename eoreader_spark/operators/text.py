@@ -73,15 +73,27 @@ def quality_score(text: Column | str) -> Column:
     return F.round((len_ok * 0.4 + punct_ok * 0.4 + stop_ok * 0.2), 6)
 
 
-def fingerprint(text: Column | str) -> Column:
+def fingerprint(text: Column | str, hash_algo: str = "xxhash64") -> Column:
     """Order-sensitive rolling document hash: h = (h*31 + hash(token)) mod M
     with M < 2^56 so the fold never overflows long (ANSI mode errors on
-    wraparound; modular fold keeps identical semantics everywhere)."""
+    wraparound; modular fold keeps identical semantics everywhere).
+
+    hash_algo='xxhash64' is the fast JVM default; 'md5x15' keys each token on
+    the first 15 hex digits of md5 — an algorithm every engine shares, so the
+    whole fold replays in ANSI SQL (the minhash md5 bridge, same recipe):
+    acc*31 < 2^61 and token hash < 2^60 keep every intermediate in long."""
     M = F.lit(72057594037927931).cast("long")  # 2^56 - 5
+    if hash_algo == "md5x15":
+        def th(t: Column) -> Column:
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    elif hash_algo == "xxhash64":
+        th = F.xxhash64
+    else:
+        raise ValueError(f"unknown hash_algo {hash_algo!r}")
     return F.aggregate(
         tokens(F.lower(text)),
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), M), M),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + F.pmod(th(t), M), M),
     )
 
 

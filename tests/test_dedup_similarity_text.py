@@ -123,6 +123,23 @@ def test_text_analyzers(spark, docs):
     )
     fps = {r.doc_id: r.fp for r in df.select("doc_id", text.fingerprint("text").alias("fp")).collect()}
     assert fps[1] == fps[3] and fps[1] != fps[2]
+    # md5x15 mode: same order-sensitivity, and the fold replays in pure
+    # python from md5 (the engine-shared hash the gate oracle uses)
+    fpm = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", text.fingerprint("text", hash_algo="md5x15").alias("fp")
+        ).collect()
+    }
+    assert fpm[1] == fpm[3] and fpm[1] != fpm[2]
+    import hashlib
+
+    M = 72057594037927931
+    acc = 0
+    for tok in "alpha beta gamma".split():
+        th = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % M
+        acc = (acc * 31 + th) % M
+    assert fpm[1] == acc
 
 
 def test_simhash_pigeonhole_recall_beyond_3(spark):

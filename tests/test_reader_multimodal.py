@@ -104,3 +104,37 @@ def test_audio_non_wav_still_guarded(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|libsndfile"):
         multimodal.audio_features(media).collect()
+
+
+def test_gen_media_audio_stats_exact(spark):
+    """gen_media WAV payloads + audio_stats: REAL stdlib decode reconstructs
+    the generator's int16 samples bit-for-bit (integer stats vs closed form)."""
+    media = datagen.gen_media(spark, 8)
+    got = {r.media_id: r for r in multimodal.audio_stats(media).collect()}
+    assert set(got) == {f"med{i:08d}" for i in range(1, 8, 2)}
+    for i in range(1, 8, 2):
+        j = np.arange(2048, dtype=np.int64)
+        k = ((i * 7919 + j * 31) % 4001) - 2000
+        r = got[f"med{i:08d}"]
+        assert (r.n_samples, r.s_sum, r.s_min, r.s_max, r.ss_sum) == (
+            2048, int(k.sum()), int(k.min()), int(k.max()), int((k * k).sum())
+        )
+
+
+def test_gen_media_image_feats_exact(spark):
+    """image_features over gen_media images: block means are exact in float32
+    (power-of-two block counts by construction) and equal numpy's on the
+    closed-form pixels — array_equal, not allclose."""
+    media = datagen.gen_media(spark, 8)
+    got = {
+        r.media_id: np.asarray(r.features, dtype=np.float64)
+        for r in multimodal.image_features(media, resize=8).collect()
+    }
+    assert set(got) == {f"med{i:08d}" for i in range(0, 8, 2)}
+    for i in range(0, 8, 2):
+        m = i // 2
+        h = 32 if m % 2 == 0 else 64
+        w = 64 if m % 3 == 0 else 32
+        img = codecs.make_image(i, h, w, planes=3).astype(np.float64)
+        want = img.reshape(3, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).ravel()
+        assert np.array_equal(got[f"med{i:08d}"], want)
