@@ -2450,6 +2450,93 @@ def _geotiff_oracle() -> str:
         """
 
 
+def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy container on the hard gate: deterministic images encoded
+    as genuine baseline JPEG (sources/jpegc.py — 8x8 DCT + Annex K
+    quantization/Huffman, pure numpy from the public T.81 spec) decode
+    through the STANDARD tile path (fmt='jfif' in the codec table).  Pixel
+    sums and the squared error vs the closed-form original are integers; the
+    oracle states them from an independent single-process numpy replay, so
+    distributed decode == local decode bit-for-bit.  psnr_ok pins the
+    >=40 dB invariant (BASELINE.json:15) by exact integer compare:
+    PSNR >= 40  <=>  sqerr * 10^4 <= n * 255^2."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark.operators import raster
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (64, 64) if j % 2 == 0 else (128, 64)
+                img = _c.make_image(j, h, w, planes=3)
+                rows.append((f"jfif{j:03d}", _c.encode(img, "jfif"), w, h, "jfif"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = raster.tiles_from_images(images, plane=0)
+    seed = F.substring("image_id", 5, 3).cast("long")
+
+    def sqerr_el(v: F.Column, i: F.Column) -> F.Column:
+        x = F.col("tile_x").cast("long") * 64 + (i % 64)
+        y = F.col("tile_y").cast("long") * 64 + F.floor(i / 64).cast("long")
+        orig = F.pmod(seed * 7 + x * 13 + y * 17 + F.pmod(x * y, 29), F.lit(256))
+        d = v.cast("long") - orig
+        return d * d
+
+    add = lambda a, x: a + x  # noqa: E731
+    zero = F.lit(0).cast("long")
+    vsum = F.aggregate(F.expr("transform(px, v -> cast(v as bigint))"), zero, add)
+    esum = F.aggregate(F.transform("px", sqerr_el), zero, add)
+    return (
+        tiles.select(
+            "image_id", F.size("px").cast("long").alias("n"),
+            vsum.alias("s"), esum.alias("e"),
+        )
+        .groupBy("image_id")
+        .agg(F.sum("n").alias("n_px"), F.sum("s").alias("px_sum"), F.sum("e").alias("sqerr_sum"))
+        .withColumn(
+            "psnr_ok",
+            (F.col("sqerr_sum") * 10000 <= F.col("n_px") * 65025).cast("int"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _jfif_oracle() -> str:
+    """Independent single-process replay: the same public-spec codec run
+    locally in numpy (not through Spark) produces the expected per-image
+    stats as literals; psnr_ok re-derives the 40 dB gate in SQL."""
+    from eoreader_spark import codecs as _c
+
+    rows = []
+    for j in range(6):
+        h, w = (64, 64) if j % 2 == 0 else (128, 64)
+        img = _c.make_image(j, h, w, planes=3)
+        dec = _c.decode(_c.encode(img, "jfif"), "jfif", h, w)[0].astype(np.int64)
+        orig = img[0].astype(np.int64)
+        rows.append(
+            f"('jfif{j:03d}', {dec.size}, {int(dec.sum())}, {int(((dec - orig) ** 2).sum())})"
+        )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT image_id, cast(n_px AS BIGINT) AS n_px,
+                   cast(px_sum AS BIGINT) AS px_sum,
+                   cast(sqerr_sum AS BIGINT) AS sqerr_sum,
+                   cast(CASE WHEN sqerr_sum * 10000 <= n_px * 65025
+                             THEN 1 ELSE 0 END AS INTEGER) AS psnr_ok
+            FROM (VALUES
+                {values}
+            ) AS t(image_id, n_px, px_sum, sqerr_sum)
+            ORDER BY image_id
+        """
+
+
 def q_gcp_ortho(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 GCP variant on the hard gate, VALUE-EXACT: the sensor model is FIT
     from four control points (affine_from_gcps least squares) instead of
@@ -2759,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_feats": q_audio_feats,
         "lineage_resume": q_lineage_resume,
         "band_presence": q_band_presence,
+        "jfif_decode": q_jfif_decode,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3276,6 +3364,7 @@ def oracle_sql() -> dict[str, str]:
         "stencil_custom": _stencil_custom_oracle(),
         "dem_attach": _dem_attach_oracle(),
         "geotiff_read": _geotiff_oracle(),
+        "jfif_decode": _jfif_oracle(),
         "clean_levels": _clean_levels_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5

@@ -8,10 +8,15 @@ COG encode).  The container has no rasterio/PIL/libjpeg, so:
 - ``png``   : a REAL minimal PNG codec (8-bit RGB, zlib, filters 0-2) written
               here from the public PNG spec — exact round-trip.
 - ``jpeg``  : DETERMINISTIC FAKE lossy codec ("qjpg"): uniform quantization by
-              Q=3 + zlib.  Stands in for libjpeg; quantization error <= 1
-              DN -> PSNR ~ 49 dB, which exercises the PSNR>=40dB (not exact)
-              invariant of BASELINE.json:15 exactly like real JPEG rows would.
-              Clearly marked; swap for a real codec when libjpeg exists.
+              Q=3 + zlib.  Kept because its closed form (round(v/3)*3) is
+              SQL-replayable, which the value-exact gate oracles rely on.
+- ``jfif``  : REAL baseline JPEG (sources/jpegc.py — 8x8 DCT, Annex K
+              quantization + Huffman tables, byte-stuffed scans, written from
+              the public ITU-T T.81 spec).  Any plane count via one
+              non-interleaved scan per component; default quality 95 keeps
+              PSNR >= 40 dB (BASELINE.json:15) on worst-case content.
+- ``tiff``  : REAL GeoTIFF container (sources/geotiff.py, uncompressed
+              planar, geo tags).
 
 Images are N-plane uint8 (planes = spectral bands per the band_map table),
 row-major (plane, y, x).  The legacy default is 3 planes (RED/GREEN/NIR);
@@ -185,8 +190,26 @@ def decode_tiff(data: bytes, h: int | None = None, w: int | None = None) -> np.n
     return img.astype(np.uint8)
 
 
-_ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg, "tiff": encode_tiff}
-_DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg, "tiff": decode_tiff}
+def encode_jfif(img: np.ndarray) -> bytes:
+    """REAL baseline JPEG (sources/jpegc.py: DCT + quantization + Huffman,
+    pure numpy from the public T.81 spec).  Registered as its own fmt so the
+    closed-form 'jpeg' (qjpg) oracles stay replayable; gate queries that
+    exercise a true transform codec use 'jfif'."""
+    from eoreader_spark.sources import jpegc
+
+    return jpegc.encode_jfif(img)
+
+
+def decode_jfif(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    from eoreader_spark.sources import jpegc
+
+    return jpegc.decode_jfif(data)
+
+
+_ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg, "tiff": encode_tiff,
+             "jfif": encode_jfif}
+_DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg, "tiff": decode_tiff,
+             "jfif": decode_jfif}
 
 
 def register_codec(fmt: str, encoder, decoder) -> None:

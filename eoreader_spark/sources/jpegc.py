@@ -1,0 +1,404 @@
+"""REAL baseline JPEG (JFIF) codec — pure numpy, written from the public
+ITU-T T.81 spec (no libjpeg in this container).
+
+Reference analog: eoreader reads lossy-compressed rasters (JP2/COG) through
+rasterio (/root/reference/eoreader/utils.py:137-299); this file gives the
+engine a true DCT-based lossy container so the PSNR>=40dB decoded-pixel
+invariant (BASELINE.json:15) is exercised by a real transform codec, not the
+qjpg quantization stand-in.
+
+Scope (all of baseline sequential DCT, 8-bit):
+- FDCT/IDCT: orthonormal 8x8 DCT-II via matrix multiply (vectorized over all
+  blocks of a plane at once).
+- Quantization: Annex K luminance table scaled by the IJG quality formula;
+  the table travels in DQT, so the decoder honors whatever the stream says.
+- Entropy coding: canonical Annex K Huffman tables (DC/AC luminance),
+  byte-stuffed (FF 00) scan data; tables travel in DHT segments.
+- Any plane count: components are encoded NON-interleaved, one SOS scan per
+  component (spec-legal baseline; a scan with Ns=1 needs no MCU assembly),
+  so the same container carries 1-plane DEM tiles, 3-plane RGB, or a
+  14-plane multispectral stack.  Sampling factors are all 1x1 (4:4:4).
+- Markers: SOI, APP0 (JFIF 1.1), DQT, SOF0, DHT, SOS*, EOI.  DRI/RSTn and
+  progressive modes are not emitted and rejected loudly on decode.
+
+Encode and decode are both deterministic numpy, so distributed decode is
+bit-for-bit reproducible across partitionings — the property every gate
+query relies on.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+# zigzag scan order: position k in the scan reads flat raster index ZIG[k]
+ZIG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIG = np.argsort(ZIG)
+
+# Annex K Table K.1 luminance quantization table (raster order)
+QTBL_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Tables K.3/K.5: standard DC/AC luminance Huffman specs
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = 0.5 * np.cos((2 * n + 1) * k * np.pi / 16.0)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_D = _dct_matrix()
+
+
+def _quality_table(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K luminance table (public formula)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    t = (QTBL_LUM * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _huff_codes(DC_BITS, DC_VALS)
+_AC_ENC = _huff_codes(AC_BITS, AC_VALS)
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bitwise decoding."""
+    return {(ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, extra bits)."""
+    cat = int(abs(v)).bit_length()
+    extra = v if v >= 0 else v + (1 << cat) - 1
+    return cat, extra
+
+
+def _plane_coeffs(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
+    """(h, w) uint8 -> (nblocks, 64) quantized zigzag coefficients."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
+    coeffs = np.einsum("ij,bxjk,lk->bxil", _D, blocks, _D, optimize=True)
+    q = np.round(coeffs / qtbl).astype(np.int64)
+    return q.reshape(-1, 64)[:, ZIG]
+
+
+def encode_jfif(img: np.ndarray, quality: int = 95) -> bytes:
+    """(planes, h, w) uint8 -> baseline JFIF bytes (one scan per plane).
+
+    Default quality 95 clears the PSNR>=40dB invariant with ~2 dB margin
+    even on the worst-case synthetic pattern (the (x*y)%29 term is near
+    white noise — the hardest content for a DCT codec; measured 42.4 dB at
+    q95 vs 38.5 dB at q92)."""
+    p, h, w = img.shape
+    assert h < 65536 and w < 65536 and 1 <= p <= 255
+    qtbl = _quality_table(quality)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # DQT (stored in zigzag order per spec)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+        int(v) for v in qtbl.reshape(-1)[ZIG]
+    )
+    # SOF0: 8-bit precision, all components 1x1 sampling, quant table 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * p, 8, h, w, p)
+    for c in range(p):
+        out += struct.pack(">BBB", c + 1, 0x11, 0)
+    # DHT: DC table 0 + AC table 0
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(DC_VALS), 0x00)
+    out += bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(AC_VALS), 0x10)
+    out += bytes(AC_BITS) + bytes(AC_VALS)
+
+    for c in range(p):  # one non-interleaved scan per component
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + struct.pack(">BB", c + 1, 0x00)
+        out += struct.pack(">BBB", 0, 63, 0)  # Ss, Se, AhAl
+        bw = _BitWriter()
+        pred = 0
+        for zz in _plane_coeffs(img[c], qtbl):
+            dc = int(zz[0])
+            cat, extra = _magnitude(dc - pred)
+            pred = dc
+            code, ln = _DC_ENC[cat]
+            bw.write(code, ln)
+            bw.write(extra, cat)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = _AC_ENC[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                cat, extra = _magnitude(v)
+                code, ln = _AC_ENC[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(extra, cat)
+                run = 0
+            if last < 63:
+                code, ln = _AC_ENC[0x00]  # EOB
+                bw.write(code, ln)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(extra: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return extra if extra >= (1 << (cat - 1)) else extra - (1 << cat) + 1
+
+
+def _decode_scan(
+    data: bytes,
+    nblocks: int,
+    dc_map: dict[tuple[int, int], int],
+    ac_map: dict[tuple[int, int], int],
+) -> np.ndarray:
+    """Entropy-decode one single-component scan -> (nblocks, 64) zigzag."""
+    br = _BitReader(data)
+    out = np.zeros((nblocks, 64), dtype=np.int64)
+    pred = 0
+
+    def read_symbol(m: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = m.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in scan")
+
+    for b in range(nblocks):
+        cat = read_symbol(dc_map)
+        pred += _extend(br.read(cat), cat)
+        out[b, 0] = pred
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_map)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            cat = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            out[b, k] = _extend(br.read(cat), cat)
+            k += 1
+    return out
+
+
+def decode_jfif(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (planes, h, w) uint8."""
+    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    planes: dict[int, np.ndarray] = {}
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                t = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8).astype(np.int64)
+                qtables[tq] = t[_UNZIG].reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for c in range(nf):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential DCT (SOF0) supported")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                m = _huff_decode_map(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = m
+                off += 17 + nv
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS: single-component scan
+            ns = seg[0]
+            if ns != 1:
+                raise NotImplementedError("interleaved scans not supported (Ns=1 only)")
+            cid, tda = seg[1], seg[2]
+            # entropy data: up to the next marker (skipping stuffed FF 00
+            # and fill bytes FF FF)
+            start = pos + 2 + seglen
+            cursor = start
+            chunks = []
+            while cursor < len(data):
+                b = data[cursor]
+                if b == 0xFF:
+                    nxt = data[cursor + 1]
+                    if nxt == 0x00:
+                        chunks.append(data[start:cursor + 1])  # keep the FF
+                        cursor += 2
+                        start = cursor
+                        continue
+                    if nxt == 0xFF:  # fill byte
+                        chunks.append(data[start:cursor])
+                        cursor += 1
+                        start = cursor
+                        continue
+                    chunks.append(data[start:cursor])
+                    break
+                cursor += 1
+            scan = b"".join(chunks)
+            nb = (-(-h // 8)) * (-(-w // 8))
+            zz = _decode_scan(scan, nb, huff_dc[tda >> 4], huff_ac[tda & 0x0F])
+            tq = dict(comps)[cid]
+            coeffs = np.zeros((nb, 64), dtype=np.float64)
+            coeffs[:, ZIG] = zz.astype(np.float64)
+            coeffs = coeffs.reshape(nb, 8, 8) * qtables[tq]
+            spatial = np.einsum("ji,bjk,kl->bil", _D, coeffs, _D, optimize=True)
+            nby, nbx = -(-h // 8), -(-w // 8)
+            full = (
+                spatial.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+            planes[cid] = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            pos = cursor
+            continue
+        pos += 2 + seglen
+
+    if not comps:
+        raise ValueError("no SOF0 frame found")
+    missing = [cid for cid, _ in comps if cid not in planes]
+    if missing:
+        raise ValueError(f"missing scans for components {missing}")
+    return np.stack([planes[cid] for cid, _ in comps])
