@@ -2450,6 +2450,53 @@ def _geotiff_oracle() -> str:
         """
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (SIGMOD 2003 MOSS scheme) on the
+    value-exact gate: the engine computes per-doc rightmost-min-per-window
+    selections with numpy sliding windows in ONE mapInPandas pass; the
+    oracle restates the identical polynomial Horner hash and window-min
+    selection with SQL window functions — two independent formulations of
+    the same public algorithm."""
+    from eoreader_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    return dedup.winnow_fingerprints(docs, k=5, w=4).orderBy("doc_id", "pos")
+
+
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    horner = "0"
+    for j in range(k):
+        horner = f"(({horner}) * 257 + ord(substr(t, pos + {j} + 1, 1))) % 999999999989"
+    return f"""
+            WITH d AS (
+                SELECT doc_id, lower(text) AS t, length(text) AS n
+                FROM documents WHERE doc_id < 40 AND length(text) >= {k + w - 1}
+            ),
+            grams AS (
+                SELECT doc_id, pos, {horner} AS h
+                FROM d, generate_series(0, 4000) AS g(pos)
+                WHERE pos <= n - {k}
+            ),
+            wins AS (
+                SELECT doc_id, pos AS wstart,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn,
+                       max(pos) OVER (PARTITION BY doc_id) AS maxpos
+                FROM grams
+            ),
+            sel AS (
+                SELECT v.doc_id, max(g.pos) AS pos, v.mn AS fh
+                FROM (SELECT * FROM wins WHERE wstart <= maxpos - {w - 1}) v
+                JOIN grams g
+                  ON g.doc_id = v.doc_id
+                 AND g.pos BETWEEN v.wstart AND v.wstart + {w - 1}
+                 AND g.h = v.mn
+                GROUP BY v.doc_id, v.wstart, v.mn
+            )
+            SELECT DISTINCT doc_id, pos, fh FROM sel ORDER BY doc_id, pos
+        """
+
+
 def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy container on the hard gate: deterministic images encoded
     as genuine baseline JPEG (sources/jpegc.py — 8x8 DCT + Annex K
@@ -2847,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": q_lineage_resume,
         "band_presence": q_band_presence,
         "jfif_decode": q_jfif_decode,
+        "winnow": q_winnow,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3365,6 +3413,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_attach": _dem_attach_oracle(),
         "geotiff_read": _geotiff_oracle(),
         "jfif_decode": _jfif_oracle(),
+        "winnow": _winnow_oracle(),
         "clean_levels": _clean_levels_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5

@@ -391,3 +391,93 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ------------------------------------------------------------------ winnowing
+WINNOW_B = 257
+WINNOW_M = 999999999989  # prime < 2^40: Horner step h*257 + c stays < 2^63
+
+
+def _winnow_doc(codes: np.ndarray, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnow one document: (codepoints,) -> (positions, hashes) of the
+    selected k-gram fingerprints (rightmost-min per window, deduplicated).
+
+    Hash = polynomial rolling hash, Horner form with per-step mod so every
+    intermediate fits int64 for ANY codepoint — the identical expression the
+    SQL oracle states symbolically."""
+    n = len(codes) - k + 1
+    if n < w:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(codes.astype(np.int64), k)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        h = (h * WINNOW_B + win[:, j]) % WINNOW_M
+    hw = np.lib.stride_tricks.sliding_window_view(h, w)  # (n - w + 1, w)
+    mins = hw.min(axis=1)
+    # rightmost occurrence of the window min — the paper's tie rule keeps
+    # fingerprint sets position-consistent between overlapping documents
+    right = w - 1 - np.argmax(hw[:, ::-1] == mins[:, None], axis=1)
+    pos = np.unique(np.arange(len(mins), dtype=np.int64) + right)
+    return pos, h[pos]
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 5, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003;
+    the MOSS scheme).  Guarantee: any substring match of length >=
+    w + k - 1 between two documents shares at least one fingerprint;
+    expected density ~ 2/(w+1) of all k-grams.
+
+    Scale shape: winnowing is per-document-local, so this is ONE
+    mapInPandas pass with numpy sliding windows — no explode of per-char
+    rows into the shuffle (an n-gram explode would multiply the corpus ~L
+    times before any aggregation).  Reference analog: none upstream — this
+    is a training-pipeline addition alongside minhash/simhash."""
+    schema = f"{id_col} long, pos long, fh long"
+
+    def batch(it):
+        for pdf in it:
+            ids, poss, fhs = [], [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                codes = np.array([ord(c) for c in str(txt).lower()], dtype=np.int64)
+                pos, fh = _winnow_doc(codes, k, w)
+                ids.extend([did] * len(pos))
+                poss.extend(pos.tolist())
+                fhs.extend(fh.tolist())
+            yield pd.DataFrame({id_col: ids, "pos": poss, "fh": fhs})
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema)
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: float | None = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidates via shared winnowed fingerprints: inverted
+    index on fh -> self-join -> pairs sharing >= min_shared prints.  max_df
+    drops prints appearing in more than that fraction of documents BEFORE
+    the self-join (the same hot-key fanout cap as ngram_jaccard: a print in
+    n docs makes n^2 candidate rows on one shuffle key)."""
+    fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    prints = fps.select(id_col, "fh").distinct()
+    if max_df is not None:
+        n_docs = df.select(id_col).distinct().count()
+        cap = max(int(n_docs * max_df), 1)
+        hot = prints.groupBy("fh").count().filter(F.col("count") > cap).select("fh")
+        prints = prints.join(F.broadcast(hot), "fh", "left_anti")
+    a = prints.select(F.col(id_col).alias("id_a"), "fh")
+    b = prints.select(F.col(id_col).alias("id_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_prints"))
+        .filter(F.col("shared_prints") >= min_shared)
+    )

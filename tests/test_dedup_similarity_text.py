@@ -220,3 +220,51 @@ def test_ngram_hot_shingle_cap_bounds_fanout(spark):
             if j >= 0.5:
                 want[(a, b)] = round(j, 6)
     assert got == want
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing guarantee: any shared substring of length >= w + k - 1
+    yields at least one shared fingerprint; density stays near 2/(w+1)."""
+    import random
+
+    random.seed(11)
+    shared = "the quick brown fox jumps over the lazy dog"  # len 43 >= 8
+    mk = lambda: "".join(random.choice("ghijklmnop ") for _ in range(80))
+    rows = [
+        (1, mk() + shared + mk()),
+        (2, mk() + shared + mk()),
+        (3, mk()),  # no planted overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fh)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    # expected density ~ 2/(w+1) = 0.4 of the ~200 grams per doc
+    n_grams = len(rows[0][1]) - 4
+    assert 0.15 * n_grams <= len(by_doc[1]) <= 0.6 * n_grams
+
+
+def test_winnow_pairs_finds_near_dups(spark, docs):
+    """Planted near-dups (one token perturbed) must pair with their source
+    via shared winnowed prints; the hot-print cap keeps per-key fanout
+    bounded."""
+    pairs = dedup.winnow_pairs(docs, min_shared=3, max_df=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    base_ids = [r.doc_id for r in docs.filter("doc_id < 5").select("doc_id").collect()]
+    for b in base_ids:
+        assert (b, 10000 + b) in got, f"exact dup {b} not paired"
+        assert (b, 20000 + b) in got, f"near dup {b} not paired"
+    # hot-print cap: a print present in EVERY doc is dropped before the
+    # self-join (no quadratic candidate blowup on one key)
+    hot_docs = spark.createDataFrame(
+        [(i, "zzzz common-prefix-shared-by-all " + "x" * i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    fps = dedup.winnow_fingerprints(hot_docs, k=5, w=4)
+    n_prints = fps.select("fh").distinct().count()
+    capped = dedup.winnow_pairs(hot_docs, min_shared=1, max_df=0.3)
+    uncapped = dedup.winnow_pairs(hot_docs, min_shared=1, max_df=None)
+    assert capped.count() < uncapped.count() == 20 * 19 // 2
+    assert n_prints > 0
