@@ -56,6 +56,38 @@ def scale_factor(px: Column | str, factor: float) -> Column:
     return F.transform(px, lambda x: x * F.lit(float(factor)))
 
 
+S2_DEFAULT_QUANTIF = 10000.0
+S2_OFFSET_BASELINE_4 = -1000.0
+
+
+def s2_radio_offset(processing_baseline: float | str, mtd_offset: float | None = None) -> float:
+    """F2 S2 processing-baseline-dependent DN offset (the reference reads it
+    from the datatake MTD per band, /root/reference/eoreader/products/
+    optical/s2_product.py:695-716): baselines < 04.00 carry no offset;
+    >= 04.00 apply RADIO_ADD_OFFSET / BOA_ADD_OFFSET — uniformly -1000 in
+    every published product, the default when no MTD value is supplied.
+    Feed the result into ``dn_to_reflectance(px, offset=..., quantif=...)``."""
+    pb = float(str(processing_baseline).replace("_", "."))
+    if pb < 4.0:
+        return 0.0
+    return S2_OFFSET_BASELINE_4 if mtd_offset is None else float(mtd_offset)
+
+
+def earth_sun_distance(date) -> float:
+    """F4 Sun-Earth distance in AU from the acquisition date — the
+    reference's ephemeris-free fallback formula
+    (/root/reference/eoreader/products/optical/optical_product.py:785-791,
+    the published Copernicus TOA-reflectance recipe): julian day counted
+    from 1950-01-01, d = 1 - 0.01673*cos(0.0172*(jd - 2)).  Pass the result
+    as ``toa_rad_to_refl(..., earth_sun_dist=...)``."""
+    import datetime as _dt
+
+    ref = _dt.datetime(1950, 1, 1)
+    d0 = date if isinstance(date, _dt.datetime) else _dt.datetime(date.year, date.month, date.day)
+    jd = (d0.replace(tzinfo=None) - ref).days + 1
+    return 1.0 - 0.01673 * math.cos(0.0172 * (jd - 2))
+
+
 # F5: SLSTR-style per-band-per-view radiance-adjustment coefficient SETS.
 # Values are the PUBLIC product-notice table S3.PN-SLSTR-L1.08 (nadir /
 # oblique corrections for the solar channels), mirrored from the reference's

@@ -305,3 +305,31 @@ def test_multi_band_despeckle_matches_single(spark):
     for k in f:
         np.testing.assert_array_equal(np.asarray(f[k][0]), np.asarray(s1[k]))
         np.testing.assert_array_equal(np.asarray(f[k][1]), np.asarray(s2[k]))
+
+
+def test_s2_baseline_offset_and_sun_distance(spark):
+    """F2/F4 parity: the baseline-4 DN offset and the ephemeris-free
+    Sun-Earth-distance formula reproduce the reference's published
+    semantics (s2_product.py:695-716, optical_product.py:785-791)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from eoreader_spark.functions import radiometry as rad
+
+    assert rad.s2_radio_offset("02.07") == 0.0
+    assert rad.s2_radio_offset(3.99) == 0.0
+    assert rad.s2_radio_offset("04.00") == -1000.0
+    assert rad.s2_radio_offset(5.0, mtd_offset=-1000.5) == -1000.5
+    # perihelion (early Jan) < 1 AU < aphelion (early Jul); annual bounds
+    d_jan = rad.earth_sun_distance(dt.datetime(2024, 1, 3))
+    d_jul = rad.earth_sun_distance(dt.datetime(2024, 7, 4))
+    assert 0.9832 < d_jan < 0.9840 and 1.0160 < d_jul < 1.0168
+    # wire into the reflectance chain: (DN + offset)/quantif over an array
+    df = spark.createDataFrame([([float(v) for v in range(0, 4000, 500)],)], "px array<float>")
+    off = rad.s2_radio_offset("05.00")
+    out = df.select(
+        rad.dn_to_reflectance("px", offset=off, quantif=rad.S2_DEFAULT_QUANTIF).alias("r")
+    ).first()["r"]
+    want = (np.arange(0, 4000, 500, dtype=np.float64) - 1000.0) / 10000.0
+    assert np.allclose(np.asarray(out), want)
