@@ -2497,6 +2497,24 @@ def _winnow_oracle(k: int = 5, w: int = 4) -> str:
         """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup canonicalization: connected components over a deterministic
+    pair graph derived from events (113 nodes, 34 components, diameter 3 at
+    sf0.01 — multi-round label propagation genuinely exercised).  The
+    engine runs iterative min-label propagation (one shuffle join + one
+    groupBy-min per round, lineage-checkpointed); the oracle computes the
+    same components as a DuckDB recursive-CTE transitive closure — two
+    independent formulations of min-reachable-id."""
+    from eoreader_spark.operators import dedup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    pairs = ev.select(
+        (F.col("user_id") % 120).alias("id_a"),
+        ((F.col("user_id") * 7) % 120).alias("id_b"),
+    ).filter("id_a != id_b")
+    return dedup.connected_components(pairs).orderBy("id")
+
+
 def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy container on the hard gate: deterministic images encoded
     as genuine baseline JPEG (sources/jpegc.py — 8x8 DCT + Annex K
@@ -2895,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "band_presence": q_band_presence,
         "jfif_decode": q_jfif_decode,
         "winnow": q_winnow,
+        "dedup_clusters": q_dedup_clusters,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3414,6 +3433,23 @@ def oracle_sql() -> dict[str, str]:
         "geotiff_read": _geotiff_oracle(),
         "jfif_decode": _jfif_oracle(),
         "winnow": _winnow_oracle(),
+        "dedup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT user_id % 120 AS a, (user_id * 7) % 120 AS b
+                FROM events WHERE event_id < 400
+            ),
+            sym AS (
+                SELECT a AS src, b AS dst FROM e WHERE a != b
+                UNION
+                SELECT b, a FROM e WHERE a != b
+            ),
+            reach(id, r) AS (
+                SELECT DISTINCT src, src FROM sym
+                UNION
+                SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+            )
+            SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+        """,
         "clean_levels": _clean_levels_oracle(),
         "embedding_near_dup": _embedding_near_dup_oracle(),
         # raster_load: decode closed form (jpeg-analog = round(v/3)*3, no .5

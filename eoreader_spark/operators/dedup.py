@@ -481,3 +481,70 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("shared_prints"))
         .filter(F.col("shared_prints") >= min_shared)
     )
+
+
+# --------------------------------------------------------- dedup clustering
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Near-dup pairs -> connected components: (id, component) where
+    component = the minimum node id reachable through the pair graph.  This
+    is the canonicalization step after any pair generator (minhash/simhash/
+    winnow/embedding): keep one doc per component, drop the rest.
+
+    Algorithm: alternating min-label propagation — every round each node
+    takes the min label among itself and its neighbours; converges in
+    O(graph diameter) rounds (near-dup graphs are shallow: dup clusters are
+    cliques or short chains).  Scale shape per round: ONE shuffle join of
+    the (symmetric, distinct) edge list against the label frame plus a
+    groupBy-min — no collect of graph data; convergence is detected by a
+    count() aggregate of changed labels (metadata-scale).  Labels are
+    re-persisted every round and the lineage is truncated via localCheckpoint
+    every `checkpoint_every` rounds, the standard guard against iterative-
+    plan blowup.  Nodes with no edges never appear in `pairs`; callers union
+    them back as singletons."""
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    backing = labels  # the persisted/checkpointed frame backing `labels`
+    for it in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nmin"))
+        )
+        stepped = labels.join(nbr_min, labels.id == nbr_min.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "new_label"
+            ),
+            F.col("label").alias("prev"),
+        )
+        # materialize the step BEFORE releasing the previous cache — freeing
+        # it first would force every later round to recompute the whole
+        # label history (quadratic re-execution)
+        if (it + 1) % checkpoint_every == 0:
+            stepped = stepped.localCheckpoint(eager=True)
+        else:
+            stepped = stepped.persist()
+        changed = stepped.filter(F.col("new_label") < F.col("prev")).count()
+        backing.unpersist()
+        backing = stepped
+        labels = stepped.select("id", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("component"))

@@ -268,3 +268,30 @@ def test_winnow_pairs_finds_near_dups(spark, docs):
     uncapped = dedup.winnow_pairs(hot_docs, min_shared=1, max_df=None)
     assert capped.count() < uncapped.count() == 20 * 19 // 2
     assert n_prints > 0
+
+
+def test_connected_components_known_graph(spark):
+    """Chain + triangle + isolated pair resolve to min-id components, at any
+    partitioning (chain diameter > 1 exercises multi-round propagation)."""
+    edges = (
+        [(i, i + 1) for i in range(10, 15)]  # chain 10..15 -> component 10
+        + [(30, 31), (31, 32), (30, 32)]     # triangle -> 30
+        + [(50, 51)]                          # pair -> 50
+    )
+    for parts in (1, 7):
+        df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(parts)
+        got = {r.id: r.component for r in dedup.connected_components(df).collect()}
+        assert got == (
+            {i: 10 for i in range(10, 16)}
+            | {i: 30 for i in (30, 31, 32)}
+            | {50: 50, 51: 50}
+        )
+
+
+def test_connected_components_canonicalizes_winnow_pairs(spark, docs):
+    """End-to-end dedup: winnow pairs -> components; every planted dup trio
+    (base, exact, near) lands in one component keyed by the base id."""
+    pairs = dedup.winnow_pairs(docs, min_shared=3, max_df=0.5)
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    for b in range(5):
+        assert comp.get(10000 + b) == comp.get(20000 + b) == comp.get(b, b)
