@@ -28,20 +28,57 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 
 
-def parquet_splits(path: str, split_row_groups: bool = True) -> list[tuple[str, int, int]]:
+def _rg_excluded(rg_meta, predicate: tuple[str, object, object]) -> bool:
+    """True iff the row group's footer min/max PROVES no row can satisfy
+    ``col BETWEEN lo AND hi`` (either bound may be None = open).  Missing or
+    partial stats keep the row group — pruning must never change results."""
+    col, lo, hi = predicate
+    for j in range(rg_meta.num_columns):
+        cm = rg_meta.column(j)
+        if cm.path_in_schema == col:
+            st = cm.statistics
+            if st is None or not st.has_min_max:
+                return False
+            if hi is not None and st.min > hi:
+                return True
+            if lo is not None and st.max < lo:
+                return True
+            return False
+    raise KeyError(f"predicate column {col!r} not in parquet schema")
+
+
+def parquet_splits(
+    path: str,
+    split_row_groups: bool = True,
+    predicate: tuple[str, object, object] | None = None,
+) -> list[tuple[str, int, int]]:
     """Driver-side split planning: -> [(file, row_group_start, row_group_end)].
 
     One split per row group when ``split_row_groups`` (finer parallelism for
     few-large-files layouts); else one per file.
-    """
+
+    ``predicate=(column, lo, hi)`` prunes row groups whose footer min/max
+    stats exclude the closed range — the Iceberg-manifest / Catalyst
+    parquet-filter behavior, applied at PLAN time so excluded groups never
+    become tasks.  Pruning is conservative (kept when stats are missing) and
+    coarse: survivors may still contain non-matching rows, so callers keep
+    their residual filter, exactly like Spark's PushedFilters."""
     p = Path(path)
     files = sorted(str(f) for f in p.glob("**/*.parquet")) if p.is_dir() else [str(p)]
     splits: list[tuple[str, int, int]] = []
     for f in files:
+        meta = pq.ParquetFile(f).metadata
         if split_row_groups:
-            n = pq.ParquetFile(f).metadata.num_row_groups
-            splits.extend((f, i, i + 1) for i in range(n))
+            for i in range(meta.num_row_groups):
+                if predicate is not None and _rg_excluded(meta.row_group(i), predicate):
+                    continue
+                splits.append((f, i, i + 1))
         else:
+            if predicate is not None and all(
+                _rg_excluded(meta.row_group(i), predicate)
+                for i in range(meta.num_row_groups)
+            ):
+                continue
             splits.append((f, 0, -1))
     return splits
 
@@ -53,10 +90,13 @@ def scan(
     schema: str,
     columns: list[str] | None = None,
     partitions: int | None = None,
+    predicate: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Distribute parquet splits; each Python task reads its split locally
-    and applies ``kernel`` (batch DataFrame -> batch DataFrame)."""
-    splits = parquet_splits(path)
+    and applies ``kernel`` (batch DataFrame -> batch DataFrame).  An
+    optional ``predicate`` range prunes row groups at plan time (see
+    parquet_splits); the kernel still sees every row of surviving groups."""
+    splits = parquet_splits(path, predicate=predicate)
     sdf = spark.createDataFrame(splits or [], "file string, rg0 int, rg1 int")
     n_part = partitions or max(1, min(len(splits), 256))
     sdf = sdf.repartition(n_part, "file", "rg0")
@@ -79,6 +119,7 @@ def scan(
 def index_stats_scan(
     spark: SparkSession, images_path: str, index_names: list[str],
     params: dict[str, dict] | None = None,
+    predicate: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """The production form of functions.indices.index_stats: decode + index
     kernels run against locally-read splits (bytes never cross the JVM)."""
@@ -107,4 +148,5 @@ def index_stats_scan(
         kernel,
         schema="image_id string, index_name string, mean double, min double, max double",
         columns=["image_id", "bytes", "fmt", "h", "w"],
+        predicate=predicate,
     )

@@ -42,3 +42,39 @@ def test_parquet_splits_row_groups(spark, tmp_path):
             pq.ParquetFile(f).metadata.row_group(i).num_rows for i in range(rg0, rg1)
         )
     assert total == 1000
+
+
+def test_rowgroup_stats_pruning(spark, tmp_path):
+    """predicate=(col, lo, hi) must drop provably-excluded row groups at
+    plan time and leave the scan RESULT identical (pruning is conservative;
+    survivors keep their residual filter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sorted")
+    ids = np.arange(2000, dtype=np.int64)
+    table = pa.table({"k": ids, "v": ids * 3})
+    pq.write_table(table, f"{out}.parquet", row_group_size=100)  # 20 groups, sorted
+
+    all_splits = pyscan.parquet_splits(f"{out}.parquet")
+    pruned = pyscan.parquet_splits(f"{out}.parquet", predicate=("k", 500, 799))
+    assert len(all_splits) == 20
+    assert len(pruned) == 3  # groups [500,600), [600,700), [700,800)
+
+    def kernel(pdf):
+        sub = pdf[(pdf["k"] >= 500) & (pdf["k"] <= 799)]  # residual filter
+        return sub[["k", "v"]]
+
+    full = pyscan.scan(spark, f"{out}.parquet", kernel, "k long, v long").collect()
+    fast = pyscan.scan(
+        spark, f"{out}.parquet", kernel, "k long, v long", predicate=("k", 500, 799)
+    ).collect()
+    assert sorted((r.k, r.v) for r in full) == sorted((r.k, r.v) for r in fast)
+    assert len(fast) == 300
+    # open-ended bounds + unknown column behavior
+    assert len(pyscan.parquet_splits(f"{out}.parquet", predicate=("k", None, 99))) == 1
+    assert len(pyscan.parquet_splits(f"{out}.parquet", predicate=("k", 1900, None))) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        pyscan.parquet_splits(f"{out}.parquet", predicate=("nope", 0, 1))
