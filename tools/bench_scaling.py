@@ -25,7 +25,13 @@ constraint that does not exist going N -> 4N real executors (4x sockets).
 The cpu_kernel stage and the native_mp control separate engine scaling from
 that hardware artifact.
 
-Usage: python tools/bench_scaling.py [n_images] [workdir]
+Usage: python tools/bench_scaling.py [n_images] [workdir] [threads|executors]
+
+``executors`` mode runs the two legs as REAL multi-executor clusters via
+Spark's local-cluster master — local-cluster[1,8,6144] (N = 1 executor JVM,
+8 cores) vs local-cluster[4,8,6144] (4N): separate executor processes, heaps
+and Arrow allocators, shuffle over netty — the literal shape of the
+north_rule's "two cluster sizes" criterion, not threads inside one JVM.
 """
 
 from __future__ import annotations
@@ -59,7 +65,8 @@ from eoreader_spark.sources import pyscan
 from eoreader_spark.operators import assign
 
 cpus, base, n = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
-spark = get_spark("scaling", cpus=cpus, shuffle_partitions=max(cpus, 8))
+master = sys.argv[4] if len(sys.argv) > 4 else None
+spark = get_spark("scaling", cpus=cpus, shuffle_partitions=max(cpus, 8), master=master)
 # warm JVM + python workers (a per-cluster fixed cost, not throughput)
 spark.range(cpus * 8, numPartitions=cpus * 4).mapInPandas(
     lambda it: (p for p in it), schema="id long").count()
@@ -157,6 +164,7 @@ def _run(code: str, args: list[str]) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     workdir = sys.argv[2] if len(sys.argv) > 2 else None
+    mode = sys.argv[3] if len(sys.argv) > 3 else "threads"
     tmp = workdir or tempfile.mkdtemp(prefix="eoreader_spark_bench_")
     try:
         if not (Path(tmp) / "images.parquet").exists():
@@ -165,8 +173,15 @@ def main() -> None:
                 capture_output=True, text=True, cwd=str(REPO), timeout=1800,
             )
             assert "SETUP done" in p.stdout, p.stderr[-2000:]
-        lo = _run(JOB, ["8", tmp, str(n)])
-        hi = _run(JOB, ["32", tmp, str(n)])
+        if mode == "executors":
+            # the north_rule's literal shape: N vs 4N REAL executor JVMs
+            # (separate processes + heaps + Arrow allocators, netty shuffle),
+            # 8 cores each — not threads sharing one JVM
+            lo = _run(JOB, ["8", tmp, str(n), "local-cluster[1,8,6144]"])
+            hi = _run(JOB, ["32", tmp, str(n), "local-cluster[4,8,6144]"])
+        else:
+            lo = _run(JOB, ["8", tmp, str(n)])
+            hi = _run(JOB, ["32", tmp, str(n)])
         native = _run(NATIVE, [tmp, str(n)])
         eff = {
             k: round(lo[k] / hi[k] / 4.0, 3)
@@ -175,6 +190,7 @@ def main() -> None:
         native_eff = round(native["8"] / native["32"] / 4.0, 3)
         out = {
             "n_images": n,
+            "mode": mode,
             "local8": lo,
             "local32": hi,
             "native_mp_index_sec": native,
