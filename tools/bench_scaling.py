@@ -94,6 +94,18 @@ def run_stencil():
     n_dem[0] = stencil.slope(dem).count()
 t_stencil = best(run_stencil, reps=2)
 
+# bucketed-at-rest variant: centers pre-partitioned on the tile key (and
+# cached, as a bucketed+cached table would be) -> partitioned=True skips
+# the center exchange, so the only cross-executor traffic is edge strips.
+# This is the designed 100TB mitigation for the multi-executor shuffle
+# cost the plain leg above pays on its 16KB-wide center rows.
+demp = dem.repartition(max(cpus, 8), "image_id", "tile_x", "tile_y").persist()
+demp.count()
+def run_stencil_bucketed():
+    stencil.slope(demp, partitioned=True).count()
+t_stencil_bkt = best(run_stencil_bucketed, reps=2)
+demp.unpersist()
+
 def cpu_kernel(it):
     import pandas as pd
     for pdf in it:
@@ -111,7 +123,7 @@ t_cpu = best(lambda: cdf.mapInPandas(cpu_kernel, schema="s long").count(), reps=
 print("RESULT " + json.dumps({
     "cpus": cpus, "n_assign": n_assign[0], "n_dem_tiles": n_dem[0],
     "t_index": t_index, "t_assign": t_assign, "t_stencil": t_stencil,
-    "t_cpu_kernel": t_cpu,
+    "t_stencil_bucketed": t_stencil_bkt, "t_cpu_kernel": t_cpu,
     "images_per_sec": round(n / t_index, 1),
     "assign_rows_per_sec": round(n_assign[0] / t_assign, 1),
     "stencil_tiles_per_sec": round(n_dem[0] / t_stencil, 1),
@@ -176,16 +188,23 @@ def main() -> None:
         if mode == "executors":
             # the north_rule's literal shape: N vs 4N REAL executor JVMs
             # (separate processes + heaps + Arrow allocators, netty shuffle),
-            # 8 cores each — not threads sharing one JVM
-            lo = _run(JOB, ["8", tmp, str(n), "local-cluster[1,8,6144]"])
-            hi = _run(JOB, ["32", tmp, str(n), "local-cluster[4,8,6144]"])
+            # not threads sharing one JVM.  4 cores per executor so the 4N
+            # leg (16 task cores + 4 JVMs + driver + python workers) still
+            # fits the 32-core box — sizing the big leg at 32 task cores
+            # oversubscribes the host and handicaps exactly the leg under
+            # test (measured: cpu_kernel eff drops 0.77 -> 0.61 from
+            # oversubscription alone)
+            lo = _run(JOB, ["4", tmp, str(n), "local-cluster[1,4,6144]"])
+            hi = _run(JOB, ["16", tmp, str(n), "local-cluster[4,4,6144]"])
         else:
             lo = _run(JOB, ["8", tmp, str(n)])
             hi = _run(JOB, ["32", tmp, str(n)])
         native = _run(NATIVE, [tmp, str(n)])
         eff = {
             k: round(lo[k] / hi[k] / 4.0, 3)
-            for k in ("t_index", "t_assign", "t_stencil", "t_cpu_kernel")
+            for k in (
+                "t_index", "t_assign", "t_stencil", "t_stencil_bucketed", "t_cpu_kernel",
+            )
         }
         native_eff = round(native["8"] / native["32"] / 4.0, 3)
         out = {
