@@ -211,3 +211,53 @@ def run_image_index_to_lineage(
     )
     q.awaitTermination()
     return metrics
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (`dropDuplicatesWithinWatermark` — state for a key is
+    held only until the watermark passes it, so state size is bounded by
+    arrival rate x horizon, never by total stream length; a plain
+    dropDuplicates on an unbounded stream would grow state forever).  The
+    training-pipeline analog of operators/dedup.exact_dedup for continuous
+    scene/document feeds — duplicate feed deliveries (re-published scenes,
+    at-least-once sources) collapse to one row."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_dedup_to_lineage(
+    spark: SparkSession,
+    input_dir: str,
+    root: str,
+    keys: list[str] | None = None,
+) -> dict:
+    """Deduped stream -> partitioned sink with per-batch lineage commits
+    (same store as every batch stage)."""
+    store = LineageStore(spark, root)
+    deduped = dedup_stream(read_events_stream(spark, input_dir), keys=keys)
+    n_batches = [0]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # partition key = micro-batch id: a retried batch dynamically
+        # OVERWRITES its own partition (idempotent, the standard
+        # exactly-once foreachBatch recipe) and can never clobber rows
+        # another batch appended
+        out = batch_df.withColumn("batch_key", F.lit(batch_id).cast("long"))
+        if out.isEmpty():
+            return
+        store.upsert_stage("stream_dedup", out, "batch_key")
+        n_batches[0] += 1
+
+    q = (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"{root}/_stream_ck_dedup")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"batches": n_batches[0]}

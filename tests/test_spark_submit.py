@@ -60,3 +60,39 @@ def test_spark_submit_kill_and_resume(tmp_path):
     assert out["tiles"]["skipped"] is True
     assert out["assign"]["rows_written"] > 0
     assert out["index"]["rows_written"] == 20 * 2
+
+
+def test_spark_submit_resume_on_multi_executor_cluster(tmp_path):
+    """The north_rule's literal invocation shape: spark-submit --py-files on
+    a MULTI-EXECUTOR cluster (local-cluster: 2 separate executor JVMs,
+    netty shuffle, --py-files shipped to executor python workers), killed
+    mid-pipeline and resumed without recomputing committed stages."""
+    z = _make_zip(tmp_path)
+    root = tmp_path / "ck_lc"
+
+    def submit_lc(die_after=None):
+        cmd = [
+            SPARK_SUBMIT,
+            "--master", "local-cluster[2,2,2048]",
+            "--py-files", str(z),
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.memory=4g",
+            "--conf", "spark.executor.memory=1536m",
+            str(REPO / "tools" / "submit_pipeline.py"),
+            "--root", str(root),
+            "--n-images", "12",
+            "--shuffle-partitions", "8",
+        ]
+        if die_after:
+            cmd += ["--die-after", die_after]
+        return subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+
+    p1 = submit_lc(die_after="tiles")
+    assert p1.returncode == 1 and "DIE_AFTER tiles" in p1.stdout, p1.stderr[-2000:]
+    p2 = submit_lc()
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    line = [ln for ln in p2.stdout.splitlines() if ln.startswith("PIPELINE_RESULT ")][0]
+    out = json.loads(line[len("PIPELINE_RESULT "):])
+    assert out["images"]["skipped"] is True
+    assert out["tiles"]["skipped"] is True
+    assert out["assign"]["rows_written"] > 0

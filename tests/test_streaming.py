@@ -139,3 +139,25 @@ def test_streaming_image_index_matches_batch(spark, tmp_path):
     # and the lineage table recorded the micro-batch commit
     stages = {r.stage for r in store.lineage().collect()}
     assert "stream_index" in stages
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """Duplicate feed deliveries (the same events file staged twice, i.e.
+    an at-least-once source) collapse to exactly the batch-distinct rows;
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    src = spark.read.parquet(f"{SF}/events.parquet").orderBy("event_id").limit(200)
+    in_dir = str(tmp_path / "in_dup")
+    src.coalesce(1).write.mode("append").parquet(in_dir)
+    src.coalesce(1).write.mode("append").parquet(in_dir)  # re-delivery
+
+    metrics = ev.run_dedup_to_lineage(spark, in_dir, str(tmp_path / "ckd"))
+    assert metrics["batches"] >= 1
+
+    from eoreader_spark.lineage import LineageStore
+
+    store = LineageStore(spark, str(tmp_path / "ckd"))
+    got = store.read_stage("stream_dedup")
+    assert got.count() == 200  # each event exactly once despite 2x delivery
+    assert got.select("event_id").distinct().count() == 200
+    want = {r.event_id for r in src.select("event_id").collect()}
+    assert {r.event_id for r in got.select("event_id").collect()} == want
