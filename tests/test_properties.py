@@ -107,3 +107,49 @@ def test_cover_bbox_is_a_cover(lon0, lat0, dlon, dlat, res):
                 np.array([lon0 + fx * dlon]), np.array([lat0 + fy * dlat]), res
             )
             assert p[0] in cover
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.data(),
+    h=st.integers(min_value=8, max_value=48),
+    w=st.integers(min_value=8, max_value=48),
+    p=st.sampled_from([1, 3, 5]),
+)
+def test_jfif_roundtrip_any_content(data, h, w, p):
+    """REAL JPEG: arbitrary (not closed-form) pixel content survives
+    encode/decode with shape intact, deterministic bytes, and PSNR >= 40 at
+    the default quality — including non-multiple-of-8 dims (edge-replicated
+    pad blocks must not corrupt interior pixels)."""
+    from eoreader_spark.sources import jpegc
+
+    rng = np.random.default_rng(data.draw(st.integers(min_value=0, max_value=2**31)))
+    img = rng.integers(0, 256, size=(p, h, w), dtype=np.uint8)
+    enc = jpegc.encode_jfif(img)
+    assert enc == jpegc.encode_jfif(img)
+    back = jpegc.decode_jfif(enc)
+    assert back.shape == img.shape
+    assert codecs.psnr(img, back) >= 40.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    n1=st.integers(min_value=20, max_value=120),
+    n2=st.integers(min_value=20, max_value=120),
+    shared_len=st.integers(min_value=8, max_value=40),
+)
+def test_winnow_guarantee_any_strings(seed, n1, n2, shared_len):
+    """The winnowing guarantee holds for arbitrary content: any shared
+    substring of length >= w + k - 1 (k=5, w=4 -> 8) produces at least one
+    common fingerprint between the two documents."""
+    from eoreader_spark.operators.dedup import _winnow_doc
+
+    rng = np.random.default_rng(seed)
+    alpha = np.array(list("abcdefgh "))
+    shared = "".join(rng.choice(alpha, size=shared_len))
+    d1 = "".join(rng.choice(alpha, size=n1)) + shared + "".join(rng.choice(alpha, size=n1))
+    d2 = "".join(rng.choice(alpha, size=n2)) + shared + "".join(rng.choice(alpha, size=n2))
+    f1 = set(_winnow_doc(np.array([ord(c) for c in d1]), 5, 4)[1].tolist())
+    f2 = set(_winnow_doc(np.array([ord(c) for c in d2]), 5, 4)[1].tolist())
+    assert f1 & f2, (d1, d2)
