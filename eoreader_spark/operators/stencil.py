@@ -400,30 +400,30 @@ def lee_kernel_factory(noise_var: float = 25.0):
     return kernel
 
 
-def gap_fill_x(tiles: DataFrame, limit: int = 10, tile: int = TILE, px_col: str = "px") -> DataFrame:
-    """W4 NaN gap-fill along x (forward then backward, each capped at
-    ``limit``), tile-local — the reference's interpolate_na(dim=x, limit=10)
-    with retry on the reversed index (sar_product.py:1344-1358).
-    Gaps spanning a tile boundary are filled up to the boundary (documented
-    divergence; reference operates on the whole array)."""
-    schema = f"image_id string, tile_x int, tile_y int, {px_col} array<float>"
+def _fill_along_rows(a: np.ndarray, limit: int) -> np.ndarray:
+    """NaN fill along axis 1 (forward then backward, each capped at
+    ``limit``) — the numpy core shared by gap_fill_x / gap_fill_xy."""
+    t, n = a.shape
+    out = a.copy()
+    for direction in (1, -1):
+        arr = out[:, ::direction]
+        idx = np.arange(n)
+        valid = ~np.isnan(arr)
+        # index of most recent valid column per position (per row)
+        last = np.where(valid, idx[None, :], -1)
+        last = np.maximum.accumulate(last, axis=1)
+        dist = idx[None, :] - last
+        can = (last >= 0) & (dist > 0) & (dist <= limit)
+        rows = np.nonzero(can & np.isnan(arr))
+        arr[rows] = arr[rows[0], last[rows]]
+        out[:, ::direction] = arr
+    return out
 
-    def fill(a: np.ndarray) -> np.ndarray:
-        t, n = a.shape
-        out = a.copy()
-        for direction in (1, -1):
-            arr = out[:, ::direction]
-            idx = np.arange(n)
-            valid = ~np.isnan(arr)
-            # index of most recent valid column per position (per row)
-            last = np.where(valid, idx[None, :], -1)
-            last = np.maximum.accumulate(last, axis=1)
-            dist = idx[None, :] - last
-            can = (last >= 0) & (dist > 0) & (dist <= limit)
-            rows = np.nonzero(can & np.isnan(arr))
-            arr[rows] = arr[rows[0], last[rows]]
-            out[:, ::direction] = arr
-        return out
+
+def _gap_fill(
+    tiles: DataFrame, fill: Callable[[np.ndarray], np.ndarray], tile: int, px_col: str
+) -> DataFrame:
+    schema = f"image_id string, tile_x int, tile_y int, {px_col} array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -437,6 +437,30 @@ def gap_fill_x(tiles: DataFrame, limit: int = 10, tile: int = TILE, px_col: str 
             yield pdf[["image_id", "tile_x", "tile_y", px_col]]
 
     return tiles.mapInPandas(batch, schema=schema)
+
+
+def gap_fill_x(tiles: DataFrame, limit: int = 10, tile: int = TILE, px_col: str = "px") -> DataFrame:
+    """W4 NaN gap-fill along x (forward then backward, each capped at
+    ``limit``), tile-local — the reference's interpolate_na(dim=x, limit=10)
+    with retry on the reversed index (sar_product.py:1344-1358).
+    Gaps spanning a tile boundary are filled up to the boundary (documented
+    divergence; reference operates on the whole array)."""
+    return _gap_fill(tiles, lambda a: _fill_along_rows(a, limit), tile, px_col)
+
+
+def gap_fill_xy(
+    tiles: DataFrame, limit: int = 10, tile: int = TILE, px_col: str = "px"
+) -> DataFrame:
+    """W4 full parity: the reference fills along y FIRST, then x
+    (sar_product.py:1383-1384, 1457-1458 — `interp_na(arr, dim="y");
+    interp_na(arr, dim="x")`), each direction forward with a reversed-index
+    retry.  Same tile-local divergence note as gap_fill_x."""
+
+    def fill(a: np.ndarray) -> np.ndarray:
+        a = _fill_along_rows(a.T, limit).T  # y first
+        return _fill_along_rows(a, limit)   # then x
+
+    return _gap_fill(tiles, fill, tile, px_col)
 
 
 def _grad_struct_expr(t: int) -> str:

@@ -333,3 +333,34 @@ def test_s2_baseline_offset_and_sun_distance(spark):
     ).first()["r"]
     want = (np.arange(0, 4000, 500, dtype=np.float64) - 1000.0) / 10000.0
     assert np.allclose(np.asarray(out), want)
+
+
+def test_gap_fill_xy_order_matches_reference(spark):
+    """gap_fill_xy fills along y FIRST then x (the reference's interp_na
+    order); a column gap closes from above even when x-neighbours are NaN,
+    and remaining holes then close along x — verified against a scalar
+    numpy oracle applying the same order."""
+    import numpy as np
+
+    from eoreader_spark.operators import stencil
+
+    t = 16
+    a = np.full((t, t), np.nan, dtype=np.float32)
+    a[0, :] = 5.0          # top row valid -> y-fill seeds every column
+    a[:, 0] = np.nan
+    a[8, 3] = 9.0          # isolated value
+    rows = [("i0", 0, 0, a.ravel().tolist())]
+    df = spark.createDataFrame(rows, "image_id string, tile_x int, tile_y int, px array<float>")
+    out = stencil.gap_fill_xy(df, limit=10, tile=t).collect()[0]
+    got = np.asarray(out.px, dtype=np.float32).reshape(t, t)
+
+    want = stencil._fill_along_rows(a.T, 10).T
+    want = stencil._fill_along_rows(want, 10)
+    assert np.array_equal(np.nan_to_num(got, nan=-1), np.nan_to_num(want, nan=-1))
+    # y-first semantics: rows 1..10 inherit 5.0 from the top row (limit 10);
+    # beyond the y-limit, row 12 is reached only through the x pass seeded by
+    # column 3's y-fill of the isolated 9.0 — an x-only fill could never get
+    # there (row 12 had no valid x-neighbour before the y pass)
+    assert got[10, 5] == 5.0
+    assert got[12, 5] == 9.0 and np.isnan(got[12, 14])
+    assert got[8, 3] == 9.0
