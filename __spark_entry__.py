@@ -2236,6 +2236,97 @@ def _quicklook_oracle() -> str:
         """
 
 
+def q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 multi-resolution overview pyramid (COG-overview analog) on the
+    gate: one decode emits the /2 and /4 box-mean overviews (the GDAL
+    cascade — float means compose exactly for power-of-two blocks, so the
+    /4 level equals a direct 16-pixel mean); the oracle replays the block
+    sums and numpy's half-even rounding in SQL (the quicklook recipe)."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark.operators import raster
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (64, 64) if j % 2 == 0 else (128, 64)
+                img = _c.make_image(j, h, w, planes=3)
+                rows.append((f"pyr{j:03d}", _c.encode(img, "raw8"), w, h, "raw8"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    pyr = raster.pyramid(images, levels=(2, 4), fmt="raw8")
+
+    def stats(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+
+        for pdf in it:
+            rows = []
+            for iid, lv, data, f, h, w in zip(
+                pdf["image_id"], pdf["level"], pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]
+            ):
+                img = _c.decode(bytes(data), f, int(h), int(w)).astype(np.int64)
+                rows.append((iid, int(lv), int(w), int(h), img.size, int(img.sum())))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "level", "w", "h", "n_px", "byte_sum"]
+            )
+
+    return (
+        pyr.mapInPandas(
+            stats,
+            schema="image_id string, level int, w int, h int, n_px long, byte_sum long",
+        )
+        .orderBy("image_id", "level")
+    )
+
+
+def _pyramid_oracle() -> str:
+    # half-even rounding of a block mean s/n: s//n plus 1 when frac > 1/2,
+    # plus parity when exactly 1/2 (numpy's banker's rounding)
+    def lvl(lv: int) -> str:
+        n = lv * lv
+        return f"""
+            SELECT image_id, {lv} AS level, w // {lv} AS w, h // {lv} AS h,
+                   count(*) AS n_blocks,
+                   sum((s // {n}) + (CASE WHEN s % {n} > {n // 2} THEN 1
+                        WHEN s % {n} = {n // 2} THEN (s // {n}) % 2
+                        ELSE 0 END)) AS bsum
+            FROM (
+                SELECT image_id, h, w, p, y // {lv} AS by, x // {lv} AS bx,
+                       sum(v) AS s
+                FROM px GROUP BY image_id, h, w, p, y // {lv}, x // {lv}
+            ) GROUP BY image_id, w, h
+        """
+
+    return f"""
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('pyr000', 0, 64, 64), ('pyr001', 1, 128, 64),
+                ('pyr002', 2, 64, 64), ('pyr003', 3, 128, 64),
+                ('pyr004', 4, 64, 64), ('pyr005', 5, 128, 64)),
+            px AS (
+                SELECT image_id, h, w, p, y, x,
+                       (seed*7 + p*31 + x*13 + y*17 + (x*y) % 29) % 256 AS v
+                FROM imgs,
+                     generate_series(0, 2) AS gp(p),
+                     generate_series(0, 127) AS gy(y),
+                     generate_series(0, 63) AS gx(x)
+                WHERE y < h AND x < w
+            ),
+            lv AS ({lvl(2)} UNION ALL {lvl(4)})
+            SELECT image_id, cast(level AS INTEGER) AS level,
+                   cast(w AS INTEGER) AS w, cast(h AS INTEGER) AS h,
+                   cast(n_blocks AS BIGINT) AS n_px,
+                   cast(bsum AS BIGINT) AS byte_sum
+            FROM lv ORDER BY image_id, level
+        """
+
+
 def q_collocate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 band collocation on the hard gate, VALUE-EXACT: two independently
     decoded band tile sets (planes 0 and 2) equi-join on the tile key via
@@ -2914,6 +3005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jfif_decode": q_jfif_decode,
         "winnow": q_winnow,
         "dedup_clusters": q_dedup_clusters,
+        "pyramid": q_pyramid,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3427,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
         "archive_scan": _archive_oracle(),
         "stack_sink": _stack_sink_oracle(),
         "quicklook": _quicklook_oracle(),
+        "pyramid": _pyramid_oracle(),
         "collocate": _collocate_oracle(),
         "stencil_custom": _stencil_custom_oracle(),
         "dem_attach": _dem_attach_oracle(),

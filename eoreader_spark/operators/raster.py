@@ -129,6 +129,54 @@ def quicklook(images: DataFrame, factor: int = 4, fmt: str = "png") -> DataFrame
     return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
 
 
+def pyramid(images: DataFrame, levels: tuple[int, ...] = (2, 4, 8), fmt: str = "png") -> DataFrame:
+    """S13 multi-resolution overview pyramid (the COG-overview analog: the
+    reference writes COGs whose driver builds /2 /4 /8 overviews,
+    /root/reference/eoreader/utils.py:242-299 `utils.write` with the COG
+    driver).  ONE decode per image emits every level — each overview is a
+    box-mean of the PREVIOUS level (the standard overview recurrence, so
+    level 4 == mean-of-means, not a direct /4 of the base; identical when
+    dims divide evenly, cheaper to build, and matching GDAL's cascade).
+
+    Output rows: (image_id, level, w, h, fmt, bytes)."""
+    from eoreader_spark import codecs as _codecs
+
+    lvls = sorted(set(int(v) for v in levels))
+    assert all(v >= 2 for v in lvls)
+    schema = "image_id string, level int, w int, h int, fmt string, bytes binary"
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, data, f, h, w in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]
+            ):
+                cur = _codecs.decode(bytes(data), f, int(h), int(w)).astype(np.float64)
+                cur_level = 1
+                for lv in lvls:
+                    assert lv % cur_level == 0, (
+                        f"levels must form a divisor chain (got {lv} after {cur_level})"
+                    )
+                    step = lv // cur_level
+                    p, hh, ww = cur.shape
+                    th, tw = hh // step, ww // step
+                    if th == 0 or tw == 0:
+                        break
+                    cur = (
+                        cur[:, : th * step, : tw * step]
+                        .reshape(p, th, step, tw, step)
+                        .mean(axis=(2, 4))
+                    )
+                    cur_level = lv
+                    enc = _codecs.encode(np.round(cur).astype(np.uint8), fmt)
+                    rows.append((iid, lv, tw, th, fmt, enc))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "level", "w", "h", "fmt", "bytes"]
+            )
+
+    return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
+
+
 def mean_sun_angles(angle_tiles: DataFrame, az_col: str = "saa", zen_col: str = "sza") -> DataFrame:
     """A5 angle-grid aggregate: per-image mean sun azimuth/zenith from the
     full angle GRIDS (the reference averages the S2 angle grid rasters,

@@ -364,3 +364,26 @@ def test_gap_fill_xy_order_matches_reference(spark):
     assert got[10, 5] == 5.0
     assert got[12, 5] == 9.0 and np.isnan(got[12, 14])
     assert got[8, 3] == 9.0
+
+
+def test_pyramid_overview_cascade(spark, images):
+    """S13 pyramid: one decode emits /2 /4 /8 overviews; each level is the
+    box-mean cascade of the previous (the GDAL COG-overview recurrence) —
+    for power-of-two dims this equals a direct box-mean of the base."""
+    src = images.filter("fmt != 'jpeg'").limit(3)
+    rows = raster.pyramid(src, levels=(2, 4)).collect()
+    by_key = {(r.image_id, r.level): r for r in rows}
+    for r0 in src.collect():
+        i = int(r0.image_id[3:])
+        base = codecs.make_image(i, r0.h, r0.w)
+        for lv in (2, 4):
+            r = by_key[(r0.image_id, lv)]
+            got = codecs.decode(bytes(r.bytes), r.fmt, r.h, r.w)
+            th, tw = r0.h // lv, r0.w // lv
+            assert (r.h, r.w) == (th, tw)
+            want = (
+                base[:, : th * lv, : tw * lv]
+                .reshape(3, th, lv, tw, lv)
+                .mean(axis=(2, 4))
+            )
+            assert np.array_equal(got, np.round(want).astype(np.uint8))
