@@ -1,16 +1,21 @@
-"""Archive (zip) scan without extraction — the S2 operator.
+"""Archive (zip/tar/tar.gz) scan without extraction — the S2 operator.
 
-Reference: eoreader lists zip/tar members and builds `zip+file://...!/...`
-rasterio paths without unpacking (/root/reference/eoreader/utils.py:618-711).
+Reference: eoreader lists zip AND tar members and reads files out of the
+archive in place, without unpacking — tars called out as the expensive case
+(/root/reference/eoreader/utils.py:618-711 `get_archived_file_list` /
+`read_archived_file`; the Landsat/ICEYE products ship as tars).
 
-Spark form: archives are binary cells (or binaryFile rows); member listing
-and member extraction run inside mapInPandas with the stdlib zipfile over an
-in-memory buffer — one archive per iteration, vectorized output.
+Spark form: archives are binary cells (or binaryFile rows); the container
+format is dispatched on magic bytes (PK zip, gzip, ustar tar) and member
+listing/extraction run inside mapInPandas with the stdlib zipfile/tarfile
+over an in-memory buffer — one archive per iteration, vectorized output.
 """
 
 from __future__ import annotations
 
+import gzip
 import io
+import tarfile
 import zipfile
 from collections.abc import Iterator
 
@@ -18,17 +23,47 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def _members(data: bytes, want_content: bool, pattern: str | None = None):
+    """-> [(member, size, content|None)] for zip, tar, or tar.gz payloads.
+    ``pattern`` is an fnmatch glob applied before any content read (tar
+    content reads are sequential and expensive — skip early)."""
+    import fnmatch
+
+    def keep(name: str) -> bool:
+        return pattern is None or fnmatch.fnmatch(name, pattern)
+
+    rows = []
+    if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            for i in z.infolist():
+                if i.is_dir() or not keep(i.filename):
+                    continue
+                rows.append(
+                    (i.filename, i.file_size, z.read(i) if want_content else None)
+                )
+        return rows
+    raw = gzip.decompress(data) if data[:2] == b"\x1f\x8b" else data
+    with tarfile.open(fileobj=io.BytesIO(raw)) as t:
+        for m in t:
+            if not m.isfile() or not keep(m.name):
+                continue
+            content = t.extractfile(m).read() if want_content else None
+            rows.append((m.name, m.size, content))
+    return rows
+
+
 def list_members(archives: DataFrame, id_col: str = "archive_id", bytes_col: str = "bytes") -> DataFrame:
     """-> (archive_id, member, size) one row per archive member (the
-    get_archived_file_list analog)."""
+    get_archived_file_list analog; zip, tar, and tar.gz)."""
     schema = f"{id_col} string, member string, size long"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bytes_col]):
-                with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
-                    rows.extend((aid, i.filename, i.file_size) for i in z.infolist())
+                rows.extend(
+                    (aid, name, size) for name, size, _ in _members(bytes(data), False)
+                )
             yield pd.DataFrame(rows, columns=[id_col, "member", "size"])
 
     return archives.select(id_col, bytes_col).mapInPandas(batch, schema=schema)
@@ -41,20 +76,18 @@ def read_members(
     bytes_col: str = "bytes",
 ) -> DataFrame:
     """-> (archive_id, member, content) for members whose name matches the
-    glob-ish substring ``pattern`` (the get_archived_rio_path analog: read
-    the file out of the archive in place)."""
-    import fnmatch
-
+    glob-ish ``pattern`` (the read_archived_file analog: the file is read
+    out of the archive in place; zip, tar, and tar.gz)."""
     schema = f"{id_col} string, member string, content binary"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for aid, data in zip(pdf[id_col], pdf[bytes_col]):
-                with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
-                    for info in z.infolist():
-                        if fnmatch.fnmatch(info.filename, pattern):
-                            rows.append((aid, info.filename, z.read(info)))
+                rows.extend(
+                    (aid, name, content)
+                    for name, _, content in _members(bytes(data), True, pattern)
+                )
             yield pd.DataFrame(rows, columns=[id_col, "member", "content"])
 
     return archives.select(id_col, bytes_col).mapInPandas(batch, schema=schema)

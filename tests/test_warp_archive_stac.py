@@ -169,3 +169,39 @@ def test_affine_from_gcps_exact_and_lstsq(spark):
     assert abs(fit2.a - true.a) < 0.05
     with _pytest.raises(ValueError):
         affine_from_gcps(gcps[:2])
+
+
+def test_archive_scan_tar_and_targz(spark):
+    """The reference's expensive case: tar (and tar.gz) members list and
+    read in place through the same API as zip — format dispatched on magic
+    bytes per archive row."""
+    import gzip
+    import io
+    import tarfile
+
+    def make_tar(members, compress=False):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as t:
+            for name, content in members:
+                info = tarfile.TarInfo(name)
+                info.size = len(content)
+                t.addfile(info, io.BytesIO(content))
+        data = buf.getvalue()
+        return gzip.compress(data) if compress else data
+
+    t1 = make_tar([("LC08/B04.TIF", b"a" * 30), ("LC08/MTL.txt", b"meta")])
+    t2 = make_tar([("ICEYE/VV.h5", b"z" * 17)], compress=True)
+    df = spark.createDataFrame(
+        [("t1", bytearray(t1)), ("t2", bytearray(t2))],
+        "archive_id string, bytes binary",
+    )
+    members = {(r.archive_id, r.member): r.size for r in archive.list_members(df).collect()}
+    assert members == {
+        ("t1", "LC08/B04.TIF"): 30,
+        ("t1", "LC08/MTL.txt"): 4,
+        ("t2", "ICEYE/VV.h5"): 17,
+    }
+    got = {r.member: bytes(r.content) for r in archive.read_members(df, "*MTL*").collect()}
+    assert got == {"LC08/MTL.txt": b"meta"}
+    got2 = {r.member: bytes(r.content) for r in archive.read_members(df, "*.h5").collect()}
+    assert got2 == {"ICEYE/VV.h5": b"z" * 17}
