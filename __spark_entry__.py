@@ -2563,10 +2563,17 @@ def _winnow_oracle(k: int = 5, w: int = 4) -> str:
                 SELECT doc_id, lower(text) AS t, length(text) AS n
                 FROM documents WHERE doc_id < 40 AND length(text) >= {k + w - 1}
             ),
+            pos_rows AS (
+                -- per-row series bound: the table-function form only takes
+                -- constants, but list generate_series + unnest takes column
+                -- args, so no k-gram is silently dropped at any doc length
+                -- (ADVICE r3)
+                SELECT doc_id, t, unnest(generate_series(0, n - {k})) AS pos
+                FROM d
+            ),
             grams AS (
                 SELECT doc_id, pos, {horner} AS h
-                FROM d, generate_series(0, 4000) AS g(pos)
-                WHERE pos <= n - {k}
+                FROM pos_rows
             ),
             wins AS (
                 SELECT doc_id, pos AS wstart,
@@ -2914,6 +2921,74 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 constellation load-layout sweep (the Reader.open dispatch made
+    loadable): 12 constellation TAGS spanning the new families — Maxar 8-band,
+    Pleiades-Neo, SPOT-6/7, SPOT-4/5, GEOSAT-2, RapidEye, PlanetScope, S3
+    OLCI 21-channel, Landsat ETM+ and MSS, RCM compact-pol, ICEYE — each
+    opened via its tag (bands.CONSTELLATION_LAYOUT) and probed for 13 band
+    availabilities.  The oracle restates plane membership as literal VALUES
+    hand-derived from the reference band maps (vantor_product.py:1209-1230,
+    pneo_product.py:60-110, spot67_product.py:62-81, spot45_product.py:326-379,
+    gs2_product.py:236-257, re_product.py:146-167, s3_olci_product.py:203-435,
+    landsat_product.py:446-716), independent of the engine code path."""
+    from eoreader_spark import bands as bands_mod
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    tags = [
+        "MAXAR", "PNEO", "SPOT6", "SPOT45", "GS2", "RE",
+        "PLA", "S3_OLCI", "L7", "L1", "RCM", "ICEYE",
+    ]
+    probes = [
+        "BLUE", "GREEN", "RED", "NIR", "NARROW_NIR", "YELLOW", "CA",
+        "SWIR_1", "PAN", "VV", "RH", "NDVI", "NDSI",
+    ]
+    rows = []
+    for tag in tags:
+        eng = loader.ImageEngine(
+            datagen.gen_images(spark, 2, layout=bands_mod.layout_for(tag)),
+            band_map=tag,
+        )
+        rows += [(tag, b, int(eng.has_band(b))) for b in probes]
+    return spark.createDataFrame(
+        rows, "layout string, band string, available int"
+    ).orderBy("layout", "band")
+
+
+def q_maxar_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT load through a round-4 layout: decode 8-plane Maxar
+    WorldView Multi images (raw8), run ImageEngine.load(['NDVI', 'YELLOW',
+    'NARROW_NIR']) through the constellation-TAG dispatch (band_map='MAXAR')
+    — NDVI from planes 6/4, YELLOW plane 3, NARROW_NIR aliasing the NIR
+    plane like the reference's shared file id (vantor_product.py:1209-1222)
+    — and reduce to floor-scaled integer sums the oracle replays from the
+    closed-form pixel function."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12, layout="MAXAR_MUL").filter(
+        F.col("fmt") == "raw8"
+    )
+    eng = loader.ImageEngine(images, band_map="MAXAR")
+    wide = eng.load(["NDVI", "YELLOW", "NARROW_NIR"], clean="raw")
+
+    def ssum(col):
+        scaled = F.transform(col, lambda x: F.floor(x * 10000).cast("long"))
+        return F.sum(F.aggregate(scaled, F.lit(0).cast("long"), lambda a, x: a + x))
+
+    return (
+        wide.groupBy("image_id")
+        .agg(
+            F.sum(F.size("px_NDVI")).cast("long").alias("n_px"),
+            ssum("px_NDVI").alias("ndvi_ssum"),
+            ssum("px_YELLOW").alias("yellow_ssum"),
+            ssum("px_NARROW_NIR").alias("nnir_ssum"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -3006,6 +3081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "dedup_clusters": q_dedup_clusters,
         "pyramid": q_pyramid,
+        "layout_presence": q_layout_presence,
+        "maxar_load": q_maxar_load,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3750,5 +3827,94 @@ def oracle_sql() -> dict[str, str]:
                 ('S1_GRD', 'VV', 1), ('S1_GRD', 'VV_DSPK', 1)
             ) AS t(layout, band, available)
             ORDER BY layout, band
+        """,
+        # layout_presence: plane membership restated as literal VALUES from
+        # the REFERENCE band maps (file:line in the query docstring); index
+        # availability derived in SQL (NDVI = NIR&RED, NDSI = GREEN&SWIR_1),
+        # independent of the engine's has_band code path.
+        "layout_presence": """
+            WITH member(layout, band) AS (VALUES
+                ('MAXAR','CA'),('MAXAR','BLUE'),('MAXAR','GREEN'),
+                ('MAXAR','YELLOW'),('MAXAR','RED'),('MAXAR','VRE_1'),
+                ('MAXAR','VRE_2'),('MAXAR','VRE_3'),('MAXAR','NIR'),
+                ('MAXAR','NARROW_NIR'),('MAXAR','WV'),
+                ('PNEO','BLUE'),('PNEO','GREEN'),('PNEO','RED'),
+                ('PNEO','NIR'),('PNEO','NARROW_NIR'),('PNEO','DEEP_BLUE'),
+                ('PNEO','CA'),('PNEO','VRE_1'),('PNEO','VRE_2'),('PNEO','VRE_3'),
+                ('SPOT6','BLUE'),('SPOT6','GREEN'),('SPOT6','RED'),('SPOT6','NIR'),
+                ('SPOT45','NIR'),('SPOT45','RED'),('SPOT45','GREEN'),('SPOT45','SWIR_1'),
+                ('GS2','NIR'),('GS2','RED'),('GS2','GREEN'),('GS2','BLUE'),
+                ('RE','BLUE'),('RE','GREEN'),('RE','RED'),('RE','VRE_1'),('RE','NIR'),
+                ('PLA','BLUE'),('PLA','GREEN'),('PLA','RED'),('PLA','NIR'),
+                ('S3_OLCI','Oa01'),('S3_OLCI','DEEP_BLUE'),('S3_OLCI','CA'),
+                ('S3_OLCI','BLUE'),('S3_OLCI','GREEN_1'),('S3_OLCI','GREEN'),
+                ('S3_OLCI','YELLOW'),('S3_OLCI','RED'),('S3_OLCI','Oa09'),
+                ('S3_OLCI','Oa10'),('S3_OLCI','VRE_1'),('S3_OLCI','VRE_2'),
+                ('S3_OLCI','Oa13'),('S3_OLCI','Oa14'),('S3_OLCI','Oa15'),
+                ('S3_OLCI','VRE_3'),('S3_OLCI','NIR'),('S3_OLCI','NARROW_NIR'),
+                ('S3_OLCI','Oa18'),('S3_OLCI','Oa19'),('S3_OLCI','WV'),('S3_OLCI','Oa21'),
+                ('L7','BLUE'),('L7','GREEN'),('L7','RED'),('L7','NIR'),
+                ('L7','NARROW_NIR'),('L7','SWIR_1'),('L7','TIR_1'),
+                ('L7','TIR_2'),('L7','SWIR_2'),('L7','PAN'),
+                ('L1','GREEN'),('L1','RED'),('L1','VRE_1'),('L1','VRE_2'),
+                ('L1','VRE_3'),('L1','NIR'),('L1','NARROW_NIR'),
+                ('RCM','HH'),('RCM','VV'),('RCM','HV'),('RCM','VH'),
+                ('RCM','RH'),('RCM','RV'),
+                ('ICEYE','VV'),('ICEYE','HH')
+            ),
+            tags(layout) AS (VALUES ('MAXAR'),('PNEO'),('SPOT6'),('SPOT45'),
+                ('GS2'),('RE'),('PLA'),('S3_OLCI'),('L7'),('L1'),('RCM'),('ICEYE')),
+            probes(band) AS (VALUES ('BLUE'),('GREEN'),('RED'),('NIR'),
+                ('NARROW_NIR'),('YELLOW'),('CA'),('SWIR_1'),('PAN'),('VV'),
+                ('RH'),('NDVI'),('NDSI'))
+            SELECT t.layout, p.band,
+                CASE WHEN p.band = 'NDVI' THEN
+                        CASE WHEN EXISTS(SELECT 1 FROM member m WHERE m.layout=t.layout AND m.band='NIR')
+                              AND EXISTS(SELECT 1 FROM member m WHERE m.layout=t.layout AND m.band='RED')
+                             THEN 1 ELSE 0 END
+                     WHEN p.band = 'NDSI' THEN
+                        CASE WHEN EXISTS(SELECT 1 FROM member m WHERE m.layout=t.layout AND m.band='GREEN')
+                              AND EXISTS(SELECT 1 FROM member m WHERE m.layout=t.layout AND m.band='SWIR_1')
+                             THEN 1 ELSE 0 END
+                     ELSE
+                        CASE WHEN EXISTS(SELECT 1 FROM member m WHERE m.layout=t.layout AND m.band=p.band)
+                             THEN 1 ELSE 0 END
+                END AS available
+            FROM tags t, probes p
+            ORDER BY layout, band
+        """,
+        # maxar_load: replay of the closed-form pixel function over the
+        # Maxar 8-band plane ids (YELLOW=3, RED=4, NIR/NARROW_NIR=6)
+        "maxar_load": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000002', 2, 64, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000008', 8, 256, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       ((seed*7 + 3*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS yl,
+                       ((seed*7 + 4*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS rd,
+                       ((seed*7 + 6*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS nr
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            ),
+            v AS (
+                SELECT image_id,
+                       cast(floor((nr - rd) / (nr + rd + 1e-12) * 10000) AS BIGINT) AS ndvi_s,
+                       cast(floor(yl * 10000) AS BIGINT) AS yl_s,
+                       cast(floor(nr * 10000) AS BIGINT) AS nr_s
+                FROM px
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   cast(sum(ndvi_s) AS BIGINT) AS ndvi_ssum,
+                   cast(sum(yl_s) AS BIGINT) AS yellow_ssum,
+                   cast(sum(nr_s) AS BIGINT) AS nnir_ssum
+            FROM v GROUP BY image_id ORDER BY image_id
         """,
     }

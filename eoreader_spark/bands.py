@@ -27,6 +27,10 @@ SPECTRAL_NAMES = [
 SAR_NAMES = ["VV", "VH", "HH", "HV", "RH", "RV"]
 # S2-L2A quality-assurance bands (band_names.py:839-859)
 L2A_NAMES = ["AOT", "WVP", "SCL"]
+# S3-OLCI channels with no cross-sensor canonical name keep their Oa id as
+# their OWN band name, exactly like the reference (s3_olci_product.py:203-435
+# keys Oa01/Oa09/Oa10/Oa13/Oa14/Oa15/Oa18/Oa19/Oa21 by the Oa enum itself)
+OLCI_EXTRA_NAMES = ["Oa01", "Oa09", "Oa10", "Oa13", "Oa14", "Oa15", "Oa18", "Oa19", "Oa21"]
 DEM_BANDS = {"DEM", "SLOPE", "HILLSHADE"}
 MASK_BANDS = {"NODATA_MASK", "CLOUD_MASK", "SHADOW_MASK", "ALL_MASK"}
 # QA-derived classification bands (need qa_masks, carry class codes rather
@@ -126,9 +130,31 @@ SENSOR_MASK_BANDS: dict[str, frozenset[str]] = {
     "HLS": frozenset({"FMASK"}),
     "S2_THEIA": frozenset({"DFP", "EDG", "SAT", "MG2", "IAB", "CLM"}),
     "VENUS": frozenset({"CLM", "EDG", "SAT", "MG2", "IAB", "PIX", "USI"}),
+    # round-4 layout sweep: DIMAP v2 masks cover the whole Airbus family
+    # (dimap_v2_product.py serves PLD/PNEO/SPOT6/7, band_names.py:676-719);
+    # Planet UDM2 covers PlanetScope 8-band + SkySat, legacy UDM RapidEye
+    # (planet_product.py:543-1018); Landsat C2 QA covers TM/ETM, MSS gets
+    # the radiometric-saturation mask only (landsat_product.py:1445-1514).
 }
+_DIMAP_V2_MASKS = frozenset({"CLD", "DET", "QTE", "ROI", "SLT", "SNW", "VIS"})
+_PLANET_MASKS = frozenset({
+    "CLEAR", "SNOW", "SHADOW", "LIGHT_HAZE", "HEAVY_HAZE", "CLOUD",
+    "CONFIDENCE", "UNUSABLE", "UDM",
+})
+SENSOR_MASK_BANDS.update({
+    "PNEO_MS": _DIMAP_V2_MASKS,
+    "SPOT67_MS": _DIMAP_V2_MASKS,
+    "PS_8B": _PLANET_MASKS,
+    "SKY_MS": _PLANET_MASKS,
+    "RE_MS": frozenset({"UDM"}),
+    "LANDSAT_TM": frozenset({"QA_RADSAT", "SR_QA_AEROSOL", "SR_CLOUD_QA", "ST_QA"}),
+    "LANDSAT_ETM": frozenset({"QA_RADSAT", "SR_QA_AEROSOL", "SR_CLOUD_QA", "ST_QA"}),
+    "LANDSAT_MSS": frozenset({"QA_RADSAT"}),
+})
 
-ALL_PLANE_BANDS = set(SPECTRAL_NAMES) | set(SAR_NAMES) | {"AOT", "WVP"}
+ALL_PLANE_BANDS = (
+    set(SPECTRAL_NAMES) | set(SAR_NAMES) | set(OLCI_EXTRA_NAMES) | {"AOT", "WVP"}
+)
 
 # --------------------------------------------------------------------- aliases
 # id-string -> canonical name.  Sources: S2 band ids (B01..B12, B8A), Landsat
@@ -155,9 +181,11 @@ ALIASES: dict[str, str] = {
     "VEGETATION_RED_EDGE_2": "VRE_2", "VEGETATION_RED_EDGE_3": "VRE_3",
     "WATER_VAPOUR": "WV", "THERMAL_IR_1": "TIR_1", "THERMAL_IR_2": "TIR_2",
     "PANCHROMATIC": "PAN", "GREEN_I": "GREEN_1",
-    # S3-OLCI ids (subset used by the synthetic layouts)
-    "Oa01": "CA", "Oa04": "BLUE", "Oa06": "GREEN", "Oa08": "RED",
-    "Oa11": "VRE_2", "Oa17": "NIR", "Oa20": "WV",
+    # S3-OLCI ids: the reference's eoreader_name per Oa channel
+    # (s3_olci_product.py:203-435; Oa01/Oa09/... keep their own name)
+    "Oa02": "DEEP_BLUE", "Oa03": "CA", "Oa04": "BLUE", "Oa05": "GREEN_1",
+    "Oa06": "GREEN", "Oa07": "YELLOW", "Oa08": "RED", "Oa11": "VRE_1",
+    "Oa12": "VRE_2", "Oa16": "VRE_3", "Oa17": "NIR", "Oa20": "WV",
     # CloudsBandNames (band_names.py:525-548) -> the engine's mask planes
     "CLOUDS": "CLOUD_MASK", "RAW CLOUDS": "CLOUD_MASK", "RAW_CLOUDS": "CLOUD_MASK",
     "SHADOWS": "SHADOW_MASK", "ALL CLOUDS": "ALL_MASK", "ALL_CLOUDS": "ALL_MASK",
@@ -171,7 +199,7 @@ ALIASES: dict[str, str] = {
 # image (the per-product band_number table of the reference, e.g.
 # s2_product.py:279-348).  LEGACY3 is the round-1 default kept for
 # compatibility with existing tables/fixtures.
-LAYOUTS: dict[str, list[str]] = {
+LAYOUTS: dict[str, list[str] | dict[str, int]] = {
     "LEGACY3": ["RED", "GREEN", "NIR"],
     # Sentinel-2 L2A: 12 spectral planes + AOT/WVP quality planes (SCL is
     # derived from the QA bitfield, see loader).  60 m B10 is absent in L2A.
@@ -206,7 +234,111 @@ LAYOUTS: dict[str, list[str]] = {
     ],
     # Sentinel-3 SLSTR: 5 solar channels (S1-S3, S5-S6) + 2 BT channels
     "S3_SLSTR": ["GREEN", "RED", "NIR", "SWIR_1", "SWIR_2", "TIR_1", "TIR_2"],
+    # ------------------------------------------------------- round-4 sweep
+    # Dict-valued layouts map SEVERAL canonical names onto one physical
+    # plane, exactly like the reference's band maps where e.g. NIR and
+    # NARROW_NIR share a file id (vantor_product.py:1192-1230).
+    #
+    # Maxar / Vantor WorldView-2/3 8-band Multi (vantor_product.py:1209-1222:
+    # CA=1 BLUE=2 GREEN=3 YELLOW=4 RED=5 VRE=6 NIR=7 WV=8, 1-based ids)
+    "MAXAR_MUL": {
+        "CA": 0, "BLUE": 1, "GREEN": 2, "YELLOW": 3, "RED": 4,
+        "VRE_1": 5, "VRE_2": 5, "VRE_3": 5, "NIR": 6, "NARROW_NIR": 6, "WV": 7,
+    },
+    # SPOT-6/7 DIMAP v2 MS (spot67_product.py:67-81: B=1 G=2 R=3 N=4)
+    "SPOT67_MS": ["BLUE", "GREEN", "RED", "NIR"],
+    # SPOT-4/5 DIMAP v1 (spot45_product.py:326-379: NIR=1 RED=2 GREEN=3 SWIR=4)
+    "SPOT45_MS": ["NIR", "RED", "GREEN", "SWIR_1"],
+    # Pleiades-Neo 6-band MS (pneo_product.py:60-110: B=1 G=2 R=3 N=4
+    # DEEP_BLUE=5 (doubles as CA) RED_EDGE=6)
+    "PNEO_MS": {
+        "BLUE": 0, "GREEN": 1, "RED": 2, "NIR": 3, "NARROW_NIR": 3,
+        "DEEP_BLUE": 4, "CA": 4, "VRE_1": 5, "VRE_2": 5, "VRE_3": 5,
+    },
+    # GEOSAT-2 / Deimos-2 (gs2_product.py:236-257: NIR=1 RED=2 GREEN=3 BLUE=4)
+    "GS2_MS": ["NIR", "RED", "GREEN", "BLUE"],
+    # Vision-1 / SuperView-1 / SkySat / Aleph-1 BGRN (vis1_product.py:192-213,
+    # sv1_product.py:191-212, sky_product.py:252-298, aleph1_product.py:293-309)
+    "VIS1_MS": ["BLUE", "GREEN", "RED", "NIR"],
+    "SV1_MS": ["BLUE", "GREEN", "RED", "NIR"],
+    "SKY_MS": ["BLUE", "GREEN", "RED", "NIR"],
+    "ALEPH1_MS": ["BLUE", "GREEN", "RED", "NIR"],
+    # RapidEye 5-band (re_product.py:146-167: B G R RED_EDGE NIR)
+    "RE_MS": ["BLUE", "GREEN", "RED", "VRE_1", "NIR"],
+    # PlanetScope SuperDove PSB.SD 8-band (pla_product.py:256-294:
+    # CA=1 B=2 GREEN_I=3 G=4 Y=5 R=6 RED_EDGE=7 NIR=8)
+    "PS_8B": {
+        "CA": 0, "BLUE": 1, "GREEN_1": 2, "GREEN": 3, "YELLOW": 4,
+        "RED": 5, "VRE_1": 6, "VRE_2": 6, "VRE_3": 6, "NIR": 7, "NARROW_NIR": 7,
+    },
+    # Sentinel-3 OLCI full 21-channel stack (s3_olci_product.py:203-435:
+    # eoreader names where they exist, Oa ids otherwise)
+    "S3_OLCI": {
+        "Oa01": 0, "DEEP_BLUE": 1, "CA": 2, "BLUE": 3, "GREEN_1": 4,
+        "GREEN": 5, "YELLOW": 6, "RED": 7, "Oa09": 8, "Oa10": 9,
+        "VRE_1": 10, "VRE_2": 11, "Oa13": 12, "Oa14": 13, "Oa15": 14,
+        "VRE_3": 15, "NIR": 16, "NARROW_NIR": 16, "Oa18": 17, "Oa19": 18,
+        "WV": 19, "Oa21": 20,
+    },
+    # Landsat 1-5 MSS (landsat_product.py:446-489: G R VRE NIR; the two NIR
+    # channels collapse onto VRE/NIR eoreader names)
+    "LANDSAT_MSS": {
+        "GREEN": 0, "RED": 1, "VRE_1": 2, "VRE_2": 2, "VRE_3": 2,
+        "NIR": 3, "NARROW_NIR": 3,
+    },
+    # Landsat 4/5 TM (landsat_product.py:499-591: B=1 G=2 R=3 N=4 SWIR1=5
+    # TIR=6 SWIR2=7)
+    "LANDSAT_TM": {
+        "BLUE": 0, "GREEN": 1, "RED": 2, "NIR": 3, "NARROW_NIR": 3,
+        "SWIR_1": 4, "TIR_1": 5, "TIR_2": 5, "SWIR_2": 6,
+    },
+    # Landsat 7 ETM+ (landsat_product.py:609-716: TM + PAN=8, two TIR VCIDs
+    # on one plane)
+    "LANDSAT_ETM": {
+        "BLUE": 0, "GREEN": 1, "RED": 2, "NIR": 3, "NARROW_NIR": 3,
+        "SWIR_1": 4, "TIR_1": 5, "TIR_2": 5, "SWIR_2": 6, "PAN": 7,
+    },
+    # Panchromatic-only VHR products (the P band_combi of DIMAP/Maxar)
+    "VHR_PAN": ["PAN"],
+    # SAR polarization layouts.  The reference maps whatever pol channels the
+    # metadata declares (sar_product.py:209-241); the engine's canonical
+    # layouts carry the constellation's FULL capability.
+    "SAR_QUAD": ["HH", "VV", "HV", "VH"],      # TSX/TDX/PAZ, CSK/CSG, RS2, SAOCOM
+    "RCM_SAR": ["HH", "VV", "HV", "VH", "RH", "RV"],  # + compact pol
+    "ICEYE_SAR": ["VV", "HH"],
+    "CAPELLA_SAR": ["HH", "VV"],
+    "UMBRA_SAR": ["VV", "HH"],
 }
+
+# ---------------------------------------------- constellation -> load layout
+# Every constellation tag sources/reader.py can DETECT maps to a loadable
+# layout class — the Reader.open "instantiate the right Product subclass"
+# dispatch (reference reader.py:1009-1087) collapsed to a parameter lookup.
+CONSTELLATION_LAYOUT: dict[str, str] = {
+    "S2": "S2_L2A", "S2_E84": "S2_L2A", "S2_SIN": "S2_L2A",
+    "S2_THEIA": "S2_THEIA",
+    "S1": "S1_GRD", "S1_RTC_ASF": "S1_GRD",
+    "S3_OLCI": "S3_OLCI", "S3_SLSTR": "S3_SLSTR",
+    "L9": "L8_OLI", "L8": "L8_OLI", "L7": "LANDSAT_ETM",
+    "L5": "LANDSAT_TM", "L4": "LANDSAT_TM",
+    "L3": "LANDSAT_MSS", "L2": "LANDSAT_MSS", "L1": "LANDSAT_MSS",
+    "HLS": "HLS",
+    "PLD": "PLD_MS", "PNEO": "PNEO_MS",
+    "SPOT6": "SPOT67_MS", "SPOT7": "SPOT67_MS",
+    "SPOT5": "SPOT45_MS", "SPOT4": "SPOT45_MS", "SPOT45": "SPOT45_MS",
+    "VIS1": "VIS1_MS", "GS2": "GS2_MS", "VENUS": "VENUS",
+    "MAXAR": "MAXAR_MUL", "SV1": "SV1_MS", "ALEPH1": "ALEPH1_MS",
+    "TSX": "SAR_QUAD", "TDX": "SAR_QUAD", "PAZ": "SAR_QUAD",
+    "CSK": "SAR_QUAD", "CSG": "SAR_QUAD", "RS2": "SAR_QUAD",
+    "SAOCOM": "SAR_QUAD", "RCM": "RCM_SAR", "ICEYE": "ICEYE_SAR",
+    "CAPELLA": "CAPELLA_SAR", "UMBRA": "UMBRA_SAR",
+    "RE": "RE_MS", "SKY": "SKY_MS", "PLA": "PS_MS",
+}
+
+
+def layout_for(constellation: str) -> str:
+    """Detected constellation tag -> layout class (KeyError if undetectable)."""
+    return CONSTELLATION_LAYOUT[constellation]
 
 # canonical name -> SLSTR band id (S1 555nm, S2 659nm, S3 865nm, S5 1.6um,
 # S6 2.25um — the solar channels the radiance adjustment applies to;
@@ -215,12 +347,35 @@ SLSTR_BAND_IDS = {"GREEN": "S1", "RED": "S2", "NIR": "S3", "SWIR_1": "S5", "SWIR
 
 
 def plane_of(layout: str | list[str] | dict[str, int]) -> dict[str, int]:
-    """-> {canonical band: plane index} for a layout name, explicit band
-    order, or an already-built map."""
+    """-> {canonical band: plane index} for a layout name (constellation
+    tags accepted), explicit band order, or an already-built map.  Several
+    names may share one plane (dict-valued layouts)."""
     if isinstance(layout, dict):
         return dict(layout)
-    names = LAYOUTS[layout] if isinstance(layout, str) else list(layout)
-    return {b: i for i, b in enumerate(names)}
+    if isinstance(layout, str):
+        if layout not in LAYOUTS and layout in CONSTELLATION_LAYOUT:
+            layout = CONSTELLATION_LAYOUT[layout]
+        layout = LAYOUTS[layout]
+        if isinstance(layout, dict):
+            return dict(layout)
+    return {b: i for i, b in enumerate(layout)}
+
+
+def plane_names(layout: str | list[str] | dict[str, int]) -> list[str]:
+    """-> primary band name per physical plane, in plane order.  For
+    dict-valued layouts the FIRST name declared for a plane is primary
+    (VRE_1 over VRE_2/VRE_3, NIR over NARROW_NIR)."""
+    pm = plane_of(layout)
+    primary: dict[int, str] = {}
+    for name, p in pm.items():  # insertion order = declaration order
+        primary.setdefault(p, name)
+    return [primary[p] for p in sorted(primary)]
+
+
+def n_planes(layout: str | list[str] | dict[str, int]) -> int:
+    """Number of PHYSICAL planes in a layout (aliased names share planes)."""
+    pm = plane_of(layout)
+    return max(pm.values()) + 1 if pm else 0
 
 
 class BandError(ValueError):
@@ -248,6 +403,12 @@ def resolve(name: str, extra: set[str] | None = None) -> str:
         or up in DERIVED_MASK_BANDS or up in SENSOR_MASK_DERIVATION
     ):
         return up
+    # mixed-case canonical names (OLCI Oa ids keep the reference's casing)
+    if key in ALL_PLANE_BANDS:
+        return key
+    for cand in ALL_PLANE_BANDS:
+        if cand.upper() == up:
+            return cand
     if key in ALIASES:
         return ALIASES[key]
     if up in ALIASES:

@@ -125,7 +125,7 @@ def gen_images(
     layouts alternate raw8/qjpg (png is RGB-only by spec)."""
     from eoreader_spark import bands as bands_mod
 
-    planes = len(bands_mod.LAYOUTS[layout])
+    planes = bands_mod.n_planes(layout)
     schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -370,7 +370,7 @@ def gen_band_map(spark: SparkSession, full: bool = False) -> DataFrame:
         gsd_of = {"S2": 10.0, "L8": 30.0, "S1": 10.0, "PLD": 0.5}
         rows = []
         for const in CONSTELLATIONS:
-            for plane, name in enumerate(bands_mod.LAYOUTS[layout_of[const]]):
+            for plane, name in enumerate(bands_mod.plane_names(layout_of[const])):
                 rows.append((const, name, id_of.get(name, name), gsd_of[const], plane))
     return spark.createDataFrame(
         rows, "constellation string, band_name string, band_id string, gsd double, plane int"

@@ -546,5 +546,14 @@ def connected_components(
         labels = stepped.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    else:
+        # loud non-convergence (ADVICE r3): silently returning mid-propagation
+        # labels would hand callers WRONG components for graphs with diameter
+        # > max_iter; raise so they bump max_iter instead
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     sym.unpersist()
     return labels.select("id", F.col("label").alias("component"))

@@ -129,6 +129,7 @@ class LoadPlan:
     despeckle: list[str] = field(default_factory=list)  # base bands (P8)
     order: list[str] = field(default_factory=list)
     needed_planes: list[int] = field(default_factory=list)
+    needed_names: list[str] = field(default_factory=list)  # band names needing px cols
 
 
 def classify(bands: list[str], plane_map: dict[str, int] | None = None) -> LoadPlan:
@@ -178,7 +179,8 @@ def classify(bands: list[str], plane_map: dict[str, int] | None = None) -> LoadP
         raise BandError(
             f"index/despeckle dependencies must be plane bands of this layout, got {sorted(bad)}"
         )
-    plan.needed_planes = sorted(plane_map[b] for b in needed)
+    plan.needed_planes = sorted({plane_map[b] for b in needed})
+    plan.needed_names = sorted(needed)
     return plan
 
 
@@ -214,8 +216,16 @@ class ImageEngine:
         self.plane_map = bands_mod.plane_of(band_map) if band_map is not None else dict(SPECTRAL)
         # layout CLASS gates per-sensor mask availability (an S2 DETFOO does
         # not exist for a Landsat product, band_names.py:569-835); explicit
-        # plane lists/dicts carry no class -> only generic masks available
-        self.layout_name = band_map if isinstance(band_map, str) else None
+        # plane lists/dicts carry no class -> only generic masks available.
+        # A detected constellation TAG ('MAXAR', 'L7', ...) normalizes to its
+        # layout class via bands.CONSTELLATION_LAYOUT — the Reader dispatch.
+        if isinstance(band_map, str):
+            self.layout_name = (
+                band_map if band_map in bands_mod.LAYOUTS
+                else bands_mod.CONSTELLATION_LAYOUT.get(band_map)
+            )
+        else:
+            self.layout_name = None
         # X4 CustomProduct analog: per-band (gain, bias) applied at load time
         # (/root/reference/eoreader/products/custom_product.py:304-430)
         self.gains = {to_band(k): v for k, v in (gains or {}).items()}
@@ -338,7 +348,13 @@ class ImageEngine:
                 & (F.col("tile_y") >= ty0) & (F.col("tile_y") <= ty1)
             )
 
-        name_of = {p: b for b, p in self.plane_map.items()}
+        # primary name per physical plane (dict layouts may alias several
+        # names onto one plane, e.g. NARROW_NIR/NIR on Maxar id 7 —
+        # vantor_product.py:1192-1230); processing runs ONCE per plane on the
+        # primary column, alias columns attach after reflectance
+        name_of: dict[int, str] = {}
+        for b, p in self.plane_map.items():
+            name_of.setdefault(p, b)
         for p in plan.needed_planes:
             wide = wide.withColumnRenamed(f"px_{p}", f"px_{name_of[p]}")
 
@@ -412,6 +428,13 @@ class ImageEngine:
                     g, b = self.gains[name_of[p]]
                     expr = F.transform(expr, lambda x: x * F.lit(float(g)) + F.lit(float(b)))
                 wide = wide.withColumn(col, radiometry.clip_reflectance(expr))
+
+        # 3b. alias columns for non-primary names sharing a decoded plane
+        # (zero-copy projection: Catalyst collapses the duplicate reference)
+        for b in plan.needed_names:
+            prim = name_of[self.plane_map[b]]
+            if prim != b:
+                wide = wide.withColumn(f"px_{b}", F.col(f"px_{prim}"))
 
         # 4. indices over collocated planes (F1/J1 — collocation is implicit:
         # planes share the tile row).  JVM zip_with expressions where defined

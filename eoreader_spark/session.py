@@ -71,7 +71,10 @@ def get_spark(
                 "spark.executorEnv.PYTHONPATH",
                 f"{repo_root}:{prev}" if prev else repo_root,
             )
-            .config("spark.executor.memory", f"{max(mem_mb - 512, 1024)}m")
+            # never request more than the worker offers: a sub-1.5g worker
+            # with a bigger executor ask would never register and the job
+            # hangs silently (ADVICE r3)
+            .config("spark.executor.memory", f"{min(mem_mb, max(mem_mb - 512, 1024))}m")
             .config("spark.executorEnv.OMP_NUM_THREADS", "1")
             .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         )

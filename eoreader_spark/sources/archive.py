@@ -43,6 +43,10 @@ def _members(data: bytes, want_content: bool, pattern: str | None = None):
                 )
         return rows
     raw = gzip.decompress(data) if data[:2] == b"\x1f\x8b" else data
+    # ustar magic at offset 257 (POSIX tar; GNU tar writes 'ustar  \0') —
+    # anything else is an unknown container, not a corrupt tar (ADVICE r3)
+    if len(raw) < 262 or raw[257:262] != b"ustar":
+        raise ValueError("unsupported archive format (not zip, gzip, or ustar tar)")
     with tarfile.open(fileobj=io.BytesIO(raw)) as t:
         for m in t:
             if not m.isfile() or not keep(m.name):

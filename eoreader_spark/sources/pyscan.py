@@ -39,10 +39,15 @@ def _rg_excluded(rg_meta, predicate: tuple[str, object, object]) -> bool:
             st = cm.statistics
             if st is None or not st.has_min_max:
                 return False
-            if hi is not None and st.min > hi:
-                return True
-            if lo is not None and st.max < lo:
-                return True
+            try:
+                if hi is not None and st.min > hi:
+                    return True
+                if lo is not None and st.max < lo:
+                    return True
+            except TypeError:
+                # bound/stat type mismatch (e.g. string bound vs date stats):
+                # degrade to the documented conservative keep (ADVICE r3)
+                return False
             return False
     raise KeyError(f"predicate column {col!r} not in parquet schema")
 

@@ -295,3 +295,12 @@ def test_connected_components_canonicalizes_winnow_pairs(spark, docs):
     comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     for b in range(5):
         assert comp.get(10000 + b) == comp.get(20000 + b) == comp.get(b, b)
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A graph whose diameter exceeds max_iter must raise, not silently
+    return mid-propagation labels (round-4 ADVICE)."""
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=2)

@@ -205,3 +205,12 @@ def test_archive_scan_tar_and_targz(spark):
     assert got == {"LC08/MTL.txt": b"meta"}
     got2 = {r.member: bytes(r.content) for r in archive.read_members(df, "*.h5").collect()}
     assert got2 == {"ICEYE/VV.h5": b"z" * 17}
+
+
+def test_archive_unknown_format_raises():
+    """Corrupt/unknown payloads surface as a clear unsupported-format error,
+    not an opaque tarfile.ReadError (round-4 ADVICE)."""
+    from eoreader_spark.sources.archive import _members
+
+    with pytest.raises(ValueError, match="unsupported archive format"):
+        _members(b"\x89PNG not an archive" + b"\x00" * 400, want_content=False)
