@@ -1165,7 +1165,8 @@ def q_lee_despeckle(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _LEE_SPEC, "case when ({gx} % 6) < 3 then cast(a as double) else cast(b as double) end"
     )
     d = stencil.despeckle(
-        tiles.select("image_id", "tile_x", "tile_y", "px"), noise_var=8.0
+        tiles.select("image_id", "tile_x", "tile_y", "px"), noise_var=8.0,
+        method="lee",
     )
     return _stencil_gate(spark, _LEE_SPEC, d, rounded=False)
 
@@ -1639,7 +1640,7 @@ def q_sar_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = tiles.withColumn("px", radiometry.gain_bias("px", 0.5, 1.0)).withColumn(
         "px", F.expr("transform(px, v -> cast(v as float))")
     )
-    d = stencil.despeckle(cal, noise_var=2.0)
+    d = stencil.despeckle(cal, noise_var=2.0, method="lee")
     dims = spark.createDataFrame(
         [(i, h, w) for (i, _a, _b, h, w) in _LEE_SPEC], "image_id string, h int, w int"
     )
@@ -2921,6 +2922,53 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RLEE_SPEC = [
+    ("img_rl0", 39, 150, 64, 64),
+    ("img_rl1", 70, 35, 64, 128),
+    ("img_rl2", 131, 199, 128, 64),
+    ("img_rl3", 206, 58, 128, 128),
+]
+
+
+def q_refined_lee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 PARITY on the hard gate, VALUE-EXACT: the 7x7 edge-directed
+    Refined Lee filter (the reference's actual despeckle graph,
+    data/sar_despeckle_default.xml + sar_product.py:1251-1308) over
+    vertical-stripe images v = A if x%6<3 else B.  The y-invariant fixture
+    collapses the filter to per-column closed forms: every gradient axis
+    ties onto the vertical-edge axis (first-max-wins), the kept half-window
+    is 4 columns x 7 rows, and all sums are exact integers in float64, so
+    Spark (width-3 halo exchange, 128-wide images span 2 tiles) and the
+    DuckDB replay agree bit-for-bit before a margin-checked 3dp round
+    (worst fixture margin 2e-4 vs float32 storage error 1.5e-5, pinned in
+    tests/test_refined_lee.py)."""
+    from eoreader_spark.operators import stencil
+
+    tiles = _expr_tiles(
+        spark, _RLEE_SPEC,
+        "case when ({gx} % 6) < 3 then cast(a as double) else cast(b as double) end",
+    )
+    d = stencil.despeckle(
+        tiles.select("image_id", "tile_x", "tile_y", "px"),
+        method="refined_lee", num_looks=4.0,
+    )
+    dims = spark.createDataFrame(
+        [(i, h, w) for (i, _a, _b, h, w) in _RLEE_SPEC], "image_id string, h int, w int"
+    )
+    interior = (
+        "filter(px, (v, k) -> (tile_x * 64 + (k % 64)) between 3 and w - 4"
+        " and (tile_y * 64 + (k div 64)) between 3 and h - 4)"
+    )
+    j = d.join(F.broadcast(dims), "image_id").withColumn("iv", F.expr(interior))
+    vals = F.expr("transform(iv, v -> round(cast(v as double), 3))")
+    return (
+        j.select("image_id", F.explode(vals).alias("val"))
+        .groupBy("image_id", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("image_id", "val")
+    )
+
+
 def q_layout_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 constellation load-layout sweep (the Reader.open dispatch made
     loadable): 12 constellation TAGS spanning the new families — Maxar 8-band,
@@ -3083,6 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "layout_presence": q_layout_presence,
         "maxar_load": q_maxar_load,
+        "refined_lee": q_refined_lee,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -3916,5 +3965,59 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(yl_s) AS BIGINT) AS yellow_ssum,
                    cast(sum(nr_s) AS BIGINT) AS nnir_ssum
             FROM v GROUP BY image_id ORDER BY image_id
+        """,
+        # refined_lee: per-column closed-form replay of the 7x7 edge-directed
+        # filter on the y-invariant stripe fixture (see q_refined_lee).
+        # meanY = 7*sum(4 cols)/28 and varY = 7*sumsq/28 - meanY^2 use the
+        # SAME operand bits as the engine kernel, so every float op matches.
+        "refined_lee": """
+            WITH imgs(image_id, a, b, h, w) AS (VALUES
+                ('img_rl0', 39, 150, 64, 64),
+                ('img_rl1', 70, 35, 64, 128),
+                ('img_rl2', 131, 199, 128, 64),
+                ('img_rl3', 206, 58, 128, 128)),
+            xs AS (
+                SELECT image_id, h, w, x,
+                       CASE WHEN x % 6 < 3 THEN cast(a AS DOUBLE)
+                            ELSE cast(b AS DOUBLE) END AS v
+                FROM imgs, generate_series(0, 127) AS g(x)
+                WHERE x < w
+            ),
+            win AS (
+                SELECT c.image_id, c.x, c.h, c.v AS cv,
+                       sum(CASE WHEN d.x BETWEEN c.x-3 AND c.x-1 THEN d.v END)/3.0 AS m10,
+                       sum(CASE WHEN d.x BETWEEN c.x+1 AND c.x+3 THEN d.v END)/3.0 AS m12,
+                       sum(CASE WHEN d.x BETWEEN c.x-1 AND c.x+1 THEN d.v END)/3.0 AS m11,
+                       sum(CASE WHEN d.x BETWEEN c.x-3 AND c.x THEN d.v*7 END) AS sa,
+                       sum(CASE WHEN d.x BETWEEN c.x-3 AND c.x THEN d.v*d.v*7 END) AS qa,
+                       sum(CASE WHEN d.x BETWEEN c.x AND c.x+3 THEN d.v*7 END) AS sb,
+                       sum(CASE WHEN d.x BETWEEN c.x AND c.x+3 THEN d.v*d.v*7 END) AS qb
+                FROM xs c JOIN xs d
+                  ON d.image_id = c.image_id AND d.x BETWEEN c.x-3 AND c.x+3
+                WHERE c.x BETWEEN 3 AND c.w - 4
+                GROUP BY c.image_id, c.x, c.h, c.v
+            ),
+            sel AS (
+                SELECT image_id, h, cv,
+                       CASE WHEN abs(m12-m11) < abs(m10-m11) THEN sb ELSE sa END AS s,
+                       CASE WHEN abs(m12-m11) < abs(m10-m11) THEN qb ELSE qa END AS q
+                FROM win
+            ),
+            o AS (
+                SELECT image_id, h, cv, s/28.0 AS mean_y,
+                       q/28.0 - (s/28.0)*(s/28.0) AS var_y
+                FROM sel
+            ),
+            vals AS (
+                SELECT image_id, h,
+                       round(CASE WHEN var_y > 0
+                             THEN mean_y + least(greatest(
+                                    ((var_y - mean_y*mean_y*0.25)/1.25)/var_y, 0.0), 1.0)
+                                  * (cv - mean_y)
+                             ELSE mean_y END, 3) AS val
+                FROM o
+            )
+            SELECT image_id, val, cast(count(*) * (h - 6) AS BIGINT) AS n
+            FROM vals GROUP BY image_id, val, h ORDER BY image_id, val
         """,
     }

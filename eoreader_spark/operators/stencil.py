@@ -53,25 +53,53 @@ _DIR_COLS = {
 }
 
 
-def _strip_exprs(tile: int, px_col: str = "px") -> dict[tuple[int, int], str]:
+def _strip_exprs(
+    tile: int, px_col: str = "px", halo: int = 1
+) -> dict[tuple[int, int], str]:
     """JVM strip-extraction expressions over a row-major (T,T) px array —
-    slices for rows, strided element_at for columns; pure codegen, NO
-    Python/Arrow in the extraction pass."""
-    t, px = tile, px_col
+    slices for rows, strided slices for columns; pure codegen, NO
+    Python/Arrow in the extraction pass.  ``halo`` = strip width in pixels
+    (1 for 3x3 kernels, 3 for the 7x7 refined Lee): edge strips are w*T,
+    corners w*w, all flat row-major."""
+    t, px, w = tile, px_col, halo
+    if w == 1:
+        return {
+            (0, 1): f"slice({px}, {t * (t - 1) + 1}, {t})",   # sender's bottom row
+            (0, -1): f"slice({px}, 1, {t})",                   # sender's top row
+            (1, 0): f"transform(sequence(0, {t - 1}), i -> element_at({px}, i * {t} + {t}))",
+            (-1, 0): f"transform(sequence(0, {t - 1}), i -> element_at({px}, i * {t} + 1))",
+            (1, 1): f"array(element_at({px}, {t * t}))",       # sender's SE corner
+            (1, -1): f"array(element_at({px}, {t}))",          # sender's NE corner
+            (-1, 1): f"array(element_at({px}, {t * (t - 1) + 1}))",  # sender's SW
+            (-1, -1): f"array(element_at({px}, 1))",            # sender's NW corner
+        }
+
+    def rows(r0: int) -> str:  # w full rows starting at row r0 (w*t, row-major)
+        return f"slice({px}, {r0 * t + 1}, {w * t})"
+
+    def cols(c0: int) -> str:  # w columns starting at col c0 (t rows of w)
+        return f"flatten(transform(sequence(0, {t - 1}), i -> slice({px}, i * {t} + {c0 + 1}, {w})))"
+
+    def block(r0: int, c0: int) -> str:  # w x w corner block, row-major
+        return (
+            f"flatten(transform(sequence(0, {w - 1}),"
+            f" r -> slice({px}, (r + {r0}) * {t} + {c0 + 1}, {w})))"
+        )
+
     return {
-        (0, 1): f"slice({px}, {t * (t - 1) + 1}, {t})",   # sender's bottom row
-        (0, -1): f"slice({px}, 1, {t})",                   # sender's top row
-        (1, 0): f"transform(sequence(0, {t - 1}), i -> element_at({px}, i * {t} + {t}))",
-        (-1, 0): f"transform(sequence(0, {t - 1}), i -> element_at({px}, i * {t} + 1))",
-        (1, 1): f"array(element_at({px}, {t * t}))",       # sender's SE corner
-        (1, -1): f"array(element_at({px}, {t}))",          # sender's NE corner
-        (-1, 1): f"array(element_at({px}, {t * (t - 1) + 1}))",  # sender's SW
-        (-1, -1): f"array(element_at({px}, 1))",            # sender's NW corner
+        (0, 1): rows(t - w),            # sender's bottom w rows
+        (0, -1): rows(0),               # sender's top w rows
+        (1, 0): cols(t - w),            # sender's rightmost w cols
+        (-1, 0): cols(0),               # sender's leftmost w cols
+        (1, 1): block(t - w, t - w),    # SE corner block
+        (1, -1): block(0, t - w),       # NE corner block
+        (-1, 1): block(t - w, 0),       # SW corner block
+        (-1, -1): block(0, 0),          # NW corner block
     }
 
 
 def _strip_rows(
-    tiles: DataFrame, tile: int, px_cols: tuple[str, ...] = ("px",)
+    tiles: DataFrame, tile: int, px_cols: tuple[str, ...] = ("px",), halo: int = 1
 ) -> DataFrame:
     """Emit ONLY the 8 neighbour-addressed edge strips of each tile (the
     center tile does NOT re-enter the shuffle), entirely JVM-side.  With
@@ -80,7 +108,7 @@ def _strip_rows(
     exchange instead of one per band."""
     import pyspark.sql.functions as F
 
-    per_col = {c: _strip_exprs(tile, c) for c in px_cols}
+    per_col = {c: _strip_exprs(tile, c, halo) for c in px_cols}
     strip_of = {
         d: (
             per_col[px_cols[0]][d]
@@ -154,11 +182,13 @@ def halo_rows(
     tile: int = TILE,
     partitioned: bool = False,
     px_cols: tuple[str, ...] = ("px",),
+    halo: int = 1,
 ) -> DataFrame:
     """Strips-only exchange -> (key, px, halo) rows where ``halo`` is ONE
-    flat 4T+4 float array (nw, top row, ne, left col, right col, sw, bottom
-    row, se; NaN where the image has no neighbour), NULL for tiles with no
-    neighbours at all.
+    flat 4wT+4w^2 float array (nw, top rows, ne, left cols, right cols, sw,
+    bottom rows, se; NaN where the image has no neighbour), NULL for tiles
+    with no neighbours at all.  ``halo`` (width w) supports wider kernels:
+    w=3 for the 7x7 refined Lee.
 
     Why one flat column and no JVM pad assembly (round-3 finding, BENCH.md):
     (a) carrying 8 separate array columns through the SortMergeJoin made the
@@ -172,18 +202,18 @@ def halo_rows(
     writes) inside the kernel pass that already crosses Arrow."""
     import pyspark.sql.functions as F
 
-    t = tile
+    t, w = tile, halo
     nb = len(px_cols)
     centers = tiles if partitioned else tiles.repartition(*_KEY)
-    strips = _strip_rows(tiles, tile, px_cols)
+    strips = _strip_rows(tiles, tile, px_cols, halo)
     halos = strips.groupBy(*_KEY).agg(
         *[
             F.max(F.when(F.col("dir") == c, F.col("strip"))).alias(c)
             for c in _DIR_COLS.values()
         ]
     )
-    nan1 = f"transform(sequence(1, {nb}), i -> cast('NaN' as float))"
-    nanrow = f"transform(sequence(1, {nb * t}), i -> cast('NaN' as float))"
+    nan1 = f"transform(sequence(1, {nb * w * w}), i -> cast('NaN' as float))"
+    nanrow = f"transform(sequence(1, {nb * w * t}), i -> cast('NaN' as float))"
     flat = F.expr(
         f"concat(coalesce(h_nw, {nan1}), coalesce(h_top, {nanrow}),"
         f" coalesce(h_ne, {nan1}), coalesce(h_left, {nanrow}),"
@@ -195,17 +225,21 @@ def halo_rows(
 
 
 def assemble_pads_multi(
-    pdf: pd.DataFrame, t: int, px_cols: tuple[str, ...] = ("px",)
+    pdf: pd.DataFrame, t: int, px_cols: tuple[str, ...] = ("px",), halo: int = 1
 ) -> dict[str, np.ndarray]:
-    """{px_col: (n, T+2, T+2) float32 pads} from (px..., halo) rows —
+    """{px_col: (n, T+2w, T+2w) float32 pads} from (px..., halo) rows —
     vectorized numpy strided writes; NaN outside the image (missing halo row
     or direction).  The flat halo segments are band-concatenated in px_cols
-    order (see _strip_rows)."""
+    order (see _strip_rows); ``halo`` = strip width w."""
     nb = len(px_cols)
+    w = halo
     n = len(pdf)
-    pads = {c: np.full((n, t + 2, t + 2), np.nan, dtype=np.float32) for c in px_cols}
+    pads = {
+        c: np.full((n, t + 2 * w, t + 2 * w), np.nan, dtype=np.float32)
+        for c in px_cols
+    }
     for c in px_cols:
-        pads[c][:, 1 : t + 1, 1 : t + 1] = np.stack(
+        pads[c][:, w : t + w, w : t + w] = np.stack(
             [np.asarray(p, dtype=np.float32) for p in pdf[c]]
         ).reshape(n, t, t)
     hv = pdf["halo"].to_numpy()
@@ -214,31 +248,35 @@ def assemble_pads_multi(
         idx = np.nonzero(mask)[0]
         h = np.stack([np.asarray(hv[i], dtype=np.float32) for i in idx])
         # segment offsets in the flat layout: nw | top | ne | left | right
-        # | sw | bot | se, each holding nb band blocks
+        # | sw | bot | se; corners hold nb blocks of w*w, edges nb of w*t
+        cw, ew = w * w, w * t
         nw = 0
-        top = nw + nb
-        ne = top + nb * t
-        left = ne + nb
-        right = left + nb * t
-        sw = right + nb * t
-        bot = sw + nb
-        se = bot + nb * t
+        top = nw + nb * cw
+        ne = top + nb * ew
+        left = ne + nb * cw
+        right = left + nb * ew
+        sw = right + nb * ew
+        bot = sw + nb * cw
+        se = bot + nb * ew
+        m = len(idx)
         for i, c in enumerate(px_cols):
             p = pads[c]
-            p[idx, 0, 0] = h[:, nw + i]
-            p[idx, 0, 1 : t + 1] = h[:, top + i * t : top + (i + 1) * t]
-            p[idx, 0, t + 1] = h[:, ne + i]
-            p[idx, 1 : t + 1, 0] = h[:, left + i * t : left + (i + 1) * t]
-            p[idx, 1 : t + 1, t + 1] = h[:, right + i * t : right + (i + 1) * t]
-            p[idx, t + 1, 0] = h[:, sw + i]
-            p[idx, t + 1, 1 : t + 1] = h[:, bot + i * t : bot + (i + 1) * t]
-            p[idx, t + 1, t + 1] = h[:, se + i]
+            # corners: w x w row-major blocks
+            p[idx, 0:w, 0:w] = h[:, nw + i * cw : nw + (i + 1) * cw].reshape(m, w, w)
+            p[idx, 0:w, t + w : t + 2 * w] = h[:, ne + i * cw : ne + (i + 1) * cw].reshape(m, w, w)
+            p[idx, t + w : t + 2 * w, 0:w] = h[:, sw + i * cw : sw + (i + 1) * cw].reshape(m, w, w)
+            p[idx, t + w : t + 2 * w, t + w : t + 2 * w] = h[:, se + i * cw : se + (i + 1) * cw].reshape(m, w, w)
+            # top/bottom: w rows x t cols (row-major); left/right: t rows x w cols
+            p[idx, 0:w, w : t + w] = h[:, top + i * ew : top + (i + 1) * ew].reshape(m, w, t)
+            p[idx, t + w : t + 2 * w, w : t + w] = h[:, bot + i * ew : bot + (i + 1) * ew].reshape(m, w, t)
+            p[idx, w : t + w, 0:w] = h[:, left + i * ew : left + (i + 1) * ew].reshape(m, t, w)
+            p[idx, w : t + w, t + w : t + 2 * w] = h[:, right + i * ew : right + (i + 1) * ew].reshape(m, t, w)
     return pads
 
 
-def assemble_pads(pdf: pd.DataFrame, t: int, px_col: str = "px") -> np.ndarray:
+def assemble_pads(pdf: pd.DataFrame, t: int, px_col: str = "px", halo: int = 1) -> np.ndarray:
     """Single-band pad assembly (see assemble_pads_multi)."""
-    return assemble_pads_multi(pdf, t, (px_col,))[px_col]
+    return assemble_pads_multi(pdf, t, (px_col,), halo)[px_col]
 
 
 def apply_stencil(
@@ -247,20 +285,22 @@ def apply_stencil(
     tile: int = TILE,
     out_col: str = "px",
     partitioned: bool = False,
+    halo: int = 1,
 ) -> DataFrame:
-    """Generic 3x3-halo stencil with a PYTHON kernel (X3 extension point):
-    kernel((T+2,T+2) padded) -> (T,T).  Strips-only shuffle; the flat halo
+    """Generic halo stencil with a PYTHON kernel (X3 extension point):
+    kernel((T+2w,T+2w) padded) -> (T,T).  Strips-only shuffle; the flat halo
     column joins the center tiles JVM-side, and the pad assembles in numpy
-    inside the one Arrow pass (see halo_rows for why)."""
+    inside the one Arrow pass (see halo_rows for why).  ``halo``=1 serves
+    3x3 kernels, 3 the 7x7 refined Lee."""
     t = tile
-    joined = halo_rows(tiles, tile, partitioned)
+    joined = halo_rows(tiles, tile, partitioned, halo=halo)
     schema = f"image_id string, tile_x int, tile_y int, {out_col} array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pads = assemble_pads(pdf, t)
+            pads = assemble_pads(pdf, t, halo=halo)
             out_px = [
                 kernel(pads[i]).astype(np.float32).ravel() for i in range(len(pdf))
             ]
@@ -276,6 +316,7 @@ def apply_stencil_multi(
     kernels: dict[str, tuple[str, Callable[[np.ndarray], np.ndarray]]],
     tile: int = TILE,
     partitioned: bool = False,
+    halo: int = 1,
 ) -> DataFrame:
     """Several stencil kernels over several bands in ONE pass: kernels maps
     out_col -> (px_col, kernel).  All bands share a single strips exchange,
@@ -285,7 +326,7 @@ def apply_stencil_multi(
     VERDICT #2 join-per-thing anti-pattern, killed for stencils too)."""
     t = tile
     px_cols = tuple(dict.fromkeys(pc for pc, _ in kernels.values()))
-    joined = halo_rows(tiles, tile, partitioned, px_cols=px_cols)
+    joined = halo_rows(tiles, tile, partitioned, px_cols=px_cols, halo=halo)
     out_cols = list(kernels)
     schema = "image_id string, tile_x int, tile_y int, " + ", ".join(
         f"{oc} array<float>" for oc in out_cols
@@ -295,7 +336,7 @@ def apply_stencil_multi(
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            pads = assemble_pads_multi(pdf, t, px_cols)
+            pads = assemble_pads_multi(pdf, t, px_cols, halo=halo)
             out = pdf[["image_id", "tile_x", "tile_y"]].copy()
             for oc, (pc, kernel) in kernels.items():
                 p = pads[pc]
@@ -520,8 +561,136 @@ def hillshade(
     )
 
 
+def refined_lee_kernel_factory(num_looks: float = 4.0):
+    """Refined Lee 7x7 edge-directed speckle filter — the reference's actual
+    despeckle graph is filter "Refined Lee"
+    (/root/reference/eoreader/data/sar_despeckle_default.xml, runner
+    sar_product.py:1251-1308, executed by SNAP).  Re-derived from the
+    published algorithm (J.S. Lee 1981, "Refined filtering of image noise
+    using local statistics"); orientation/tie conventions are this engine's
+    own and documented below, NOT copied from SNAP:
+
+      1. the 7x7 window's 3x3 sub-area means m[j][i] (block centers at
+         offsets -2/0/+2) feed 4 edge-axis gradients
+           g0=|m[1][0]-m[1][2]| (vertical edge), g1=|m[0][2]-m[2][0]|
+           (main-diagonal edge), g2=|m[0][1]-m[2][1]| (horizontal edge),
+           g3=|m[0][0]-m[2][2]| (anti-diagonal edge);
+         the axis with the largest gradient wins (first wins ties).
+      2. of the axis's two half-windows (28 pixels each, diagonal halves
+         include the diagonal), keep the side whose sub-mean proxy is
+         CLOSER to the center sub-mean m[1][1] (ties -> first side) — the
+         non-edge area containing the center pixel.
+      3. Lee MMSE weighting over the 28 selected pixels with multiplicative
+         speckle: varX = (varY - meanY^2*sv2) / (1 + sv2), sv2 = 1/ENL;
+         b = clamp(varX/varY, 0, 1); out = meanY + b*(center - meanY);
+         flat windows (varY <= 0) pass meanY through.
+
+    Windows touching NaN (image borders) fall back to the nan-aware 7x7
+    mean — the valid-pixels-only degradation of the published filter.
+    All sums are exact in float64 for integer-valued DN inputs, so outputs
+    are bit-reproducible across engines (the oracle replays this closed
+    form in SQL).
+    """
+    sv2 = 1.0 / float(num_looks)
+
+    # half-window membership over (dy, dx) in [-3,3]^2; diagonal halves
+    # include their diagonal (28 px each, all containing the center)
+    offs = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
+    temp = {
+        ("0A"): [(dy, dx) for dy, dx in offs if dx <= 0],   # left,  proxy m[1][0]
+        ("0B"): [(dy, dx) for dy, dx in offs if dx >= 0],   # right, proxy m[1][2]
+        ("1A"): [(dy, dx) for dy, dx in offs if dx >= dy],  # top-right,  m[0][2]
+        ("1B"): [(dy, dx) for dy, dx in offs if dx <= dy],  # bottom-left, m[2][0]
+        ("2A"): [(dy, dx) for dy, dx in offs if dy <= 0],   # top,    m[0][1]
+        ("2B"): [(dy, dx) for dy, dx in offs if dy >= 0],   # bottom, m[2][1]
+        ("3A"): [(dy, dx) for dy, dx in offs if dx + dy <= 0],  # top-left, m[0][0]
+        ("3B"): [(dy, dx) for dy, dx in offs if dx + dy >= 0],  # bot-right, m[2][2]
+    }
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        w = 3
+        t = pad.shape[0] - 2 * w
+        p = pad.astype(np.float64)
+
+        def sh(dy: int, dx: int) -> np.ndarray:
+            return p[w + dy : w + dy + t, w + dx : w + dx + t]
+
+        # 3x3 sub-area means on block centers (-2, 0, 2)
+        m = {}
+        for jj, cy in enumerate((-2, 0, 2)):
+            for ii, cx in enumerate((-2, 0, 2)):
+                s = sum(sh(cy + a, cx + b) for a in (-1, 0, 1) for b in (-1, 0, 1))
+                m[(jj, ii)] = s / 9.0
+        g = np.stack([
+            np.abs(m[(1, 0)] - m[(1, 2)]),
+            np.abs(m[(0, 2)] - m[(2, 0)]),
+            np.abs(m[(0, 1)] - m[(2, 1)]),
+            np.abs(m[(0, 0)] - m[(2, 2)]),
+        ])
+        axis = np.argmax(g, axis=0)  # first max wins ties (np.argmax semantics)
+        proxies = {
+            0: (m[(1, 0)], m[(1, 2)]), 1: (m[(0, 2)], m[(2, 0)]),
+            2: (m[(0, 1)], m[(2, 1)]), 3: (m[(0, 0)], m[(2, 2)]),
+        }
+        # per-template sums / sums of squares (28 shifted adds each)
+        S = {}
+        SS = {}
+        for key, cells in temp.items():
+            s = np.zeros_like(sh(0, 0))
+            ss = np.zeros_like(s)
+            for dy, dx in cells:
+                v = sh(dy, dx)
+                s = s + v
+                ss = ss + v * v
+            S[key], SS[key] = s, ss
+        c = sh(0, 0)
+        sum_sel = np.zeros_like(c)
+        ssq_sel = np.zeros_like(c)
+        for k in range(4):
+            pa, pb = proxies[k]
+            use_b = np.abs(pb - m[(1, 1)]) < np.abs(pa - m[(1, 1)])
+            on_axis = axis == k
+            for side, mask in (("A", on_axis & ~use_b), ("B", on_axis & use_b)):
+                keyk = f"{k}{side}"
+                sum_sel = np.where(mask, S[keyk], sum_sel)
+                ssq_sel = np.where(mask, SS[keyk], ssq_sel)
+        mean_y = sum_sel / 28.0
+        var_y = ssq_sel / 28.0 - mean_y * mean_y
+        with np.errstate(invalid="ignore", divide="ignore"):
+            var_x = (var_y - mean_y * mean_y * sv2) / (1.0 + sv2)
+            b = np.clip(var_x / var_y, 0.0, 1.0)
+        out = np.where(var_y > 0, mean_y + b * (c - mean_y), mean_y)
+        # border fallback: any NaN in the 7x7 window -> nan-aware window mean
+        win = np.stack([sh(dy, dx) for dy, dx in offs])
+        has_nan = np.isnan(win).any(axis=0)
+        if has_nan.any():
+            with np.errstate(invalid="ignore"):
+                nanmean = np.nanmean(win, axis=0)
+            out = np.where(has_nan, nanmean, out)
+        return out
+
+    return kernel
+
+
 def despeckle(
-    band_tiles: DataFrame, noise_var: float = 25.0, tile: int = TILE, partitioned: bool = False
+    band_tiles: DataFrame,
+    noise_var: float = 25.0,
+    tile: int = TILE,
+    partitioned: bool = False,
+    method: str = "refined_lee",
+    num_looks: float = 4.0,
 ) -> DataFrame:
-    """W3: VV -> VV_DSPK analog (Lee 3x3 numpy kernel, JVM halo path)."""
-    return apply_stencil(band_tiles, lee_kernel_factory(noise_var), tile=tile, partitioned=partitioned)
+    """W3: VV -> VV_DSPK.  ``method='refined_lee'`` (default — matches the
+    reference's SNAP graph, data/sar_despeckle_default.xml) runs the 7x7
+    edge-directed filter over a width-3 halo; ``method='lee'`` keeps the
+    plain Lee 3x3 (noise_var additive model)."""
+    if method == "refined_lee":
+        return apply_stencil(
+            band_tiles, refined_lee_kernel_factory(num_looks),
+            tile=tile, partitioned=partitioned, halo=3,
+        )
+    if method == "lee":
+        return apply_stencil(
+            band_tiles, lee_kernel_factory(noise_var), tile=tile, partitioned=partitioned
+        )
+    raise ValueError(f"unknown despeckle method: {method!r}")

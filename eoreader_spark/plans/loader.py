@@ -204,6 +204,7 @@ class ImageEngine:
         band_map: str | list[str] | dict[str, int] | None = None,
         view: str | None = None,
         rad_adjust: str | dict[tuple[str, str], float] = "NONE",
+        despeckle_method: str = "refined_lee",
     ) -> None:
         self.images = images
         self.qa_masks = qa_masks
@@ -234,6 +235,9 @@ class ImageEngine:
         # applies in the reflectance step (s3_slstr_product.py:801-850)
         self.view = view
         self.rad_adjust = rad_adjust
+        # W3: the reference's despeckle graph is Refined Lee
+        # (data/sar_despeckle_default.xml); 'lee' selects the plain 3x3
+        self.despeckle_method = despeckle_method
 
     # ----------------------------------------------------------- predicates
     def has_band(self, band: str) -> bool:
@@ -509,11 +513,14 @@ class ImageEngine:
                 "image_id", "tile_x", "tile_y",
                 *[f"px_{base}" for base in plan.despeckle],
             )
+            refined = self.despeckle_method == "refined_lee"
+            mk = stencil.refined_lee_kernel_factory if refined else stencil.lee_kernel_factory
             kernels = {
-                f"px_{base}_DSPK": (f"px_{base}", stencil.lee_kernel_factory())
-                for base in plan.despeckle
+                f"px_{base}_DSPK": (f"px_{base}", mk()) for base in plan.despeckle
             }
-            d = stencil.apply_stencil_multi(band_tiles, kernels, tile=self.tile)
+            d = stencil.apply_stencil_multi(
+                band_tiles, kernels, tile=self.tile, halo=3 if refined else 1
+            )
             wide = wide.join(d, ["image_id", "tile_x", "tile_y"])
 
         # 6. masks as uint8-ish int arrays (optical_product.py:440-441);

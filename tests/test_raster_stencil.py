@@ -104,7 +104,7 @@ def test_hillshade_range_and_determinism(spark, dem_tiles):
 
 def test_despeckle_reduces_variance(spark, images):
     tiles = raster.tiles_from_images(images.limit(4), plane=0)
-    out = stencil.despeckle(tiles, noise_var=500.0)
+    out = stencil.despeckle(tiles, noise_var=500.0, method="lee")
     j = tiles.withColumnRenamed("px", "px_in").join(out, ["image_id", "tile_x", "tile_y"])
     row = j.select(
         F.avg(F.expr("aggregate(px_in, 0D, (a,x) -> a + double(x))") / F.size("px_in")).alias("m_in"),
@@ -236,7 +236,7 @@ def test_sar_preprocess_chain_end_to_end(spark):
     cal = wide.withColumn("px", radiometry.gain_bias("px_VV", 0.5, 1.0)).select(
         "image_id", "tile_x", "tile_y", "px"
     )
-    dspk = stencil.despeckle(cal, noise_var=25.0, tile=datagen.TILE)
+    dspk = stencil.despeckle(cal, noise_var=25.0, tile=datagen.TILE, method="lee")
     out = dspk.withColumn("px_db", radiometry.to_db("px"))
     r = out.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
     t = datagen.TILE
@@ -292,9 +292,10 @@ def test_multi_band_despeckle_matches_single(spark):
         {"o1": ("px", stencil.lee_kernel_factory()),
          "o2": ("px2", stencil.lee_kernel_factory())},
     )
-    single1 = stencil.despeckle(dem)
+    single1 = stencil.despeckle(dem, method="lee")
     single2 = stencil.despeckle(
-        two.select("image_id", "tile_x", "tile_y", F.col("px2").alias("px"))
+        two.select("image_id", "tile_x", "tile_y", F.col("px2").alias("px")),
+        method="lee",
     )
     f = {(r.image_id, r.tile_x, r.tile_y): (r.o1, r.o2) for r in fused.collect()}
     s1 = {(r.image_id, r.tile_x, r.tile_y): r.px for r in single1.collect()}
