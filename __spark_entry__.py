@@ -2922,6 +2922,44 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geocode_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 PARITY, VALUE-EXACT: true 4-corner inverse-bilinear swath
+    geocoding (the reference's pyresample XArrayBilinearResampler path,
+    s3_product.py:584-683) on a sheared-parallelogram swath — lon = s/4 +
+    l/16, lat = l/4, all dyadic — with targets at dyadic fractional cell
+    positions (du, dv in {1/4, 1/2, 3/4}).  The parallelogram branch of the
+    inverse solve is +,-,*,/ of exact dyadics, so recovered (u, v) equal the
+    construction offsets bit-for-bit and the blended value is an exact
+    dyadic rational; the oracle restates the closed form."""
+    from eoreader_spark.operators import warp
+
+    swath = spark.range(64).selectExpr(
+        "cast(id div 8 as int) as line",
+        "cast(id % 8 as int) as sample",
+        "(id % 8) * 0.25 + (id div 8) * 0.0625 as lon",
+        "(id div 8) * 0.25 as lat",
+        "cast((13 * (id div 8) + 7 * (id % 8)) % 50 as double) as value",
+    )
+    grid = spark.range(81).selectExpr(
+        "element_at(array(0, 2, 5), cast(id div 27 as int) + 1) as l",
+        "element_at(array(0, 2, 5), cast((id div 9) % 3 as int) + 1) as s",
+        "(cast(id div 3 as int) % 3 + 1) * 0.25 as du",
+        "(cast(id as int) % 3 + 1) * 0.25 as dv",
+    ).selectExpr(
+        "concat('g', l, '_', s, '_', cast(du * 4 as int), '_', cast(dv * 4 as int)) as grid_id",
+        # P = A + du*e + dv*f on the sheared grid
+        "s * 0.25 + l * 0.0625 + du * 0.25 + dv * 0.0625 as lon",
+        "l * 0.25 + dv * 0.25 as lat",
+    )
+    out = warp.geocode_swath_bilinear(swath, grid)
+    return out.select(
+        "grid_id",
+        F.round("value", 6).alias("value"),
+        F.round("u", 6).alias("u"),
+        F.round("v", 6).alias("v"),
+    ).orderBy("grid_id")
+
+
 _RLEE_SPEC = [
     ("img_rl0", 39, 150, 64, 64),
     ("img_rl1", 70, 35, 64, 128),
@@ -3132,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_presence": q_layout_presence,
         "maxar_load": q_maxar_load,
         "refined_lee": q_refined_lee,
+        "geocode_bilinear": q_geocode_bilinear,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -4019,5 +4058,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT image_id, val, cast(count(*) * (h - 6) AS BIGINT) AS n
             FROM vals GROUP BY image_id, val, h ORDER BY image_id, val
+        """,
+        # geocode_bilinear: closed-form restatement — recovered (u, v) ARE
+        # the construction offsets and the value is the 4-corner blend of
+        # the integer corner values with dyadic weights
+        "geocode_bilinear": """
+            WITH ls(l) AS (VALUES (0), (2), (5)),
+            ss(s) AS (VALUES (0), (2), (5)),
+            offs(o) AS (VALUES (0.25), (0.5), (0.75)),
+            t AS (
+                SELECT l.l, s.s, du.o AS du, dv.o AS dv
+                FROM ls l, ss s, offs du, offs dv
+            ),
+            v AS (
+                SELECT concat('g', l, '_', s, '_', cast(du * 4 AS INTEGER),
+                              '_', cast(dv * 4 AS INTEGER)) AS grid_id,
+                       (1 - du) * (1 - dv) * ((13 * l + 7 * s) % 50)
+                     + du * (1 - dv) * ((13 * l + 7 * (s + 1)) % 50)
+                     + (1 - du) * dv * ((13 * (l + 1) + 7 * s) % 50)
+                     + du * dv * ((13 * (l + 1) + 7 * (s + 1)) % 50) AS value,
+                       du AS u, dv AS v
+                FROM t
+            )
+            SELECT grid_id, round(value, 6) AS value, round(u, 6) AS u,
+                   round(v, 6) AS v
+            FROM v ORDER BY grid_id
         """,
     }

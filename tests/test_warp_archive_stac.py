@@ -214,3 +214,62 @@ def test_archive_unknown_format_raises():
 
     with pytest.raises(ValueError, match="unsupported archive format"):
         _members(b"\x89PNG not an archive" + b"\x00" * 400, want_content=False)
+
+
+def test_geocode_bilinear_parallelogram_exact(spark):
+    """J4 parity: on a sheared parallelogram swath the recovered (u, v) are
+    bit-exact and the value is the exact 4-corner blend."""
+    rows = [
+        (line, s, s * 0.25 + line * 0.0625, line * 0.25, float((line * 13 + s * 7) % 50))
+        for line in range(6) for s in range(6)
+    ]
+    swath = spark.createDataFrame(rows, "line int, sample int, lon double, lat double, value double")
+    u, v, bl, bs = 0.75, 0.25, 1, 3
+
+    def pos(line, s):
+        return (s * 0.25 + line * 0.0625, line * 0.25)
+
+    ax, ay = pos(bl, bs)
+    bx, _ = pos(bl, bs + 1)
+    cx, cy = pos(bl + 1, bs)
+    px = ax + u * (bx - ax) + v * (cx - ax)
+    py = ay + v * (cy - ay)
+    grid = spark.createDataFrame([("g0", px, py)], "grid_id string, lon double, lat double")
+    r = warp.geocode_swath_bilinear(swath, grid).first()
+    assert (r.u, r.v) == (u, v)
+    corners = [(bl, bs), (bl, bs + 1), (bl + 1, bs), (bl + 1, bs + 1)]
+    vals = [(line * 13 + s * 7) % 50 for line, s in corners]
+    want = (1 - u) * (1 - v) * vals[0] + u * (1 - v) * vals[1] + (1 - u) * v * vals[2] + u * v * vals[3]
+    assert r.value == want
+
+
+def test_geocode_bilinear_general_quad(spark):
+    """Non-parallelogram cell: the quadratic inverse recovers (u, v) to
+    float precision (checked against the forward bilinear mapping)."""
+    # one irregular quad: A(0,0) B(1.0,0.1) C(0.2,1.0) D(1.3,1.2)
+    quad = {(0, 0): (0.0, 0.0, 5.0), (0, 1): (1.0, 0.1, 9.0),
+            (1, 0): (0.2, 1.0, 21.0), (1, 1): (1.3, 1.2, 33.0)}
+    rows = [(line, s, x, y, val) for (line, s), (x, y, val) in quad.items()]
+    swath = spark.createDataFrame(rows, "line int, sample int, lon double, lat double, value double")
+    u, v = 0.3, 0.6
+    ax, ay, va = quad[(0, 0)]
+    bx, by, vb = quad[(0, 1)]
+    cx, cy, vc = quad[(1, 0)]
+    dx, dy, vd = quad[(1, 1)]
+    px = ax + u * (bx - ax) + v * (cx - ax) + u * v * (dx - bx - cx + ax)
+    py = ay + u * (by - ay) + v * (cy - ay) + u * v * (dy - by - cy + ay)
+    grid = spark.createDataFrame([("g0", px, py)], "grid_id string, lon double, lat double")
+    r = warp.geocode_swath_bilinear(swath, grid).first()
+    assert abs(r.u - u) < 1e-9 and abs(r.v - v) < 1e-9
+    want = (1 - u) * (1 - v) * va + u * (1 - v) * vb + (1 - u) * v * vc + u * v * vd
+    assert abs(r.value - want) < 1e-9
+
+
+def test_geocode_bilinear_outside_swath_drops(spark):
+    rows = [(line, s, float(s), float(line), 1.0) for line in range(3) for s in range(3)]
+    swath = spark.createDataFrame(rows, "line int, sample int, lon double, lat double, value double")
+    grid = spark.createDataFrame(
+        [("in", 0.5, 0.5), ("out", 40.0, 40.0)], "grid_id string, lon double, lat double"
+    )
+    got = {r.grid_id for r in warp.geocode_swath_bilinear(swath, grid).collect()}
+    assert got == {"in"}
