@@ -953,7 +953,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    out = similarity.ivf_topk(q, indexed, C, k=3, n_probe=2)
+    out = similarity.ivf_topk(q, indexed, C, k=3, n_probe=2, exact=True)
     return out.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
     ).orderBy("query_id", "rank")
@@ -2486,9 +2486,11 @@ def _dem_attach_oracle() -> str:
 def q_geotiff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 REAL-container read on the hard gate, VALUE-EXACT: deterministic
     images encoded as genuine GeoTIFF bytes (pure-numpy TIFF 6.0 writer,
-    sources/geotiff.py — uncompressed planar + ModelPixelScale/Tiepoint/
-    GeoKey EPSG tags) decode through the STANDARD tile path (fmt='tiff' in
-    the codec table); integer pixel sums replay the closed form."""
+    sources/geotiff.py — planar + ModelPixelScale/Tiepoint/GeoKey EPSG
+    tags), round 4: a THIRD each uncompressed, LZW + Predictor-2 (the
+    reference's write configuration, utils.py:264-299) and ADOBE_DEFLATE —
+    all decode through the STANDARD tile path (fmt='tiff', compression
+    dispatched from the IFD); integer pixel sums replay the closed form."""
     from collections.abc import Iterator as _It
 
     from eoreader_spark import codecs
@@ -2496,14 +2498,18 @@ def q_geotiff_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from eoreader_spark import codecs as _c
+        from eoreader_spark.sources import geotiff as _gt
 
+        comps = [("none", False), ("lzw", True), ("deflate", True)]
         for pdf in it:
             rows = []
             for j in pdf["id"].astype("int64"):
                 j = int(j)
                 h, w = (64, 64) if j % 2 == 0 else (128, 64)
                 img = _c.make_image(j, h, w, planes=3)
-                rows.append((f"tif{j:03d}", _c.encode(img, "tiff"), w, h, "tiff"))
+                comp, pred = comps[j % 3]
+                b = _gt.encode_geotiff(img, compression=comp, predictor=pred)
+                rows.append((f"tif{j:03d}", b, w, h, "tiff"))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     images = spark.range(6, numPartitions=2).mapInPandas(
@@ -2686,6 +2692,91 @@ def _jfif_oracle() -> str:
         orig = img[0].astype(np.int64)
         rows.append(
             f"('jfif{j:03d}', {dec.size}, {int(dec.sum())}, {int(((dec - orig) ** 2).sum())})"
+        )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT image_id, cast(n_px AS BIGINT) AS n_px,
+                   cast(px_sum AS BIGINT) AS px_sum,
+                   cast(sqerr_sum AS BIGINT) AS sqerr_sum,
+                   cast(CASE WHEN sqerr_sum * 10000 <= n_px * 65025
+                             THEN 1 ELSE 0 END AS INTEGER) AS psnr_ok
+            FROM (VALUES
+                {values}
+            ) AS t(image_id, n_px, px_sum, sqerr_sum)
+            ORDER BY image_id
+        """
+
+
+def q_jfif420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: the 4:2:0 SUBSAMPLED interleaved layout of real camera
+    JPEGs (SOF0 sampling 0x22/0x11/0x11, one MCU-ordered scan, per-component
+    DC predictors — jpegc.py) decoded through the STANDARD tile path.  The
+    compared plane is full-resolution luma, so the 40 dB invariant holds on
+    the worst-case noisy fixture; chroma round-trips are covered by pytest
+    (tests/test_jfif.py).  Distributed == independent local replay by exact
+    integer sums, like jfif_decode."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark.operators import raster
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+        from eoreader_spark.sources import jpegc as _j
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (64, 128) if j % 2 == 0 else (128, 64)
+                img = _c.make_image(j, h, w, planes=3)
+                b = _j.encode_jfif(img, 95, subsampling="420")
+                rows.append((f"j420_{j:03d}", b, w, h, "jfif"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = raster.tiles_from_images(images, plane=0)
+    seed = F.substring("image_id", 6, 3).cast("long")
+
+    def sqerr_el(v: F.Column, i: F.Column) -> F.Column:
+        x = F.col("tile_x").cast("long") * 64 + (i % 64)
+        y = F.col("tile_y").cast("long") * 64 + F.floor(i / 64).cast("long")
+        orig = F.pmod(seed * 7 + x * 13 + y * 17 + F.pmod(x * y, 29), F.lit(256))
+        d = v.cast("long") - orig
+        return d * d
+
+    add = lambda a, x: a + x  # noqa: E731
+    zero = F.lit(0).cast("long")
+    vsum = F.aggregate(F.expr("transform(px, v -> cast(v as bigint))"), zero, add)
+    esum = F.aggregate(F.transform("px", sqerr_el), zero, add)
+    return (
+        tiles.select(
+            "image_id", F.size("px").cast("long").alias("n"),
+            vsum.alias("s"), esum.alias("e"),
+        )
+        .groupBy("image_id")
+        .agg(F.sum("n").alias("n_px"), F.sum("s").alias("px_sum"), F.sum("e").alias("sqerr_sum"))
+        .withColumn(
+            "psnr_ok",
+            (F.col("sqerr_sum") * 10000 <= F.col("n_px") * 65025).cast("int"),
+        )
+        .orderBy("image_id")
+    )
+
+
+def _jfif420_oracle() -> str:
+    from eoreader_spark import codecs as _c
+    from eoreader_spark.sources import jpegc as _j
+
+    rows = []
+    for j in range(6):
+        h, w = (64, 128) if j % 2 == 0 else (128, 64)
+        img = _c.make_image(j, h, w, planes=3)
+        dec = _j.decode_jfif(_j.encode_jfif(img, 95, subsampling="420"))[0].astype(np.int64)
+        orig = img[0].astype(np.int64)
+        rows.append(
+            f"('j420_{j:03d}', {dec.size}, {int(dec.sum())}, {int(((dec - orig) ** 2).sum())})"
         )
     values = ",\n                ".join(rows)
     return f"""
@@ -2919,6 +3010,87 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows += [(name, b, int(eng.has_band(b))) for b in probes]
     return spark.createDataFrame(rows, "layout string, band string, available int").orderBy(
         "layout", "band"
+    )
+
+
+def q_audio_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4: REAL compressed-audio/video container parsing, VALUE-EXACT —
+    mp3 frame walks (ISO 11172-3 headers), FLAC STREAMINFO, and PCM WAV all
+    parse through operators/multimodal.audio_container_info with NO stub in
+    the path (sample decode of compressed codecs is the only remaining
+    out-of-scope step; metadata is what the pipeline partitions/filters on).
+    Fixtures are synthesized VALID streams; the oracle restates the integer
+    duration arithmetic from the construction parameters."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark.operators import multimodal
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as _np
+
+        from eoreader_spark.operators import multimodal as _mm
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                kind = j % 3
+                if kind == 0:
+                    b = _mm.encode_mp3_frames(20 + j * 3, 128, 0)
+                elif kind == 1:
+                    b = _mm.encode_flac_streaminfo(10000 + j * 777, 48000, 2, 16)
+                else:
+                    n = 8000 + j * 100
+                    sig = _np.sin(_np.arange(n) / 50.0) * 0.25
+                    b = _mm.encode_wav(sig, 16000)
+                rows.append((f"m{j:03d}", b))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes"])
+
+    media = spark.range(12, numPartitions=3).mapInPandas(
+        gen, schema="media_id string, bytes binary"
+    )
+    return multimodal.audio_container_info(media).orderBy("media_id")
+
+
+def q_clean_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 vector-mask variant, VALUE-EXACT (round 4): invalid pixels arrive
+    as WKT polygons (the S2 < PB04.00 GML masks, s2_product.py:1214-1280)
+    and clean='vector' rasterizes them through the PIP kernel onto each
+    tile's pixel-center lattice.  Half-integer polygon coordinates vs
+    integer pixel centers mean no lattice point ever lies on an edge (the
+    triangle's hypotenuse has slope -21/20, so 21x + 20y never hits its
+    non-integer offset), making even-odd membership exact and
+    engine-independent; the oracle restates both shapes as inequalities."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12).filter(F.col("fmt") == "raw8")
+    rect = "POLYGON((10.5 8.5, 40.5 8.5, 40.5 30.5, 10.5 30.5, 10.5 8.5))"
+    tri = "POLYGON((5.5 40.5, 25.5 40.5, 5.5 61.5, 5.5 40.5))"
+    vm = images.selectExpr(
+        "image_id", f"explode(array('{rect}', '{tri}')) as wkt"
+    )
+    eng = loader.ImageEngine(images, vector_masks=vm)
+    wide = eng.load(["RED"], clean="vector", reflectance=False)
+    masked = F.filter("px_RED", lambda x: F.isnan(x))
+    valid = F.filter("px_RED", lambda x: ~F.isnan(x))
+    vsum = F.aggregate(
+        valid, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    return (
+        wide.select(
+            "image_id",
+            F.size("px_RED").cast("long").alias("n"),
+            F.size(masked).cast("long").alias("m"),
+            vsum.alias("s"),
+        )
+        .groupBy("image_id")
+        .agg(
+            F.sum("n").alias("n_px"),
+            F.sum("m").alias("n_masked"),
+            F.sum("s").alias("surviving_sum"),
+        )
+        .orderBy("image_id")
     )
 
 
@@ -3164,9 +3336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_resume": q_lineage_resume,
         "band_presence": q_band_presence,
         "jfif_decode": q_jfif_decode,
+        "jfif420_decode": q_jfif420_decode,
         "winnow": q_winnow,
         "dedup_clusters": q_dedup_clusters,
         "pyramid": q_pyramid,
+        "audio_info": q_audio_info,
+        "clean_vector": q_clean_vector,
         "layout_presence": q_layout_presence,
         "maxar_load": q_maxar_load,
         "refined_lee": q_refined_lee,
@@ -3690,6 +3865,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_attach": _dem_attach_oracle(),
         "geotiff_read": _geotiff_oracle(),
         "jfif_decode": _jfif_oracle(),
+        "jfif420_decode": _jfif420_oracle(),
         "winnow": _winnow_oracle(),
         "dedup_clusters": """
             WITH RECURSIVE e AS (
@@ -3915,6 +4091,49 @@ def oracle_sql() -> dict[str, str]:
                 ('S1_GRD', 'VV', 1), ('S1_GRD', 'VV_DSPK', 1)
             ) AS t(layout, band, available)
             ORDER BY layout, band
+        """,
+        # audio_info: integer duration arithmetic restated from the fixture
+        # construction parameters (mp3: n*1152/44100; flac: total/48000;
+        # wav: n/16000)
+        "audio_info": """
+            WITH t AS (SELECT x AS j FROM generate_series(0, 11) AS g(x))
+            SELECT concat('m', lpad(cast(j AS VARCHAR), 3, '0')) AS media_id,
+                   CASE j % 3 WHEN 0 THEN 'mp3' WHEN 1 THEN 'flac' ELSE 'wav' END AS container,
+                   cast(CASE j % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 16000 END AS BIGINT) AS sample_rate,
+                   cast(CASE j % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 1 END AS BIGINT) AS channels,
+                   cast(CASE j % 3 WHEN 0 THEN 20 + j * 3
+                                   WHEN 1 THEN 10000 + j * 777
+                                   ELSE 8000 + j * 100 END AS BIGINT) AS n_units,
+                   cast(CASE j % 3 WHEN 0 THEN ((20 + j * 3) * 1152 * 1000) // 44100
+                                   WHEN 1 THEN ((10000 + j * 777) * 1000) // 48000
+                                   ELSE ((8000 + j * 100) * 1000) // 16000 END AS BIGINT) AS duration_ms,
+                   cast(CASE j % 3 WHEN 0 THEN 128 ELSE NULL END AS BIGINT) AS bitrate_kbps
+            FROM t ORDER BY media_id
+        """,
+        # clean_vector: rect + triangle membership as pure inequalities
+        # (half-integer edges, hypotenuse slope -21/20 -> no lattice point
+        # ever on an edge; see q_clean_vector)
+        "clean_vector": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000003', 3, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000009', 9, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + x*13 + y*17 + (x*y) % 29) % 256 AS v,
+                       (x BETWEEN 11 AND 40 AND y BETWEEN 9 AND 30)
+                       OR (x >= 6 AND y >= 41 AND 42*x + 40*y <= 2690) AS masked
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   cast(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+                   cast(sum(CASE WHEN masked THEN 0 ELSE v END) AS BIGINT) AS surviving_sum
+            FROM px GROUP BY image_id ORDER BY image_id
         """,
         # layout_presence: plane membership restated as literal VALUES from
         # the REFERENCE band maps (file:line in the query docstring); index

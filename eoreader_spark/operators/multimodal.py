@@ -152,6 +152,248 @@ def audio_stats(media: DataFrame) -> DataFrame:
     return media.filter("kind = 'audio'").mapInPandas(batch, schema=schema)
 
 
+# --------------------------------------------------------------- containers
+# REAL header/frame parsers for the compressed formats (round 4 — replaces
+# the env-stubbed NotImplementedError surface for everything except sample
+# DECODE, which genuinely needs libmad/libFLAC/ffmpeg).  All three formats
+# are public specs: MPEG-1/2 audio frame headers (ISO 11172-3), FLAC
+# STREAMINFO (xiph spec), ISO BMFF boxes (ISO 14496-12).
+
+# MPEG-1 Layer III bitrate table (kbps) and sample rates (ISO 11172-3)
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Walk MPEG-1 Layer III frames -> stream facts.
+
+    Frame: 11-bit sync, version/layer bits, bitrate + samplerate indices,
+    padding; size = 144 * bitrate / sample_rate + padding; 1152 samples per
+    frame.  Returns n_frames / sample_rate / duration_ms / bitrate_kbps
+    (None when VBR)."""
+    pos = 0
+    # skip an ID3v2 tag if present (10-byte header, syncsafe size)
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    sr = None
+    bitrates: set[int] = set()
+    samples = 0
+    while pos + 4 <= len(data):
+        b0, b1, b2, _b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x03  # 3 = MPEG1
+        layer = (b1 >> 1) & 0x03    # 1 = Layer III
+        if version != 3 or layer != 1:
+            raise ValueError("only MPEG-1 Layer III streams supported")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/invalid MP3 frame header")
+        padding = (b2 >> 1) & 0x01
+        br = _MP3_BITRATES[br_idx] * 1000
+        this_sr = _MP3_RATES[sr_idx]
+        if sr is None:
+            sr = this_sr
+        elif sr != this_sr:
+            raise ValueError("sample-rate change mid-stream")
+        bitrates.add(br)
+        frame_len = 144 * br // this_sr + padding
+        n_frames += 1
+        samples += 1152
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MP3 frames found")
+    return {
+        "container": "mp3",
+        "sample_rate": sr,
+        "channels": 2,  # layer III stereo/joint default; mono needs mode bits
+        "n_units": n_frames,
+        "duration_ms": samples * 1000 // sr,
+        "bitrate_kbps": (next(iter(bitrates)) // 1000) if len(bitrates) == 1 else None,
+    }
+
+
+def parse_flac(data: bytes) -> dict:
+    """FLAC STREAMINFO metadata block -> stream facts (xiph spec: 'fLaC'
+    marker, block header, 20-bit sample rate, 3-bit channels-1, 5-bit
+    bps-1, 36-bit total samples)."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    hdr = data[4]
+    btype = hdr & 0x7F
+    if btype != 0:
+        raise ValueError("first metadata block must be STREAMINFO")
+    si = data[8:42]
+    sr = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+    channels = ((si[12] >> 1) & 0x07) + 1
+    bps = (((si[12] & 0x01) << 4) | (si[13] >> 4)) + 1
+    total = (
+        (si[13] & 0x0F) << 32 | si[14] << 24 | si[15] << 16 | si[16] << 8 | si[17]
+    )
+    if sr == 0:
+        raise ValueError("invalid FLAC sample rate")
+    return {
+        "container": "flac",
+        "sample_rate": sr,
+        "channels": channels,
+        "bits_per_sample": bps,
+        "n_units": total,
+        "duration_ms": total * 1000 // sr,
+        "bitrate_kbps": None,
+    }
+
+
+def parse_mp4(data: bytes) -> dict:
+    """ISO BMFF box walk -> movie facts (moov/mvhd timescale + duration,
+    trak count).  Pure container metadata — frame decode stays stubbed
+    (needs ffmpeg)."""
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            btype = buf[pos + 4 : pos + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(buf[pos + 8 : pos + 16], "big")
+                body = pos + 16
+            else:
+                body = pos + 8
+            if size < 8:
+                raise ValueError("corrupt MP4 box size")
+            yield btype, body, pos + size
+            pos += size
+
+    mvhd = None
+    n_trak = 0
+    for btype, body, bend in boxes(data, 0, len(data)):
+        if btype == b"moov":
+            for ityp, ibody, iend in boxes(data, body, bend):
+                if ityp == b"mvhd":
+                    ver = data[ibody]
+                    if ver == 1:
+                        timescale = int.from_bytes(data[ibody + 20 : ibody + 24], "big")
+                        duration = int.from_bytes(data[ibody + 24 : ibody + 32], "big")
+                    else:
+                        timescale = int.from_bytes(data[ibody + 12 : ibody + 16], "big")
+                        duration = int.from_bytes(data[ibody + 16 : ibody + 20], "big")
+                    mvhd = (timescale, duration)
+                elif ityp == b"trak":
+                    n_trak += 1
+    if mvhd is None:
+        raise ValueError("no moov/mvhd box found")
+    timescale, duration = mvhd
+    return {
+        "container": "mp4",
+        "timescale": timescale,
+        "n_units": duration,
+        "n_tracks": n_trak,
+        "duration_ms": duration * 1000 // max(timescale, 1),
+    }
+
+
+def audio_container_info(media: DataFrame) -> DataFrame:
+    """REAL container metadata over audio/video payloads, dispatched on
+    magic bytes: RIFF WAV (stdlib), MP3 frame walk, FLAC STREAMINFO, MP4
+    mvhd.  No stubs on this path — every advertised container parses for
+    real; only compressed-sample DECODE remains out of scope (external
+    codec libraries)."""
+    schema = (
+        "media_id string, container string, sample_rate long, channels long, "
+        "n_units long, duration_ms long, bitrate_kbps long"
+    )
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["bytes"]):
+                data = bytes(data)
+                if data[:4] == b"RIFF":
+                    sig, sr = decode_wav(data)
+                    info = {
+                        "container": "wav", "sample_rate": sr, "channels": 1,
+                        "n_units": len(sig),
+                        "duration_ms": len(sig) * 1000 // sr,
+                        "bitrate_kbps": None,
+                    }
+                elif data[:4] == b"fLaC":
+                    info = parse_flac(data)
+                elif data[:3] == b"ID3" or (
+                    len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+                ):
+                    info = parse_mp3(data)
+                elif len(data) >= 8 and data[4:8] in (b"ftyp", b"moov", b"mdat"):
+                    info = parse_mp4(data)
+                else:
+                    raise ValueError("unrecognized media container")
+                rows.append((
+                    mid, info["container"], info.get("sample_rate"),
+                    info.get("channels"), info["n_units"], info["duration_ms"],
+                    info.get("bitrate_kbps"),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "sample_rate", "channels",
+                    "n_units", "duration_ms", "bitrate_kbps",
+                ],
+            )
+
+    return media.mapInPandas(batch, schema=schema)
+
+
+def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128, sr_idx: int = 0) -> bytes:
+    """Synthesize a VALID MPEG-1 Layer III frame sequence (real headers,
+    zeroed payloads — a decoder of headers, which is what parse_mp3 is,
+    cannot tell) for fixtures."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr = _MP3_RATES[sr_idx]
+    out = bytearray()
+    for _ in range(n_frames):
+        b1 = 0xFB  # MPEG1, Layer III, no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2)  # no padding
+        hdr = bytes([0xFF, b1, b2, 0x00])
+        frame_len = 144 * bitrate_kbps * 1000 // sr
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def encode_flac_streaminfo(
+    total_samples: int, sample_rate: int = 44100, channels: int = 2, bps: int = 16
+) -> bytes:
+    """Synthesize a VALID FLAC header + STREAMINFO block for fixtures."""
+    si = bytearray(34)
+    si[0:2] = (4096).to_bytes(2, "big")  # min blocksize
+    si[2:4] = (4096).to_bytes(2, "big")  # max blocksize
+    # min/max framesize (24-bit each) left 0 = unknown
+    si[10] = (sample_rate >> 12) & 0xFF
+    si[11] = (sample_rate >> 4) & 0xFF
+    si[12] = ((sample_rate & 0x0F) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)
+    si[13] = (((bps - 1) & 0x0F) << 4) | ((total_samples >> 32) & 0x0F)
+    si[14:18] = (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    # 16-byte MD5 left zero = unknown
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si)
+
+
+def encode_mp4_skeleton(duration: int, timescale: int = 1000, n_tracks: int = 1) -> bytes:
+    """Synthesize a minimal VALID ISO BMFF skeleton (ftyp + moov/mvhd +
+    empty traks) for fixtures."""
+    mvhd_body = bytearray(100)
+    mvhd_body[12:16] = timescale.to_bytes(4, "big")
+    mvhd_body[16:20] = duration.to_bytes(4, "big")
+    mvhd = b"mvhd".join([(108).to_bytes(4, "big"), bytes(mvhd_body)])
+    traks = b"".join((8).to_bytes(4, "big") + b"trak" for _ in range(n_tracks))
+    moov_body = mvhd + traks
+    moov = (8 + len(moov_body)).to_bytes(4, "big") + b"moov" + moov_body
+    ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + (0).to_bytes(4, "big")
+    return ftyp + moov
+
+
 def video_frame_sample(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """STUB: video decode needs ffmpeg (absent).  Emits one row per sampled
     frame with a per-frame feature vector; with fake=True frames are

@@ -23,6 +23,34 @@ def _norm(c) -> Column:
     return F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _cosine_col(q_vec: str, c_vec: str, exact: bool) -> Column:
+    """Cosine between two array columns.
+
+    ``exact=True``: the sequential JVM fold (_dot/_norm) — the only form
+    whose float accumulation order is bit-stable against a DuckDB
+    list_dot_product oracle (round-2 finding); used by the gate queries.
+
+    ``exact=False`` (production default): Arrow-batched numpy matmul in a
+    pandas UDF.  Spark HOF lambdas are INTERPRETED per element (~1us/elem,
+    plus a 10-20x cold-JVM cliff on fresh executors — CLAUDE.md rounds 2-3);
+    at 100 TB every candidate pair pays that interpreter, so the refine path
+    must be vectorized.  numpy's pairwise summation differs from the
+    sequential fold only in the last ulp; ranking ties are already broken on
+    the ROUNDED cosine + id."""
+    if exact:
+        return _dot(q_vec, c_vec) / (_norm(q_vec) * _norm(c_vec))
+
+    @F.pandas_udf("double")
+    def cos(qs: pd.Series, cs: pd.Series) -> pd.Series:
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qs])
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in cs])
+        num = np.einsum("ij,ij->i", Q, C)
+        den = np.linalg.norm(Q, axis=1) * np.linalg.norm(C, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-300))
+
+    return cos(F.col(q_vec), F.col(c_vec))
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -31,12 +59,15 @@ def cosine_topk(
     c_id: str = "vec_id",
     q_vec: str = "qvec",
     c_vec: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
-    """Exact brute-force: broadcast queries x corpus, cosine JVM-side,
-    row_number top-k with deterministic id tie-break."""
+    """Exact brute-force: broadcast queries x corpus, top-k with
+    deterministic rounded-cosine + id tie-break.  ``exact`` selects the
+    bit-stable JVM fold (gate oracles) vs the vectorized numpy refine
+    (production) — see _cosine_col."""
     q = queries.select(q_id, q_vec)
     c = corpus.select(c_id, c_vec)
-    sim = _dot(q_vec, c_vec) / (_norm(q_vec) * _norm(c_vec))
+    sim = _cosine_col(q_vec, c_vec, exact)
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         F.broadcast(q)
@@ -105,10 +136,13 @@ def ivf_topk(
     c_id: str = "vec_id",
     q_vec: str = "qvec",
     c_vec: str = "embedding",
+    exact: bool = False,
 ) -> DataFrame:
-    """ANN: probe the n_probe nearest centroid lists per query, exact cosine
-    inside probed lists, top-k.  Approximate by construction (recall grows
-    with n_probe); tests measure recall vs cosine_topk."""
+    """ANN: probe the n_probe nearest centroid lists per query, cosine
+    refine inside probed lists, top-k.  Approximate by construction (recall
+    grows with n_probe); tests measure recall vs cosine_topk.  ``exact``
+    selects the bit-stable JVM fold for gate oracles; production uses the
+    vectorized numpy refine (_cosine_col)."""
     cents = centroids
 
     cents = np.asarray(cents, dtype=np.float64)
@@ -125,7 +159,7 @@ def ivf_topk(
 
     q = queries.select(q_id, q_vec).withColumn("list_id", F.explode(probes(F.col(q_vec))))
     cand = q.join(indexed_corpus.select(c_id, c_vec, "list_id"), "list_id")
-    sim = _dot(q_vec, c_vec) / (_norm(q_vec) * _norm(c_vec))
+    sim = _cosine_col(q_vec, c_vec, exact)
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         cand.withColumn("cosine", sim)

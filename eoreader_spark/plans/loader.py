@@ -196,6 +196,7 @@ class ImageEngine:
         self,
         images: DataFrame,
         qa_masks: DataFrame | None = None,
+        vector_masks: DataFrame | None = None,
         dem: DataFrame | None = None,
         sun_azimuth: float = 315.0,
         sun_zenith: float = 45.0,
@@ -208,6 +209,11 @@ class ImageEngine:
     ) -> None:
         self.images = images
         self.qa_masks = qa_masks
+        # S2 < PB04.00 analog: invalid pixels arrive as VECTOR (GML) masks,
+        # not raster bitfields (reference s2_product.py:1214-1280) —
+        # (image_id, wkt) polygons in pixel coordinates, used by
+        # load(clean='vector')
+        self.vector_masks = vector_masks
         self.dem = dem
         self.sun_azimuth = sun_azimuth
         self.sun_zenith = sun_zenith
@@ -368,7 +374,55 @@ class ImageEngine:
         # reference's (DETFOO_B03, band) expansion (s2_product.py:802-925).
         # Without a band column one product-level mask applies to all planes.
         per_band_qa = self.qa_masks is not None and "band" in self.qa_masks.columns
-        if clean != "raw" and plan.needed_planes:
+        if clean == "vector" and plan.needed_planes:
+            # S2 <4.0 vector-mask cleaning: rasterize the image's invalid-
+            # pixel polygons (PIP even-odd over the tile's pixel-center
+            # lattice, spatial/pip.py) and NaN-out inside — the GML-mask
+            # variant of invalid-pixel cleaning (s2_product.py:1214-1280).
+            # ONE mapInPandas pass computes the mask once per tile and
+            # applies it to every decoded plane.
+            if self.vector_masks is None:
+                raise BandError("clean='vector' needs vector_masks (image_id, wkt)")
+            polys = self.vector_masks.groupBy("image_id").agg(
+                F.collect_list("wkt").alias("_wkts")
+            )
+            wide = wide.join(polys, "image_id", "left")
+            px_names = [f"px_{name_of[p]}" for p in plan.needed_planes]
+            t = self.tile
+            out_schema = wide.drop("_wkts").schema
+
+            def mask_batch(it):
+                import numpy as np
+
+                from eoreader_spark.spatial import pip as _pip
+
+                yy, xx = np.mgrid[0:t, 0:t]
+                fx, fy = xx.ravel().astype(np.float64), yy.ravel().astype(np.float64)
+                for pdf in it:
+                    if len(pdf) == 0:
+                        continue
+                    out = pdf.drop(columns=["_wkts"])
+                    for ridx in range(len(pdf)):
+                        wkts = pdf["_wkts"].iloc[ridx]
+                        if wkts is None or len(wkts) == 0:
+                            continue
+                        gx = fx + int(pdf["tile_x"].iloc[ridx]) * t
+                        gy = fy + int(pdf["tile_y"].iloc[ridx]) * t
+                        inside = np.zeros(t * t, dtype=bool)
+                        for wkt in wkts:
+                            ring = _pip.parse_wkt_polygon(wkt)
+                            inside |= _pip.points_in_polygon(gx, gy, ring)
+                        if inside.any():
+                            for c in px_names:
+                                a = np.asarray(
+                                    out[c].iloc[ridx], dtype=np.float32
+                                ).copy()
+                                a[inside] = np.nan
+                                out[c].iat[ridx] = a
+                    yield out
+
+            wide = wide.mapInPandas(mask_batch, schema=out_schema)
+        elif clean != "raw" and plan.needed_planes:
             if self.qa_masks is None:
                 raise BandError("clean method needs qa_masks (use clean='raw')")
             bits = [0] if clean == "nodata" else [0, 1, 2]

@@ -175,13 +175,55 @@ def _plane_coeffs(plane: np.ndarray, qtbl: np.ndarray) -> np.ndarray:
     return q.reshape(-1, 64)[:, ZIG]
 
 
-def encode_jfif(img: np.ndarray, quality: int = 95) -> bytes:
-    """(planes, h, w) uint8 -> baseline JFIF bytes (one scan per plane).
+def _emit_block(bw: "_BitWriter", zz: np.ndarray, pred: int) -> int:
+    """Huffman-emit one zigzag-quantized block; returns the new DC pred."""
+    dc = int(zz[0])
+    cat, extra = _magnitude(dc - pred)
+    code, ln = _DC_ENC[cat]
+    bw.write((code << cat) | extra, ln + cat)  # one fused emission
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c0, l0 = _AC_ENC[0xF0]  # ZRL
+            bw.write(c0, l0)
+            run -= 16
+        cat, extra = _magnitude(v)
+        code, ln = _AC_ENC[(run << 4) | cat]
+        bw.write((code << cat) | extra, ln + cat)
+        run = 0
+    if last < 63:
+        code, ln = _AC_ENC[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jfif(img: np.ndarray, quality: int = 95, subsampling: str = "444") -> bytes:
+    """(planes, h, w) uint8 -> baseline JFIF bytes.
+
+    ``subsampling='444'`` (default): one NON-interleaved scan per plane,
+    any plane count, all components full resolution.
+
+    ``subsampling='420'`` (round 4; requires exactly 3 planes): the wire
+    format of nearly every real camera JPEG — luma at 2x2 sampling, both
+    chroma planes 2x2 box-downsampled, ONE interleaved scan in MCU order
+    (16x16 MCUs: 4 luma + 1 + 1 chroma blocks, per-component DC
+    predictors).  Planes are stored as-is (the engine's planar semantics);
+    no color transform is applied on either side.
 
     Default quality 95 clears the PSNR>=40dB invariant with ~2 dB margin
     even on the worst-case synthetic pattern (the (x*y)%29 term is near
     white noise — the hardest content for a DCT codec; measured 42.4 dB at
     q95 vs 38.5 dB at q92)."""
+    if subsampling == "420":
+        return _encode_jfif_420(img, quality)
+    if subsampling != "444":
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     p, h, w = img.shape
     assert h < 65536 and w < 65536 and 1 <= p <= 255
     qtbl = _quality_table(quality)
@@ -208,33 +250,81 @@ def encode_jfif(img: np.ndarray, quality: int = 95) -> bytes:
         bw = _BitWriter()
         pred = 0
         for zz in _plane_coeffs(img[c], qtbl):
-            dc = int(zz[0])
-            cat, extra = _magnitude(dc - pred)
-            pred = dc
-            code, ln = _DC_ENC[cat]
-            bw.write((code << cat) | extra, ln + cat)  # one fused emission
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, ln = _AC_ENC[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                cat, extra = _magnitude(v)
-                code, ln = _AC_ENC[(run << 4) | cat]
-                bw.write((code << cat) | extra, ln + cat)
-                run = 0
-            if last < 63:
-                code, ln = _AC_ENC[0x00]  # EOB
-                bw.write(code, ln)
+            pred = _emit_block(bw, zz, pred)
         bw.flush()
         out += bw.buf
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean downsample (edge-replicated to even dims first)."""
+    h, w = plane.shape
+    if h % 2:
+        plane = np.vstack([plane, plane[-1:]])
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    p = plane.astype(np.int64)
+    s = p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+    return ((s + 2) // 4).astype(np.uint8)  # round half up
+
+
+def _pad_to(plane: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    """Edge-replicate pad to (hh, ww) — the spec-recommended MCU fill."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, hh - h), (0, ww - w)), mode="edge")
+
+
+def _encode_jfif_420(img: np.ndarray, quality: int) -> bytes:
+    p, h, w = img.shape
+    if p != 3:
+        raise ValueError("4:2:0 requires exactly 3 planes")
+    assert h < 65536 and w < 65536
+    qtbl = _quality_table(quality)
+    mcu_y, mcu_x = -(-h // 16), -(-w // 16)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+        int(v) for v in qtbl.reshape(-1)[ZIG]
+    )
+    # SOF0: comp 1 = 2x2 sampling, comps 2/3 = 1x1, all quant table 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, h, w, 3)
+    out += struct.pack(">BBB", 1, 0x22, 0)
+    out += struct.pack(">BBB", 2, 0x11, 0)
+    out += struct.pack(">BBB", 3, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(DC_VALS), 0x00)
+    out += bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(AC_VALS), 0x10)
+    out += bytes(AC_BITS) + bytes(AC_VALS)
+
+    # per-component quantized blocks in BLOCK-RASTER order
+    luma = _pad_to(img[0], mcu_y * 16, mcu_x * 16)
+    cb = _pad_to(_box2(img[1]), mcu_y * 8, mcu_x * 8)
+    cr = _pad_to(_box2(img[2]), mcu_y * 8, mcu_x * 8)
+    zz_y = _plane_coeffs(luma, qtbl)       # (2*mcu_y * 2*mcu_x) blocks
+    zz_cb = _plane_coeffs(cb, qtbl)
+    zz_cr = _plane_coeffs(cr, qtbl)
+    yw = 2 * mcu_x  # luma blocks per row
+
+    # interleaved scan: Ns=3, MCU order, per-component DC predictors
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack(">BB", cid, 0x00)
+    out += struct.pack(">BBB", 0, 63, 0)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for by in (0, 1):
+                for bx in (0, 1):
+                    blk = (2 * my + by) * yw + (2 * mx + bx)
+                    preds[0] = _emit_block(bw, zz_y[blk], preds[0])
+            preds[1] = _emit_block(bw, zz_cb[my * mcu_x + mx], preds[1])
+            preds[2] = _emit_block(bw, zz_cr[my * mcu_x + mx], preds[2])
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -311,8 +401,94 @@ def _decode_scan(
     return out
 
 
+def _decode_scan_interleaved(
+    data: bytes,
+    mcu_y: int,
+    mcu_x: int,
+    scan_comps: list[tuple[int, int, int, tuple, tuple]],
+) -> dict[int, np.ndarray]:
+    """Entropy-decode one INTERLEAVED scan (Ns > 1, MCU order).
+
+    ``scan_comps``: (cid, hi, vi, dc_lut, ac_lut) per component in scan
+    order.  Returns {cid: (vi*mcu_y * hi*mcu_x, 64) zigzag blocks in
+    BLOCK-RASTER order}.  Same 40-bit-peek table-driven core as
+    _decode_scan, with per-component DC predictors."""
+    buf = data + b"\x00\x00\x00\x00\x00"
+    limit = len(data) * 8
+    from_bytes = int.from_bytes
+    outs = {
+        cid: np.zeros((vi * mcu_y * hi * mcu_x, 64), dtype=np.int64)
+        for cid, hi, vi, _d, _a in scan_comps
+    }
+    preds = {cid: 0 for cid, *_ in scan_comps}
+    pos = 0
+
+    def one_block(row_out, base, dc_lut, ac_lut, pred):
+        nonlocal pos
+        if pos > limit:
+            raise ValueError("scan data exhausted mid-block")
+        dc_sym, dc_len = dc_lut
+        ac_sym, ac_len = ac_lut
+        sh = pos & 7
+        w40 = from_bytes(buf[pos >> 3 : (pos >> 3) + 5], "big")
+        code = (w40 >> (24 - sh)) & 0xFFFF
+        cat = dc_sym[code]
+        if cat < 0:
+            raise ValueError("invalid Huffman code in scan")
+        ln = dc_len[code]
+        if cat:
+            extra = (w40 >> (40 - sh - ln - cat)) & ((1 << cat) - 1)
+            if extra >> (cat - 1) == 0:
+                extra += 1 - (1 << cat)
+            pred += extra
+        pos += ln + cat
+        row_out[base] = pred
+        k = 1
+        while k < 64:
+            sh = pos & 7
+            w40 = from_bytes(buf[pos >> 3 : (pos >> 3) + 5], "big")
+            code = (w40 >> (24 - sh)) & 0xFFFF
+            sym = ac_sym[code]
+            if sym < 0:
+                raise ValueError("invalid Huffman code in scan")
+            ln = ac_len[code]
+            pos += ln
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            cat = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            extra = (w40 >> (40 - sh - ln - cat)) & ((1 << cat) - 1)
+            if extra >> (cat - 1) == 0:
+                extra += 1 - (1 << cat)
+            row_out[base + k] = extra
+            pos += cat
+            k += 1
+        return pred
+
+    rows = {cid: outs[cid].reshape(-1) for cid in outs}
+    for my in range(mcu_y):
+        for mx in range(mcu_x):
+            for cid, hi, vi, dc_lut, ac_lut in scan_comps:
+                bw_row = hi * mcu_x  # blocks per row for this component
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = (vi * my + by) * bw_row + (hi * mx + bx)
+                        preds[cid] = one_block(
+                            rows[cid], blk << 6, dc_lut, ac_lut, preds[cid]
+                        )
+    return outs
+
+
 def decode_jfif(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (planes, h, w) uint8."""
+    """Baseline JFIF bytes -> (planes, h, w) uint8.  Handles non-interleaved
+    4:4:4 scans (any plane count) and the interleaved 4:2:0 (and general
+    subsampled) layout of real camera files — chroma planes are
+    nearest-neighbour upsampled back to (h, w)."""
     assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
     pos = 2
     qtables: dict[int, np.ndarray] = {}
@@ -347,9 +523,7 @@ def decode_jfif(data: bytes) -> np.ndarray:
             comps = []
             for c in range(nf):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampling not supported (4:4:4 only)")
-                comps.append((cid, tq))
+                comps.append((cid, tq, samp >> 4, samp & 0x0F))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential DCT (SOF0) supported")
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
@@ -364,11 +538,9 @@ def decode_jfif(data: bytes) -> np.ndarray:
                 off += 17 + nv
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
-        elif marker == 0xDA:  # SOS: single-component scan
+        elif marker == 0xDA:  # SOS
             ns = seg[0]
-            if ns != 1:
-                raise NotImplementedError("interleaved scans not supported (Ns=1 only)")
-            cid, tda = seg[1], seg[2]
+            scan_hdr = [(seg[1 + 2 * i], seg[2 + 2 * i]) for i in range(ns)]
             # entropy data: up to the next marker (skipping stuffed FF 00
             # and fill bytes FF FF)
             start = pos + 2 + seglen
@@ -392,27 +564,60 @@ def decode_jfif(data: bytes) -> np.ndarray:
                     break
                 cursor += 1
             scan = b"".join(chunks)
-            nb = (-(-h // 8)) * (-(-w // 8))
-            zz = _decode_scan(scan, nb, huff_dc[tda >> 4], huff_ac[tda & 0x0F])
-            tq = dict(comps)[cid]
-            coeffs = np.zeros((nb, 64), dtype=np.float64)
-            coeffs[:, ZIG] = zz.astype(np.float64)
-            coeffs = coeffs.reshape(nb, 8, 8) * qtables[tq]
-            spatial = np.einsum("ji,bjk,kl->bil", _D, coeffs, _D, optimize=True)
-            nby, nbx = -(-h // 8), -(-w // 8)
-            full = (
-                spatial.reshape(nby, nbx, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(nby * 8, nbx * 8)
-            )
-            planes[cid] = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)[:h, :w]
+            byid = {c[0]: c for c in comps}
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+
+            def idct_plane(zz: np.ndarray, tq: int, nby: int, nbx: int) -> np.ndarray:
+                nb = nby * nbx
+                coeffs = np.zeros((nb, 64), dtype=np.float64)
+                coeffs[:, ZIG] = zz.astype(np.float64)
+                coeffs = coeffs.reshape(nb, 8, 8) * qtables[tq]
+                spatial = np.einsum("ji,bjk,kl->bil", _D, coeffs, _D, optimize=True)
+                full = (
+                    spatial.reshape(nby, nbx, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(nby * 8, nbx * 8)
+                )
+                return np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
+
+            if ns == 1:
+                cid, tda = scan_hdr[0]
+                # non-interleaved scan: this component's own full block grid
+                _c, tq, hi, vi = byid[cid]
+                ch = -(-(h * vi) // (8 * vmax))
+                cw = -(-(w * hi) // (8 * hmax))
+                zz = _decode_scan(scan, ch * cw, huff_dc[tda >> 4], huff_ac[tda & 0x0F])
+                planes[cid] = idct_plane(zz, tq, ch, cw)
+            else:
+                mcu_y = -(-h // (8 * vmax))
+                mcu_x = -(-w // (8 * hmax))
+                scan_comps = []
+                for cid, tda in scan_hdr:
+                    _c, tq, hi, vi = byid[cid]
+                    scan_comps.append(
+                        (cid, hi, vi, huff_dc[tda >> 4], huff_ac[tda & 0x0F])
+                    )
+                blocks = _decode_scan_interleaved(scan, mcu_y, mcu_x, scan_comps)
+                for cid, hi, vi, _d, _a in scan_comps:
+                    tq = byid[cid][1]
+                    planes[cid] = idct_plane(blocks[cid], tq, vi * mcu_y, hi * mcu_x)
             pos = cursor
             continue
         pos += 2 + seglen
 
     if not comps:
         raise ValueError("no SOF0 frame found")
-    missing = [cid for cid, _ in comps if cid not in planes]
+    missing = [c[0] for c in comps if c[0] not in planes]
     if missing:
         raise ValueError(f"missing scans for components {missing}")
-    return np.stack([planes[cid] for cid, _ in comps])
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    out_planes = []
+    for cid, _tq, hi, vi in comps:
+        pl = planes[cid]
+        if hi != hmax or vi != vmax:
+            # nearest-neighbour chroma upsampling back to full resolution
+            pl = np.repeat(np.repeat(pl, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(pl[:h, :w])
+    return np.stack(out_planes)

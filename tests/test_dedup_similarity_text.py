@@ -304,3 +304,19 @@ def test_connected_components_nonconvergence_is_loud(spark):
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(df, max_iter=2)
+
+
+def test_numpy_refine_matches_hof_path(spark):
+    """Production numpy matmul refine (exact=False) == bit-stable JVM fold
+    (exact=True) after the 6dp round, ranks included (round-4 VERDICT #5)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    ).limit(400)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    a = similarity.cosine_topk(queries, emb, k=5, exact=True)
+    b = similarity.cosine_topk(queries, emb, k=5, exact=False)
+    ka = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in a.collect()}
+    kb = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in b.collect()}
+    assert ka == kb

@@ -52,3 +52,44 @@ def test_geotiff_rejects_compressed_and_bad_magic():
             data[e + 8] = 5
     with pytest.raises(ValueError):
         geotiff.decode_geotiff(bytes(data))
+
+
+# ------------------------------------------------------ round-4 compression
+def test_lzw_roundtrip_boundaries():
+    """TIFF LZW early-change codec: 9->10->11->12-bit width bumps and the
+    4094 table reset all round-trip."""
+    rng = np.random.RandomState(0)
+    for n in (252, 253, 254, 300, 1000, 5000, 40000):
+        data = bytes(rng.randint(0, 256, size=n).tolist())
+        assert geotiff._lzw_decode(geotiff._lzw_encode(data)) == data, n
+    rep = b"abcab" * 40000  # crosses several table resets
+    assert geotiff._lzw_decode(geotiff._lzw_encode(rep)) == rep
+
+
+def test_compressed_geotiff_roundtrips():
+    rng = np.random.RandomState(1)
+    for dtype in (np.uint8, np.uint16):
+        for comp in ("lzw", "deflate"):
+            for pred in (False, True):
+                img = rng.randint(
+                    0, 255 if dtype == np.uint8 else 65535, size=(3, 70, 90)
+                ).astype(dtype)
+                b = geotiff.encode_geotiff(img, compression=comp, predictor=pred)
+                out, meta = geotiff.decode_geotiff(b)
+                assert out.dtype == dtype and np.array_equal(out, img)
+
+
+def test_predictor_compresses_smooth_rasters():
+    """The reason the reference writes LZW+predictor: smooth rasters (DEMs,
+    reflectance) become tiny runs after horizontal differencing."""
+    smooth = (np.mgrid[0:256, 0:512][0] % 251).astype(np.uint8)[None]
+    plain = geotiff.encode_geotiff(smooth)
+    lzw = geotiff.encode_geotiff(smooth, compression="lzw", predictor=True)
+    assert len(lzw) < len(plain) / 20
+    assert np.array_equal(geotiff.decode_geotiff(lzw)[0], smooth)
+
+
+def test_unknown_compression_rejected():
+    img = np.zeros((1, 8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="unsupported compression"):
+        geotiff.encode_geotiff(img, compression="jpeg")

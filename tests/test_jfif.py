@@ -95,3 +95,57 @@ def test_distributed_tile_decode_matches_local(spark):
             assert np.array_equal(
                 np.asarray(r.px, dtype=np.float32), want[r.image_id].ravel()
             )
+
+
+# ----------------------------------------------------------- round-4: 4:2:0
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255**2 / max(mse, 1e-12))
+
+
+def test_420_roundtrip_smooth_chroma():
+    """The real-camera wire format: 2x2 luma sampling, box-downsampled
+    chroma, one interleaved MCU scan.  Smooth content (what chroma planes
+    look like in practice) reconstructs >= 45 dB on every plane."""
+    y, x = np.mgrid[0:80, 0:128]
+    img = np.stack([
+        (128 + 90 * np.sin(x / 17) * np.cos(y / 13)).astype(np.uint8),
+        (128 + 50 * np.sin(x / 29)).astype(np.uint8),
+        (128 + 40 * np.cos(y / 23)).astype(np.uint8),
+    ])
+    dec = jpegc.decode_jfif(jpegc.encode_jfif(img, 95, subsampling="420"))
+    assert dec.shape == img.shape
+    for i in range(3):
+        assert _psnr(img[i], dec[i]) >= 45.0, i
+
+
+def test_420_odd_dimensions():
+    """Dims that are neither MCU (16) nor block (8) multiples: edge
+    replication pads, crop restores exact shape."""
+    rng = np.random.RandomState(5)
+    base = (128 + 60 * np.sin(np.mgrid[0:77, 0:93][1] / 11)).astype(np.uint8)
+    img = np.stack([base, base // 2 + 64, base // 3 + 85])
+    dec = jpegc.decode_jfif(jpegc.encode_jfif(img, 95, subsampling="420"))
+    assert dec.shape == (3, 77, 93)
+    assert _psnr(img[0], dec[0]) >= 40.0
+
+
+def test_420_luma_psnr_on_noise():
+    """Full-resolution luma clears 40 dB even on the adversarial noisy
+    closed-form pattern (the chroma planes are lossy by design there)."""
+    img = codecs.make_image(7, 64, 128, planes=3)
+    dec = jpegc.decode_jfif(jpegc.encode_jfif(img, 95, subsampling="420"))
+    assert _psnr(img[0], dec[0]) >= 40.0
+
+
+def test_420_requires_three_planes():
+    img = codecs.make_image(1, 64, 64, planes=2)
+    with pytest.raises(ValueError, match="3 planes"):
+        jpegc.encode_jfif(img, 95, subsampling="420")
+    with pytest.raises(ValueError, match="unsupported subsampling"):
+        jpegc.encode_jfif(codecs.make_image(1, 64, 64, planes=3), 95, subsampling="422")
+
+
+def test_444_unchanged_by_new_param():
+    img = codecs.make_image(3, 64, 64, planes=3)
+    assert jpegc.encode_jfif(img, 95) == jpegc.encode_jfif(img, 95, subsampling="444")

@@ -312,3 +312,34 @@ def test_slstr_view_coefficient_sets(spark):
     assert radiometry.rad_adjust_coef("S5", "o") == 1.04
     assert radiometry.rad_adjust_coef("S9", "o") == 1.0  # unknown id
     assert radiometry.rad_adjust_coef("S1", "n", "NONE") == 1.0
+
+
+def test_vector_mask_cleaning(spark):
+    """P5 vector variant (round 4): WKT polygons NaN-out their interior on
+    every decoded plane — the S2 < PB04.00 GML-mask analog
+    (s2_product.py:1214-1280).  Half-integer rectangle edges make the
+    expected pixel set exact."""
+    images = datagen.gen_images(spark, 4).filter("fmt = 'raw8'")
+    vm = spark.createDataFrame(
+        [("img000000000000", "POLYGON((2.5 1.5, 10.5 1.5, 10.5 6.5, 2.5 6.5, 2.5 1.5))")],
+        "image_id string, wkt string",
+    )
+    eng = loader.ImageEngine(images, vector_masks=vm)
+    wide = eng.load(["RED", "GREEN"], clean="vector", reflectance=False)
+    r = wide.filter("image_id = 'img000000000000' and tile_x = 0 and tile_y = 0").first()
+    red = np.asarray(r.px_RED).reshape(64, 64)
+    grn = np.asarray(r.px_GREEN).reshape(64, 64)
+    want = np.zeros((64, 64), dtype=bool)
+    want[2:7, 3:11] = True  # strict interior of the half-integer rect
+    assert np.array_equal(np.isnan(red), want)
+    assert np.array_equal(np.isnan(grn), want)  # same mask on every plane
+    # the other image has no polygons -> untouched
+    r2 = wide.filter("image_id = 'img000000000003' and tile_x = 0 and tile_y = 0").first()
+    assert not np.isnan(np.asarray(r2.px_RED)).any()
+
+
+def test_clean_vector_requires_vector_masks(spark):
+    images = datagen.gen_images(spark, 2).filter("fmt = 'raw8'")
+    eng = loader.ImageEngine(images)
+    with pytest.raises(loader.BandError, match="vector_masks"):
+        eng.load(["RED"], clean="vector")

@@ -138,3 +138,55 @@ def test_gen_media_image_feats_exact(spark):
         img = codecs.make_image(i, h, w, planes=3).astype(np.float64)
         want = img.reshape(3, 8, h // 8, 8, w // 8).mean(axis=(2, 4)).ravel()
         assert np.array_equal(got[f"med{i:08d}"], want)
+
+
+# ------------------------------------------------- round-4: real containers
+def test_mp3_frame_walk():
+    b = multimodal.encode_mp3_frames(38, 128, 0)
+    info = multimodal.parse_mp3(b)
+    assert info["n_units"] == 38 and info["sample_rate"] == 44100
+    assert info["duration_ms"] == 38 * 1152 * 1000 // 44100
+    assert info["bitrate_kbps"] == 128
+    # ID3v2 tag skipped (syncsafe size)
+    id3 = b"ID3" + bytes([4, 0, 0]) + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    assert multimodal.parse_mp3(id3 + b)["n_units"] == 38
+    # VBR: mixed bitrates -> bitrate_kbps None, duration still exact
+    vbr = multimodal.encode_mp3_frames(5, 128) + multimodal.encode_mp3_frames(5, 192)
+    vi = multimodal.parse_mp3(vbr)
+    assert vi["bitrate_kbps"] is None and vi["n_units"] == 10
+
+
+def test_flac_streaminfo():
+    b = multimodal.encode_flac_streaminfo(123456, 48000, 2, 24)
+    info = multimodal.parse_flac(b)
+    assert info["n_units"] == 123456 and info["sample_rate"] == 48000
+    assert info["channels"] == 2 and info["bits_per_sample"] == 24
+    with pytest.raises(ValueError, match="not a FLAC"):
+        multimodal.parse_flac(b"nope")
+
+
+def test_mp4_box_walk():
+    b = multimodal.encode_mp4_skeleton(90500, 1000, 2)
+    info = multimodal.parse_mp4(b)
+    assert info["duration_ms"] == 90500 and info["n_tracks"] == 2
+    with pytest.raises(ValueError, match="no moov"):
+        multimodal.parse_mp4(b[:16])
+
+
+def test_audio_container_info_dispatch(spark):
+    """One distributed pass over mixed containers — no stub anywhere on the
+    metadata path."""
+    rows = [
+        ("a", multimodal.encode_mp3_frames(10, 128)),
+        ("b", multimodal.encode_flac_streaminfo(48000, 48000)),
+        ("c", multimodal.encode_wav(np.zeros(16000), 16000)),
+        ("d", multimodal.encode_mp4_skeleton(5000, 1000, 1)),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id string, bytes binary"
+    )
+    got = {r.media_id: r for r in multimodal.audio_container_info(df).collect()}
+    assert got["a"].container == "mp3" and got["a"].n_units == 10
+    assert got["b"].container == "flac" and got["b"].duration_ms == 1000
+    assert got["c"].container == "wav" and got["c"].duration_ms == 1000
+    assert got["d"].container == "mp4" and got["d"].duration_ms == 5000
