@@ -167,7 +167,8 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coslat=False: metric uses only exactly-rounded IEEE ops so ordering is
     # bit-identical to the DuckDB oracle (libm cos differs in the last ulp)
     out = knn.knn_join(
-        queries, pts, k=3, res=5, k_cells=1, q_id="query_id", p_id="image_id", coslat=False
+        queries, pts, k=3, res=5, k_cells=1, q_id="query_id", p_id="image_id",
+        coslat=False, two_phase=True,
     )
     return out.select(
         "query_id", F.col("image_id").alias("neighbor_id"), F.round(F.col("dist"), 6).alias("d2"), "rank"

@@ -136,6 +136,7 @@ def knn_join(
     rounds: int | None = None,
     adaptive: bool = True,
     brute_limit: int = 100_000,
+    two_phase: bool = False,
 ) -> DataFrame:
     """queries(q_id, lon, lat) x points(p_id, lon, lat) -> exact top-k per
     query: (q_id, p_id, dist, rank 1..k).
@@ -158,10 +159,31 @@ def knn_join(
     <= ``brute_limit`` rows — a larger residue keeps ring-doubling instead.
     Non-adaptive finite mode keeps the fully lazy single-action plan
     (streaming contexts) where the broadcast brute folds into the consumer
-    job — bounded residues are the caller's contract there."""
+    job — bounded residues are the caller's contract there.
+
+    ``two_phase=True`` (round-4 action-stack trim): ONE consumer action
+    total, zero driver probes — pass 1 = the k_cells ring (persisted, so
+    its plan executes once even though both the residue anti-join and the
+    union reference it), pass 2 = a LAZY full-cover pass over the anti-join
+    residue.  When pass 1 resolves every query — the common case — AQE's
+    empty-relation propagation collapses pass 2's joins at runtime, so the
+    exactness guarantee costs nothing.  Exact under any distribution, like
+    rounds=None."""
     nx = 2 << res  # full-cover cap: a Chebyshev ring spanning all columns
     q = _with_cell(queries.select(q_id, "lon", "lat"), "lon", "lat", res, "qcell")
     p = _with_cell(points.select(p_id, "lon", "lat"), "lon", "lat", res, "pcell")
+    if two_phase:
+        full1 = 2 * k_cells + 1 >= nx
+        exact1 = _ring_pass(q, p, k, res, k_cells, q_id, p_id, coslat, full1)
+        if full1:
+            return exact1
+        exact1 = exact1.persist()
+        resolved = exact1.select(q_id).distinct()
+        remaining = q.join(resolved, q_id, "left_anti")
+        exact2 = _ring_pass(
+            remaining, p, k, res, (nx + 1) // 2, q_id, p_id, coslat, True
+        )
+        return exact1.unionByName(exact2)
     if adaptive:
         # every round's equi-join re-scans the points side; cache the
         # (id, lon, lat, cell) projection once.  At points tables beyond
