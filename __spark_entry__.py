@@ -3014,6 +3014,45 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 4, the reference's ACTUAL band format: genuine lossless JPEG
+    2000 (sources/jp2.py — reversible 5/3 DWT, MQ-coded EBCOT coding
+    passes, tag-tree packet headers, pure numpy from ISO 15444-1; S2 bands
+    are *.jp2, s2_product.py:592) decoded through the STANDARD tile path
+    (fmt='jp2').  Lossless => integer pixel sums replay the closed form
+    exactly, like geotiff_read."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark.operators import raster
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (64, 64) if j % 2 == 0 else (128, 64)
+                img = _c.make_image(j, h, w, planes=3)
+                rows.append((f"jp2_{j:03d}", _c.encode(img, "jp2"), w, h, "jp2"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = raster.tiles_from_images(images, plane=1)  # GREEN plane via JP2
+    s = F.aggregate(
+        F.expr("transform(px, v -> cast(v as bigint))"),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    return (
+        tiles.select("image_id", F.size("px").cast("long").alias("n"), s.alias("s"))
+        .groupBy("image_id")
+        .agg(F.sum("n").alias("n_px"), F.sum("s").alias("px_sum"))
+        .orderBy("image_id")
+    )
+
+
 def q_audio_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4: REAL compressed-audio/video container parsing, VALUE-EXACT —
     mp3 frame walks (ISO 11172-3 headers), FLAC STREAMINFO, and PCM WAV all
@@ -3341,6 +3380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "dedup_clusters": q_dedup_clusters,
         "pyramid": q_pyramid,
+        "jp2_decode": q_jp2_decode,
         "audio_info": q_audio_info,
         "clean_vector": q_clean_vector,
         "layout_presence": q_layout_presence,
@@ -4092,6 +4132,24 @@ def oracle_sql() -> dict[str, str]:
                 ('S1_GRD', 'VV', 1), ('S1_GRD', 'VV_DSPK', 1)
             ) AS t(layout, band, available)
             ORDER BY layout, band
+        """,
+        # jp2_decode: lossless -> same closed-form replay as geotiff_read,
+        # plane 1 (GREEN)
+        "jp2_decode": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('jp2_000', 0, 64, 64), ('jp2_001', 1, 128, 64),
+                ('jp2_002', 2, 64, 64), ('jp2_003', 3, 128, 64),
+                ('jp2_004', 4, 64, 64), ('jp2_005', 5, 128, 64)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + 1*31 + x*13 + y*17 + (x*y) % 29) % 256 AS v
+                FROM imgs,
+                     generate_series(0, 127) AS gy(y),
+                     generate_series(0, 63) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px, cast(sum(v) AS BIGINT) AS px_sum
+            FROM px GROUP BY image_id ORDER BY image_id
         """,
         # audio_info: integer duration arithmetic restated from the fixture
         # construction parameters (mp3: n*1152/44100; flac: total/48000;

@@ -206,10 +206,25 @@ def decode_jfif(data: bytes, h: int | None = None, w: int | None = None) -> np.n
     return jpegc.decode_jfif(data)
 
 
+def encode_jp2(img: np.ndarray) -> bytes:
+    """REAL lossless JPEG 2000 (sources/jp2.py: 5/3 reversible DWT +
+    MQ-coded EBCOT + tag-tree packets, pure numpy from ISO 15444-1) —
+    Sentinel-2's actual on-disk band format (reference s2_product.py:592)."""
+    from eoreader_spark.sources import jp2
+
+    return jp2.encode_jp2(img)
+
+
+def decode_jp2(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    from eoreader_spark.sources import jp2
+
+    return jp2.decode_jp2(data).astype(np.uint8)
+
+
 _ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg, "tiff": encode_tiff,
-             "jfif": encode_jfif}
+             "jfif": encode_jfif, "jp2": encode_jp2}
 _DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg, "tiff": decode_tiff,
-             "jfif": decode_jfif}
+             "jfif": decode_jfif, "jp2": decode_jp2}
 
 
 def register_codec(fmt: str, encoder, decoder) -> None:

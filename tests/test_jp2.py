@@ -1,0 +1,122 @@
+"""Real JPEG 2000 codec (sources/jp2.py): the reference's actual Sentinel-2
+band format (s2_product.py:592 globs *.jp2), implemented pure-numpy from the
+public ISO/IEC 15444-1 spec — reversible 5/3 DWT, MQ arithmetic coder,
+EBCOT coding passes, tag-tree packet headers, JP2 container boxes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from eoreader_spark import codecs
+from eoreader_spark.sources import jp2
+
+
+def test_mq_coder_roundtrip():
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        n = int(rng.randint(1, 3000))
+        ncx = int(rng.randint(1, 19))
+        cxs = rng.randint(0, ncx, size=n)
+        ds = (rng.rand(n) < rng.rand(ncx)[cxs]).astype(int)
+        enc = jp2.MQEncoder(ncx)
+        for c, d in zip(cxs, ds):
+            enc.encode(int(c), int(d))
+        dec = jp2.MQDecoder(enc.flush(), ncx)
+        assert [dec.decode(int(c)) for c in cxs] == list(ds), trial
+
+
+def test_dwt53_is_reversible():
+    rng = np.random.RandomState(1)
+    for shape in [(64, 64), (65, 67), (33, 1), (1, 33), (5, 5)]:
+        img = rng.randint(-300, 300, size=shape)
+        for levels in (1, 2, 3):
+            back = jp2.inv_dwt53(jp2.fwd_dwt53(img, levels), shape)
+            assert np.array_equal(back, img), (shape, levels)
+
+
+def test_codeblock_roundtrip_all_bands():
+    rng = np.random.RandomState(2)
+    for band in ("LL", "HL", "LH", "HH"):
+        c = np.zeros((30, 22), dtype=np.int64)
+        c[rng.rand(30, 22) < 0.2] = rng.randint(-500, 500)
+        data, numbps, _n = jp2.encode_codeblock(c, band)
+        assert np.array_equal(jp2.decode_codeblock(data, 30, 22, band, numbps), c)
+
+
+@pytest.mark.parametrize(
+    "shape,levels,dt",
+    [
+        ((1, 64, 64), 2, np.uint8),
+        ((3, 64, 96), 2, np.uint8),
+        ((2, 70, 53), 3, np.uint16),
+        ((1, 8, 8), 1, np.uint8),
+    ],
+)
+def test_jp2_lossless_roundtrip(shape, levels, dt):
+    rng = np.random.RandomState(3)
+    hi = 256 if dt == np.uint8 else 65536
+    img = rng.randint(0, hi, size=shape).astype(dt)
+    for container in (True, False):
+        out = jp2.decode_jp2(jp2.encode_jp2(img, levels=levels, container=container))
+        assert out.dtype == dt and np.array_equal(out, img)
+
+
+def test_jp2_compresses_smooth_rasters():
+    y, x = np.mgrid[0:128, 0:128]
+    sm = ((np.sin(x / 9) * np.cos(y / 11) * 100) + 128).astype(np.uint8)[None]
+    b = jp2.encode_jp2(sm, levels=3)
+    assert len(b) < sm.size // 3
+    assert np.array_equal(jp2.decode_jp2(b), sm)
+
+
+def test_parse_jp2_metadata():
+    img = codecs.make_image(5, 64, 96, planes=3)
+    meta = jp2.parse_jp2(jp2.encode_jp2(img))
+    assert (meta["w"], meta["h"], meta["n_components"]) == (96, 64, 3)
+    assert meta["wavelet"] == "5/3" and meta["progression"] == "LRCP"
+    assert meta["ihdr_w"] == 96 and meta["ihdr_components"] == 3
+    with pytest.raises(ValueError, match="not a JP2"):
+        jp2.parse_jp2(b"\x89PNG" + b"\x00" * 40)
+
+
+def test_out_of_profile_signals():
+    img = codecs.make_image(1, 32, 32, planes=1)
+    b = bytearray(jp2.encode_jp2(img, container=False))
+    # flip the COD wavelet byte (last SPcod byte) to 9/7 irreversible
+    i = b.find(b"\xff\x52")
+    # marker(2) + Lcod(2) + Scod(1) + SGcod(4) + SPcod[levels,cbw,cbh,style]
+    b[i + 13] = 0  # the SPcod wavelet byte -> 9/7 irreversible
+    with pytest.raises(NotImplementedError, match="9/7"):
+        jp2.decode_jp2(bytes(b))
+
+
+def test_jp2_through_codec_table():
+    img = codecs.make_image(7, 64, 64, planes=3)
+    assert np.array_equal(codecs.decode(codecs.encode(img, "jp2"), "jp2", 64, 64), img)
+
+
+def test_jp2_distributed_tile_path(spark):
+    """fmt='jp2' images decode through the standard distributed tile path
+    bit-for-bit (lossless)."""
+    import pandas as pd
+
+    from eoreader_spark.operators import raster
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                img = codecs.make_image(j, 64, 64, planes=3)
+                rows.append((f"jp2_{j}", codecs.encode(img, "jp2"), 64, 64, "jp2"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(3, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    tiles = raster.tiles_from_images(images, plane=2)
+    got = {r.image_id: np.asarray(r.px) for r in tiles.collect()}
+    for j in range(3):
+        want = codecs.make_image(j, 64, 64, planes=3)[2].astype(np.float64).ravel()
+        assert np.array_equal(got[f"jp2_{j}"], want), j
