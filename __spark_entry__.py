@@ -3014,6 +3014,69 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_s2_product_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 FLAGSHIP, VALUE-EXACT: a Sentinel-2 product end-to-end the
+    way the reference's Reader.open + load() composes — real product NAMES
+    regex-detected to the 'S2' tag (sources/reader.py), the tag dispatched
+    to the 14-plane S2_L2A layout (bands.CONSTELLATION_LAYOUT), bands
+    stored as GENUINE lossless JPEG 2000 (the actual S2 on-disk format,
+    sources/jp2.py), decoded through the standard tile path, NDVI from the
+    NIR/RED planes.  Lossless JP2 + integer uint16 DNs => the oracle
+    replays the closed form exactly."""
+    from collections.abc import Iterator as _It
+
+    from eoreader_spark import bands as bands_mod
+    from eoreader_spark.plans import loader
+    from eoreader_spark.sources import reader
+
+    names = [
+        ("jp2s2_000", 0, "S2A_MSIL2A_20230615T103031_N0509_R108_T32TMR_20230615T140152"),
+        ("jp2s2_001", 1, "S2B_MSIL2A_20230617T103629_N0509_R008_T32TLQ_20230617T131454"),
+        ("jp2s2_002", 2, "S2C_MSIL1C_20250301T094031_N0511_R036_T33TWF_20250301T114520"),
+    ]
+    scenes = spark.createDataFrame(
+        [(i, n) for i, _s, n in names], "image_id string, product_name string"
+    )
+    detected = reader.detect(scenes)  # S1 scan: JVM regex dispatch
+    tags = [r.constellation for r in detected.select("constellation").distinct().collect()]
+    assert tags == ["S2"], tags
+    layout = bands_mod.layout_for(tags[0])  # 'S2_L2A'
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as _np
+
+        from eoreader_spark import codecs as _c
+        from eoreader_spark.sources import jp2 as _jp2
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                img = _c.make_image(j, 32, 32, planes=14).astype(_np.uint16) * 257
+                rows.append((f"jp2s2_{j:03d}", _jp2.encode_jp2(img, levels=2), 32, 32, "jp2"))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    images = spark.range(3, numPartitions=3).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    eng = loader.ImageEngine(images, band_map=layout, tile=32)
+    # reflectance=True promotes the float32 DN arrays to double math (the
+    # (DN+0)/255 affine), keeping every downstream op bit-stable vs DuckDB
+    wide = eng.load(["NDVI"], clean="raw")
+    scaled = F.transform("px_NDVI", lambda x: F.floor(x * 10000).cast("long"))
+    return (
+        wide.select(
+            "image_id",
+            F.lit(tags[0]).alias("constellation"),
+            F.aggregate(scaled, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+            F.size("px_NDVI").cast("long").alias("n"),
+        )
+        .groupBy("image_id", "constellation")
+        .agg(F.sum("n").alias("n_px"), F.sum("s").alias("ndvi_ssum"))
+        .orderBy("image_id")
+    )
+
+
 def q_jp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 4, the reference's ACTUAL band format: genuine lossless JPEG
     2000 (sources/jp2.py — reversible 5/3 DWT, MQ-coded EBCOT coding
@@ -3381,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pyramid": q_pyramid,
         "jp2_decode": q_jp2_decode,
+        "s2_product_e2e": q_s2_product_e2e,
         "audio_info": q_audio_info,
         "clean_vector": q_clean_vector,
         "layout_presence": q_layout_presence,
@@ -4132,6 +4196,23 @@ def oracle_sql() -> dict[str, str]:
                 ('S1_GRD', 'VV', 1), ('S1_GRD', 'VV_DSPK', 1)
             ) AS t(layout, band, available)
             ORDER BY layout, band
+        """,
+        # s2_product_e2e: closed-form replay — uint16 DN = v8*257, NDVI on
+        # raw DNs from S2_L2A planes NIR=7 / RED=3 (lossless jp2 => exact)
+        "s2_product_e2e": """
+            WITH imgs(image_id, seed) AS (VALUES
+                ('jp2s2_000', 0), ('jp2s2_001', 1), ('jp2s2_002', 2)),
+            px AS (
+                SELECT image_id,
+                       ((seed*7 + 7*31 + x*13 + y*17 + (x*y) % 29) % 256) * 257.0 / 255.0 AS nr,
+                       ((seed*7 + 3*31 + x*13 + y*17 + (x*y) % 29) % 256) * 257.0 / 255.0 AS rd
+                FROM imgs,
+                     generate_series(0, 31) AS gy(y),
+                     generate_series(0, 31) AS gx(x)
+            )
+            SELECT image_id, 'S2' AS constellation, count(*) AS n_px,
+                   cast(sum(cast(floor((nr - rd) / (nr + rd + 1e-12) * 10000) AS BIGINT)) AS BIGINT) AS ndvi_ssum
+            FROM px GROUP BY image_id ORDER BY image_id
         """,
         # jp2_decode: lossless -> same closed-form replay as geotiff_read,
         # plane 1 (GREEN)
