@@ -3317,6 +3317,37 @@ def q_layout_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout", "band")
 
 
+def q_olci_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-EXACT load through the 21-channel Sentinel-3 OLCI layout via
+    constellation-TAG dispatch (band_map='S3_OLCI'): NDVI from planes
+    NIR=16 / RED=7, the unnamed Oa21 channel (plane 20, kept under its Oa
+    id like the reference, s3_olci_product.py:424-435), and NARROW_NIR
+    aliasing the NIR plane.  Oracle replays the closed form."""
+    from eoreader_spark import datagen
+    from eoreader_spark.plans import loader
+
+    images = datagen.gen_images(spark, 12, layout="S3_OLCI").filter(
+        F.col("fmt") == "raw8"
+    )
+    eng = loader.ImageEngine(images, band_map="S3_OLCI")
+    wide = eng.load(["NDVI", "Oa21", "NARROW_NIR"], clean="raw")
+
+    def ssum(col):
+        scaled = F.transform(col, lambda x: F.floor(x * 10000).cast("long"))
+        return F.sum(F.aggregate(scaled, F.lit(0).cast("long"), lambda a, x: a + x))
+
+    return (
+        wide.groupBy("image_id")
+        .agg(
+            F.sum(F.size("px_NDVI")).cast("long").alias("n_px"),
+            ssum("px_NDVI").alias("ndvi_ssum"),
+            ssum("px_Oa21").alias("oa21_ssum"),
+            ssum("px_NARROW_NIR").alias("nnir_ssum"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def q_maxar_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-EXACT load through a round-4 layout: decode 8-plane Maxar
     WorldView Multi images (raw8), run ImageEngine.load(['NDVI', 'YELLOW',
@@ -3449,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_vector": q_clean_vector,
         "layout_presence": q_layout_presence,
         "maxar_load": q_maxar_load,
+        "olci_load": q_olci_load,
         "refined_lee": q_refined_lee,
         "geocode_bilinear": q_geocode_bilinear,
     }
@@ -4329,6 +4361,32 @@ def oracle_sql() -> dict[str, str]:
                 END AS available
             FROM tags t, probes p
             ORDER BY layout, band
+        """,
+        # olci_load: closed-form replay over OLCI plane ids (RED=Oa08 plane
+        # 7, NIR=Oa17 plane 16, Oa21 plane 20); reflectance = v/255
+        "olci_load": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('img000000000000', 0, 64, 64),
+                ('img000000000002', 2, 64, 64),
+                ('img000000000004', 4, 128, 64),
+                ('img000000000006', 6, 256, 64),
+                ('img000000000008', 8, 256, 128),
+                ('img000000000010', 10, 64, 128)),
+            px AS (
+                SELECT image_id,
+                       ((seed*7 + 16*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS nr,
+                       ((seed*7 + 7*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS rd,
+                       ((seed*7 + 20*31 + x*13 + y*17 + (x*y) % 29) % 256) / 255.0 AS oa
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id, count(*) AS n_px,
+                   cast(sum(cast(floor((nr - rd) / (nr + rd + 1e-12) * 10000) AS BIGINT)) AS BIGINT) AS ndvi_ssum,
+                   cast(sum(cast(floor(oa * 10000) AS BIGINT)) AS BIGINT) AS oa21_ssum,
+                   cast(sum(cast(floor(nr * 10000) AS BIGINT)) AS BIGINT) AS nnir_ssum
+            FROM px GROUP BY image_id ORDER BY image_id
         """,
         # maxar_load: replay of the closed-form pixel function over the
         # Maxar 8-band plane ids (YELLOW=3, RED=4, NIR/NARROW_NIR=6)

@@ -146,3 +146,48 @@ def test_fused_dem_stencil_is_one_pass(spark):
     # had 3 halo joins + 3 attach joins)
     n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
     assert n_joins == 2, plan
+
+
+def test_geocode_bilinear_no_cartesian(spark):
+    """J4 bilinear: quad construction + anchor + candidates are all
+    equi-joins — no cartesian/nested-loop join anywhere in the plan."""
+    from eoreader_spark.operators import warp
+
+    rows = [
+        (line, s, s * 0.25 + line * 0.0625, line * 0.25, 1.0)
+        for line in range(4) for s in range(4)
+    ]
+    swath = spark.createDataFrame(
+        rows, "line int, sample int, lon double, lat double, value double"
+    )
+    grid = spark.createDataFrame(
+        [("g0", 0.5, 0.5)], "grid_id string, lon double, lat double"
+    )
+    plan = _plan(warp.geocode_swath_bilinear(swath, grid))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_refine_paths(spark):
+    """Production similarity refine is the Arrow-batched numpy UDF (one
+    ArrowEvalPython stage); the exact path keeps the JVM fold (no Python
+    in the plan at all)."""
+    from eoreader_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50).withColumn(
+        "embedding", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    q = emb.selectExpr("vec_id as query_id", "embedding as qvec").limit(4)
+    prod = _plan(similarity.cosine_topk(q, emb, k=2, exact=False))
+    exact = _plan(similarity.cosine_topk(q, emb, k=2, exact=True))
+    assert "ArrowEvalPython" in prod or "EvalPython" in prod
+    assert "ArrowEvalPython" not in exact and "BatchEvalPython" not in exact
+
+
+def test_blocked_stencil_uses_cogroup(spark):
+    from eoreader_spark import datagen
+    from eoreader_spark.operators import stencil
+
+    dem = datagen.gen_dem(spark, 2).withColumnRenamed("z", "px")
+    plan = _plan(stencil.slope(dem, block=4))
+    assert "FlatMapCoGroupsInPandas" in plan
