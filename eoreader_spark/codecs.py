@@ -186,8 +186,11 @@ def encode_tiff(img: np.ndarray) -> bytes:
 def decode_tiff(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
     from eoreader_spark.sources import geotiff
 
+    # keep the container's native dtype: a uint16 raster truncated to uint8
+    # silently wraps mod 256 (round-4 fix; the tile path casts to float32,
+    # which holds every uint16 exactly)
     img, _meta = geotiff.decode_geotiff(data)
-    return img.astype(np.uint8)
+    return img
 
 
 def encode_jfif(img: np.ndarray) -> bytes:
@@ -218,7 +221,8 @@ def encode_jp2(img: np.ndarray) -> bytes:
 def decode_jp2(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
     from eoreader_spark.sources import jp2
 
-    return jp2.decode_jp2(data).astype(np.uint8)
+    # native dtype (uint8/uint16) — see decode_tiff note
+    return jp2.decode_jp2(data)
 
 
 _ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg, "tiff": encode_tiff,
@@ -243,7 +247,8 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
 
 
 def decode(data: bytes, fmt: str, h: int, w: int) -> np.ndarray:
-    """-> (planes, h, w) uint8."""
+    """-> (planes, h, w) in the container's native dtype (uint8, or uint16
+    for 16-bit GeoTIFF/JP2 — S2 DNs are uint16)."""
     return _DECODERS[fmt](data, h, w)
 
 

@@ -120,3 +120,14 @@ def test_jp2_distributed_tile_path(spark):
     for j in range(3):
         want = codecs.make_image(j, 64, 64, planes=3)[2].astype(np.float64).ravel()
         assert np.array_equal(got[f"jp2_{j}"], want), j
+
+
+def test_codec_table_preserves_uint16():
+    """16-bit rasters must NOT silently wrap mod 256 through the codec
+    table (round-4 fix: S2 DNs are uint16)."""
+    img16 = (codecs.make_image(0, 32, 32, planes=3).astype(np.uint16) * 257)
+    dec = codecs.decode(jp2.encode_jp2(img16), "jp2", 32, 32)
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img16)
+    from eoreader_spark.sources import geotiff
+    dec_t = codecs.decode(geotiff.encode_geotiff(img16), "tiff", 32, 32)
+    assert dec_t.dtype == np.uint16 and np.array_equal(dec_t, img16)
