@@ -2679,6 +2679,32 @@ def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jp2_overview_oracle() -> str:
+    """Independent single-process replay -> literal VALUES (jfif pattern)."""
+    from eoreader_spark import codecs as _c
+    from eoreader_spark.sources import jp2 as _jp2
+
+    rows = []
+    for j in range(4):
+        img = _c.make_image(j, 64, 64, planes=2)
+        b = _jp2.encode_jp2(img, levels=2)
+        for r in (0, 1, 2):
+            dec = _jp2.decode_jp2(b, max_res=r)
+            rows.append(
+                f"('ov_{j:03d}', {r}, {dec.shape[1]}, {dec.shape[2]}, {int(dec.astype('int64').sum())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT image_id, cast(res AS INTEGER) AS res,
+                   cast(oh AS INTEGER) AS oh, cast(ow AS INTEGER) AS ow,
+                   cast(px_sum AS BIGINT) AS px_sum
+            FROM (VALUES
+                {values}
+            ) AS t(image_id, res, oh, ow, px_sum)
+            ORDER BY image_id, res
+        """
+
+
 def _jfif_oracle() -> str:
     """Independent single-process replay: the same public-spec codec run
     locally in numpy (not through Spark) produces the expected per-image
@@ -3012,6 +3038,42 @@ def q_band_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "layout string, band string, available int").orderBy(
         "layout", "band"
     )
+
+
+def q_jp2_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 on the REAL container, VALUE-EXACT: resolution-progressive JPEG
+    2000 reads — LRCP packet prefixes reconstruct the exact coarse LL
+    approximations without touching fine-detail bytes (the reference's
+    decimated/overview reads, utils.read(pixel_size=...), on its actual
+    band format).  Per-image integer sums at max_res 0/1/full; the oracle
+    is an independent single-process replay (literal VALUES, like
+    jfif_decode)."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+        from eoreader_spark.sources import jp2 as _jp2
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                img = _c.make_image(j, 64, 64, planes=2)
+                b = _jp2.encode_jp2(img, levels=2)
+                for r in (0, 1, 2):
+                    dec = _jp2.decode_jp2(b, max_res=r)
+                    rows.append(
+                        (f"ov_{j:03d}", r, int(dec.shape[1]), int(dec.shape[2]),
+                         int(dec.astype("int64").sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "res", "oh", "ow", "px_sum"]
+            )
+
+    out = spark.range(4, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, res int, oh int, ow int, px_sum long"
+    )
+    return out.orderBy("image_id", "res")
 
 
 def q_s2_product_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3476,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "jp2_decode": q_jp2_decode,
         "s2_product_e2e": q_s2_product_e2e,
+        "jp2_overview": q_jp2_overview,
         "audio_info": q_audio_info,
         "clean_vector": q_clean_vector,
         "layout_presence": q_layout_presence,
@@ -4002,6 +4065,7 @@ def oracle_sql() -> dict[str, str]:
         "dem_attach": _dem_attach_oracle(),
         "geotiff_read": _geotiff_oracle(),
         "jfif_decode": _jfif_oracle(),
+        "jp2_overview": _jp2_overview_oracle(),
         "jfif420_decode": _jfif420_oracle(),
         "winnow": _winnow_oracle(),
         "dedup_clusters": """

@@ -930,10 +930,18 @@ def encode_jp2(
     return jp2_sig + ftyp + jp2h + jp2c
 
 
-def decode_jp2(data: bytes) -> np.ndarray:
+def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
     """Lossless decode of this engine's JP2 profile -> (planes, h, w)
     uint8/uint16.  Out-of-profile features raise NotImplementedError with
-    the feature named (see module scope note)."""
+    the feature named (see module scope note).
+
+    ``max_res`` = resolution-progressive read, THE reason satellite stacks
+    ship as JPEG 2000 (the reference's decimated/overview reads,
+    utils.read(pixel_size=...)): LRCP orders packets coarse-to-fine, so
+    stopping after resolution r reconstructs the exact level-(L-r) LL
+    image at 1/2^(L-r) scale from a PREFIX of the codestream — never
+    decoding (or at cloud scale, never fetching) the fine-detail bytes.
+    max_res=0 reads only the coarsest LL packets."""
     meta = parse_jp2(data) if data[:2] != b"\xff\x4f" else None
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
@@ -1021,8 +1029,9 @@ def decode_jp2(data: bytes) -> np.ndarray:
             )
         comp_bands.append(bl)
 
+    stop_res = levels if max_res is None else min(max_res, levels)
     spos = 0
-    for r in range(levels + 1):
+    for r in range(stop_res + 1):
         for c in range(p):
             bits = _HeaderBits(stream[spos:])
             if not bits.get():
@@ -1068,6 +1077,20 @@ def decode_jp2(data: bytes) -> np.ndarray:
                 )
 
     dt = np.uint8 if depth == 8 else np.uint16
+    if stop_res < levels:
+        # partial reconstruction: invert only the decoded resolutions; the
+        # result is the exact level-(levels - stop_res) LL approximation
+        oh, ow = shapes[levels - stop_res]
+        out = np.stack(
+            [
+                np.clip(
+                    inv_dwt53(comp_bands[c][: stop_res + 1], (oh, ow)) + shift,
+                    0, (1 << depth) - 1,
+                )
+                for c in range(p)
+            ]
+        )
+        return out.astype(dt)
     out = np.stack(
         [
             np.clip(inv_dwt53(comp_bands[c], (h, w)) + shift, 0, (1 << depth) - 1)

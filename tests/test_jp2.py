@@ -131,3 +131,24 @@ def test_codec_table_preserves_uint16():
     from eoreader_spark.sources import geotiff
     dec_t = codecs.decode(geotiff.encode_geotiff(img16), "tiff", 32, 32)
     assert dec_t.dtype == np.uint16 and np.array_equal(dec_t, img16)
+
+
+def test_resolution_progressive_decode():
+    """LRCP prefix decode: max_res=r reconstructs the EXACT level-(L-r) LL
+    approximation at 1/2^(L-r) scale — the reference's decimated/overview
+    read on the real container."""
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 65536, size=(2, 64, 96)).astype(np.uint16)
+    b = jp2.encode_jp2(img, levels=2)
+    bands = [jp2.fwd_dwt53(img[c].astype(np.int64) - 32768, 2) for c in range(2)]
+    p0 = jp2.decode_jp2(b, max_res=0)
+    assert p0.shape == (2, 16, 24)
+    for c in range(2):
+        want = np.clip(bands[c][0]["LL"] + 32768, 0, 65535)
+        assert np.array_equal(p0[c], want)
+    p1 = jp2.decode_jp2(b, max_res=1)
+    assert p1.shape == (2, 32, 48)
+    for c in range(2):
+        want = np.clip(jp2.inv_dwt53(bands[c][:2], (32, 48)) + 32768, 0, 65535)
+        assert np.array_equal(p1[c], want)
+    assert np.array_equal(jp2.decode_jp2(b, max_res=2), img)  # full
