@@ -152,3 +152,14 @@ def test_resolution_progressive_decode():
         want = np.clip(jp2.inv_dwt53(bands[c][:2], (32, 48)) + 32768, 0, 65535)
         assert np.array_equal(p1[c], want)
     assert np.array_equal(jp2.decode_jp2(b, max_res=2), img)  # full
+
+
+def test_jp2_degenerate_images():
+    """All-zero, constant, and 1x1 images round-trip (all-zero blocks are
+    coded as one cleanup pass of zeros; numbps floor of 1)."""
+    z = np.zeros((2, 16, 16), dtype=np.uint8)
+    assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(z, levels=2)), z)
+    one = np.array([[[7]]], dtype=np.uint8)
+    assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(one, levels=1)), one)
+    c = np.full((1, 32, 32), 200, dtype=np.uint8)
+    assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(c, levels=3)), c)

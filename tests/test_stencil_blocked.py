@@ -131,3 +131,20 @@ def test_blocked_reuses_prepartitioned_exchange(spark):
     assert "FlatMapCoGroupsInPandas" in plan
     n_ensure = plan.count("ENSURE_REQUIREMENTS")
     assert n_ensure <= 1, plan
+
+
+def test_blocked_refined_lee_with_holes(spark):
+    """Width-3 halo + missing tiles mid-block: NaN mosaic holes must match
+    the per-tile path's NaN-pad semantics under the 7x7 window too."""
+    t = 16
+    rng = np.random.RandomState(23)
+    rows = [
+        ("i0", tx, ty, rng.randint(0, 255, size=t * t).astype(np.float32).tolist())
+        for ty in range(4) for tx in range(4)
+        if (tx, ty) not in ((1, 1), (2, 3))
+    ]
+    df = spark.createDataFrame(rows, "image_id string, tile_x int, tile_y int, px array<float>")
+    k = stencil.refined_lee_kernel_factory(4.0)
+    a = _collect(stencil.apply_stencil(df, k, tile=t, halo=3))
+    b = _collect(stencil.apply_stencil_blocked(df, {"px": ("px", k)}, tile=t, block=2, halo=3))
+    assert a == b

@@ -273,3 +273,16 @@ def test_geocode_bilinear_outside_swath_drops(spark):
     )
     got = {r.grid_id for r in warp.geocode_swath_bilinear(swath, grid).collect()}
     assert got == {"in"}
+
+
+def test_geocode_bilinear_on_grid_point(spark):
+    """A target exactly ON a swath point (u=v=0 corner): the shared-corner
+    tie resolves deterministically and the value is the point's own."""
+    rows = [
+        (line, s, float(s), float(line), float(line * 10 + s))
+        for line in range(3) for s in range(3)
+    ]
+    swath = spark.createDataFrame(rows, "line int, sample int, lon double, lat double, value double")
+    grid = spark.createDataFrame([("g", 1.0, 1.0)], "grid_id string, lon double, lat double")
+    r = warp.geocode_swath_bilinear(swath, grid).first()
+    assert r.value == 11.0  # value at (line=1, sample=1)
