@@ -517,6 +517,7 @@ def connected_components(
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).persist()
     backing = labels  # the persisted/checkpointed frame backing `labels`
+    changed = -1  # max_iter <= 0 must reach the loud non-convergence branch
     for it in range(max_iter):
         nbr_min = (
             sym.join(

@@ -177,6 +177,10 @@ def knn_join(
         exact1 = _ring_pass(q, p, k, res, k_cells, q_id, p_id, coslat, full1)
         if full1:
             return exact1
+        # NB: intentionally not unpersisted — the returned lazy plan
+        # references the cache; the ContextCleaner reclaims the blocks when
+        # the consumer releases the DataFrame (same lifetime contract as the
+        # adaptive path's per-pass caches)
         exact1 = exact1.persist()
         resolved = exact1.select(q_id).distinct()
         remaining = q.join(resolved, q_id, "left_anti")

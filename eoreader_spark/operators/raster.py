@@ -121,7 +121,9 @@ def quicklook(images: DataFrame, factor: int = 4, fmt: str = "png") -> DataFrame
                     .reshape(p, th, factor, tw, factor)
                     .mean(axis=(2, 4))
                     .round()
-                    .astype(np.uint8)
+                    # keep the source dtype: uint16 rasters must not wrap
+                    # mod 256 (round-4 codec-dtype fix applies here too)
+                    .astype(img.dtype)
                 )
                 rows.append((iid, tw, th, fmt, _codecs.encode(small, fmt)))
             yield pd.DataFrame(rows, columns=["image_id", "w", "h", "fmt", "bytes"])
@@ -151,7 +153,9 @@ def pyramid(images: DataFrame, levels: tuple[int, ...] = (2, 4, 8), fmt: str = "
             for iid, data, f, h, w in zip(
                 pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]
             ):
-                cur = _codecs.decode(bytes(data), f, int(h), int(w)).astype(np.float64)
+                dec = _codecs.decode(bytes(data), f, int(h), int(w))
+                src_dtype = dec.dtype  # uint16 overviews stay uint16
+                cur = dec.astype(np.float64)
                 cur_level = 1
                 for lv in lvls:
                     assert lv % cur_level == 0, (
@@ -168,7 +172,7 @@ def pyramid(images: DataFrame, levels: tuple[int, ...] = (2, 4, 8), fmt: str = "
                         .mean(axis=(2, 4))
                     )
                     cur_level = lv
-                    enc = _codecs.encode(np.round(cur).astype(np.uint8), fmt)
+                    enc = _codecs.encode(np.round(cur).astype(src_dtype), fmt)
                     rows.append((iid, lv, tw, th, fmt, enc))
             yield pd.DataFrame(
                 rows, columns=["image_id", "level", "w", "h", "fmt", "bytes"]

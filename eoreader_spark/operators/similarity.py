@@ -68,14 +68,17 @@ def cosine_topk(
     q = queries.select(q_id, q_vec)
     c = corpus.select(c_id, c_vec)
     sim = _cosine_col(q_vec, c_vec, exact)
+    # rank on the ROUNDED cosine (+ id tie-break): the documented invariant
+    # that makes exact=True and exact=False return identical top-k sets
+    # (the paths differ only in sub-6dp accumulation noise)
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
         F.broadcast(q)
         .crossJoin(c)
-        .withColumn("cosine", sim)
+        .withColumn("cosine", F.round(sim, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
+        .select(q_id, c_id, "cosine", "rank")
     )
 
 
@@ -160,10 +163,11 @@ def ivf_topk(
     q = queries.select(q_id, q_vec).withColumn("list_id", F.explode(probes(F.col(q_vec))))
     cand = q.join(indexed_corpus.select(c_id, c_vec, "list_id"), "list_id")
     sim = _cosine_col(q_vec, c_vec, exact)
+    # rounded-cosine ranking: see cosine_topk
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
     return (
-        cand.withColumn("cosine", sim)
+        cand.withColumn("cosine", F.round(sim, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(q_id, c_id, F.round("cosine", 6).alias("cosine"), "rank")
+        .select(q_id, c_id, "cosine", "rank")
     )

@@ -384,21 +384,23 @@ def apply_stencil_expr(
     return padded.select(*_KEY, F.expr(out).alias(out_col))
 
 
-def morton_key(x_col, y_col, bits: int = 16):
-    """Z-order (Morton) interleave of two non-negative ints as a JVM column
-    expression — the space-filling-curve key for at-rest tile layouts:
-    sorting/partitioning tile (or block) tables by this key keeps 2-D
-    neighbourhoods in the same file ranges, so stencil neighbours co-locate
-    (the north_rule's partition-by-parent-cell idea applied to tile grids).
-    Classic magic-number bit spreading, pure codegen."""
+def morton_key(x_col, y_col):
+    """Z-order (Morton) interleave of two non-negative 32-bit ints into a
+    64-bit key as a JVM column expression — the space-filling-curve key for
+    at-rest tile layouts: sorting/partitioning tile (or block) tables by
+    this key keeps 2-D neighbourhoods in the same file ranges, so stencil
+    neighbours co-locate (the north_rule's partition-by-parent-cell idea
+    applied to tile grids).  Full 32-bit magic-number spreading — no silent
+    truncation for coordinates >= 2^16 (round-4 review fix); pure codegen."""
     import pyspark.sql.functions as F
 
     def spread(c):
         c = c.cast("long")
-        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
-        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
-        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+        c = c.bitwiseOR(F.shiftleft(c, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x3333333333333333))
+        c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x5555555555555555))
         return c
 
     x = F.col(x_col) if isinstance(x_col, str) else x_col

@@ -329,19 +329,34 @@ def geocode_swath_bilinear(
     k0 = _cross(hx, hy, ex, ey)
     disc = k1 * k1 - F.lit(4.0) * k0 * k2
     sq = F.sqrt(F.greatest(disc, F.lit(0.0)))
-    v1 = (-k1 + sq) / (F.lit(2.0) * k2)
-    v2 = (-k1 - sq) / (F.lit(2.0) * k2)
-    v_quad = F.when(
-        (v1 >= F.lit(-eps)) & (v1 <= F.lit(1.0) + F.lit(eps)), v1
-    ).otherwise(v2)
-    v_lin = -k0 / k1  # parallelogram (k2 == 0 exactly): cross(e,h)/cross(e,f)
-    vv = F.when(k2 == F.lit(0.0), v_lin).otherwise(v_quad)
-    den_x = ex + gx * vv
-    den_y = ey + gy * vv
-    uu = F.when(
-        F.abs(den_x) >= F.abs(den_y), (hx - fx * vv) / den_x
-    ).otherwise((hy - fy * vv) / den_y)
-    c = cand.withColumn("v", vv).withColumn("u", uu)
+    # numerically stable quadratic: qq = -(k1 + sign(k1)*sqrt(disc))/2 never
+    # cancels; roots are qq/k2 and k0/qq (near-parallelogram cells have k2
+    # tiny but nonzero — the naive (-k1+sq)/(2*k2) form cancels there)
+    qq = -(k1 + F.when(k1 >= 0, sq).otherwise(-sq)) / F.lit(2.0)
+    v1 = F.when(k2 != F.lit(0.0), qq / k2)
+    v2 = F.when(qq != F.lit(0.0), k0 / qq).otherwise(-k0 / k1)
+    v_lin = -k0 / k1  # exact parallelogram (k2 == 0): cross(e,h)/cross(e,f)
+
+    def u_of(vv):
+        den_x = ex + gx * vv
+        den_y = ey + gy * vv
+        return F.when(
+            F.abs(den_x) >= F.abs(den_y), (hx - fx * vv) / den_x
+        ).otherwise((hy - fy * vv) / den_y)
+
+    def in01(x):
+        return x.isNotNull() & (x >= -eps) & (x <= 1.0 + eps)
+
+    # choose the root whose (u, v) BOTH land in the cell — checking v alone
+    # can pick a root whose u is outside while the other root is the true
+    # containment (strongly trapezoidal cells)
+    u1, u2 = u_of(v1), u_of(v2)
+    quad_first_ok = in01(v1) & in01(u1)
+    quad_second_ok = in01(v2) & in01(u2)
+    vv = F.when(k2 == F.lit(0.0), v_lin).otherwise(
+        F.when(quad_first_ok, v1).when(quad_second_ok, v2).otherwise(v1)
+    )
+    c = cand.withColumn("v", vv).withColumn("u", u_of(F.col("v")))
     c = c.filter(
         (F.col("u") >= -eps) & (F.col("u") <= 1.0 + eps)
         & (F.col("v") >= -eps) & (F.col("v") <= 1.0 + eps)

@@ -402,6 +402,10 @@ class ImageEngine:
                     if len(pdf) == 0:
                         continue
                     out = pdf.drop(columns=["_wkts"])
+                    # build replacement column lists and reassign whole
+                    # columns: chained .iat writes silently no-op under
+                    # pandas copy-on-write (round-4 review finding)
+                    new_cols = {c: list(out[c]) for c in px_names}
                     for ridx in range(len(pdf)):
                         wkts = pdf["_wkts"].iloc[ridx]
                         if wkts is None or len(wkts) == 0:
@@ -415,10 +419,12 @@ class ImageEngine:
                         if inside.any():
                             for c in px_names:
                                 a = np.asarray(
-                                    out[c].iloc[ridx], dtype=np.float32
+                                    new_cols[c][ridx], dtype=np.float32
                                 ).copy()
                                 a[inside] = np.nan
-                                out[c].iat[ridx] = a
+                                new_cols[c][ridx] = a
+                    for c in px_names:
+                        out[c] = new_cols[c]
                     yield out
 
             wide = wide.mapInPandas(mask_batch, schema=out_schema)

@@ -955,15 +955,22 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
         raise NotImplementedError("code-block style flags (bypass/termall/...) not supported")
     if m["tile_w"] < m["w"] or m["tile_h"] < m["h"]:
         raise NotImplementedError("multi-tile codestreams not supported")
+    if m["cb_w"] != m["cb_h"]:
+        raise NotImplementedError("rectangular code-blocks not supported")
+    if any(c["dx"] != 1 or c["dy"] != 1 for c in m["components"]):
+        raise NotImplementedError("subsampled components not supported")
+    if any(c["depth"] != m["components"][0]["depth"] for c in m["components"]):
+        raise NotImplementedError("mixed component bit depths not supported")
     p, h, w = m["n_components"], m["h"], m["w"]
     levels = m["dwt_levels"]
     cb = m["cb_w"]
     depth = m["components"][0]["depth"]
     shift = 1 << (depth - 1)
 
-    # QCD exponents -> Mb per subband
+    # one main-header walk captures QCD exponents AND guard bits
     pos = 2
-    eps = []
+    eps: list[int] = []
+    guard = None
     sot_pos = None
     while pos + 4 <= len(cs):
         (marker,) = struct.unpack(">H", cs[pos : pos + 2])
@@ -975,21 +982,11 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
             seg = cs[pos + 4 : pos + 2 + seglen]
             if seg[0] & 0x1F != 0:
                 raise NotImplementedError("only reversible (no-quantization) QCD supported")
+            guard = seg[0] >> 5
             eps = [b >> 3 for b in seg[1:]]
         pos += 2 + seglen
     if sot_pos is None:
         raise ValueError("no tile-part (SOT) in codestream")
-    guard = None
-    # re-read guard bits from QCD Sqcd
-    pos = 2
-    while pos + 4 <= len(cs):
-        (marker,) = struct.unpack(">H", cs[pos : pos + 2])
-        if marker == _SOT:
-            break
-        (seglen,) = struct.unpack(">H", cs[pos + 2 : pos + 4])
-        if marker == _QCD:
-            guard = cs[pos + 4] >> 5
-        pos += 2 + seglen
     mb_of = {}
     mb_of[(0, "LL")] = guard + eps[0] - 1
     i = 1
@@ -1001,7 +998,6 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
     # tile body
     body_start = sot_pos + 12 + 2  # SOT marker+seg (12) + SOD marker (2)
     (psot,) = struct.unpack(">I", cs[sot_pos + 6 : sot_pos + 10])
-    body = cs[sot_pos + psot : ]  # next tile / EOC after
     stream = cs[body_start : sot_pos + psot]
 
     # subband shapes replay the forward split arithmetic
