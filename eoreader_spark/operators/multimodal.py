@@ -181,10 +181,11 @@ def parse_mp3(data: bytes) -> dict:
         pos = 10 + size
     n_frames = 0
     sr = None
+    channels = None
     bitrates: set[int] = set()
     samples = 0
     while pos + 4 <= len(data):
-        b0, b1, b2, _b3 = data[pos : pos + 4]
+        b0, b1, b2, b3 = data[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             break
         version = (b1 >> 3) & 0x03  # 3 = MPEG1
@@ -203,6 +204,12 @@ def parse_mp3(data: bytes) -> dict:
         elif sr != this_sr:
             raise ValueError("sample-rate change mid-stream")
         bitrates.add(br)
+        # mode field (header byte 4 bits 6-7): 3 = single_channel (mono)
+        this_ch = 1 if ((b3 >> 6) & 0x03) == 3 else 2
+        if channels is None:
+            channels = this_ch
+        elif channels != this_ch:
+            raise ValueError("channel-mode change mid-stream")
         frame_len = 144 * br // this_sr + padding
         n_frames += 1
         samples += 1152
@@ -212,7 +219,7 @@ def parse_mp3(data: bytes) -> dict:
     return {
         "container": "mp3",
         "sample_rate": sr,
-        "channels": 2,  # layer III stereo/joint default; mono needs mode bits
+        "channels": channels,
         "n_units": n_frames,
         "duration_ms": samples * 1000 // sr,
         "bitrate_kbps": (next(iter(bitrates)) // 1000) if len(bitrates) == 1 else None,
@@ -347,17 +354,19 @@ def audio_container_info(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batch, schema=schema)
 
 
-def encode_mp3_frames(n_frames: int, bitrate_kbps: int = 128, sr_idx: int = 0) -> bytes:
+def encode_mp3_frames(
+    n_frames: int, bitrate_kbps: int = 128, sr_idx: int = 0, mode: int = 0
+) -> bytes:
     """Synthesize a VALID MPEG-1 Layer III frame sequence (real headers,
     zeroed payloads — a decoder of headers, which is what parse_mp3 is,
-    cannot tell) for fixtures."""
+    cannot tell) for fixtures.  ``mode``: 0 stereo … 3 single_channel."""
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     sr = _MP3_RATES[sr_idx]
     out = bytearray()
     for _ in range(n_frames):
         b1 = 0xFB  # MPEG1, Layer III, no CRC
         b2 = (br_idx << 4) | (sr_idx << 2)  # no padding
-        hdr = bytes([0xFF, b1, b2, 0x00])
+        hdr = bytes([0xFF, b1, b2, (mode & 0x03) << 6])
         frame_len = 144 * bitrate_kbps * 1000 // sr
         out += hdr + b"\x00" * (frame_len - 4)
     return bytes(out)

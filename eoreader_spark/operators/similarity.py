@@ -38,7 +38,12 @@ def _cosine_col(q_vec: str, c_vec: str, exact: bool) -> Column:
     sequential fold only in the last ulp; ranking ties are already broken on
     the ROUNDED cosine + id."""
     if exact:
-        return _dot(q_vec, c_vec) / (_norm(q_vec) * _norm(c_vec))
+        # same degenerate-vector convention as the numpy path (which clamps
+        # the denominator): zero-norm vectors get cosine 0.0, not NULL —
+        # NULLs would sort differently under the rank window and break the
+        # exact==production top-k invariant
+        den = _norm(q_vec) * _norm(c_vec)
+        return F.when(den > 0, _dot(q_vec, c_vec) / den).otherwise(F.lit(0.0))
 
     @F.pandas_udf("double")
     def cos(qs: pd.Series, cs: pd.Series) -> pd.Series:

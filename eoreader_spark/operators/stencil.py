@@ -479,9 +479,12 @@ def apply_stencil_blocked(
     # cross-block strips: only block-edge tiles can emit one, so prefilter
     # before the 8-way inline explode; then keep exactly the strips whose
     # target lies in another block
+    # pmod, not %: Spark's % takes the dividend's sign, so tile_x=-1 with
+    # B=8 gives -1 — negative tile coords would silently drop block-edge
+    # tiles from the strips exchange (floor-div block ids handle negatives)
     edge = tagged.filter(
-        (F.col("tile_x") % B == 0) | (F.col("tile_x") % B == B - 1)
-        | (F.col("tile_y") % B == 0) | (F.col("tile_y") % B == B - 1)
+        (F.pmod(F.col("tile_x"), B) == 0) | (F.pmod(F.col("tile_x"), B) == B - 1)
+        | (F.pmod(F.col("tile_y"), B) == 0) | (F.pmod(F.col("tile_y"), B) == B - 1)
     )
     strips = _strip_rows(
         edge.select("image_id", "tile_x", "tile_y", *px_cols), t, px_cols, w

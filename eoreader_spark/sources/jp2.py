@@ -783,12 +783,15 @@ def _res_bands(bands: list[dict], r: int) -> list[tuple[str, np.ndarray]]:
 
 
 def _put_npasses(bits: _HeaderBits, n: int) -> None:
+    # ISO/IEC 15444-1 Table B.4 comma code: 1->'0', 2->'10',
+    # 3..5 -> '11'+2 bits (00,01,10; '11' escapes to the next range),
+    # 6..36 -> '1111'+5 bits (value 31 escapes), 37..164 -> 9 ones + 7 bits.
     if n == 1:
         bits.put(0)
     elif n == 2:
         bits.put_bits(0b10, 2)
     elif n <= 5:
-        bits.put_bits(0b110, 3)
+        bits.put_bits(0b11, 2)
         bits.put_bits(n - 3, 2)
     elif n <= 36:
         bits.put_bits(0b1111, 4)
@@ -803,9 +806,9 @@ def _get_npasses(bits: _HeaderBits) -> int:
         return 1
     if not bits.get():
         return 2
-    if not bits.get():
-        return 3 + bits.get_bits(2)
-    bits.get()  # fourth bit of the '1111' prefix (always 1)
+    v = bits.get_bits(2)
+    if v < 3:
+        return 3 + v
     v = bits.get_bits(5)
     if v < 31:
         return 6 + v

@@ -320,3 +320,31 @@ def test_numpy_refine_matches_hof_path(spark):
     ka = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in a.collect()}
     kb = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in b.collect()}
     assert ka == kb
+
+
+def test_cosine_zero_norm_vectors_parity(spark):
+    """Zero-norm embeddings (padding rows, failed encoders) get cosine 0.0
+    on BOTH paths — the JVM fold must not emit NULL (which sorts differently
+    under the rank window) while numpy clamps to 0.0 (round-4 ADVICE)."""
+    corpus = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 1.0, 0.0]), (11, [0.0, 0.0, 0.0])],
+        "query_id long, qvec array<double>",
+    )
+    for exact in (True, False):
+        got = {
+            (r.query_id, r.vec_id): r.cosine
+            for r in similarity.cosine_topk(
+                queries, corpus, k=3, exact=exact
+            ).collect()
+        }
+        assert got[(10, 0)] == 0.0          # zero corpus vector
+        assert got[(11, 1)] == 0.0          # zero query vector
+        assert got[(11, 0)] == 0.0          # both zero
+        assert None not in got.values()
+    a = similarity.cosine_topk(queries, corpus, k=3, exact=True)
+    b = similarity.cosine_topk(queries, corpus, k=3, exact=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

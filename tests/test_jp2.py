@@ -163,3 +163,57 @@ def test_jp2_degenerate_images():
     assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(one, levels=1)), one)
     c = np.full((1, 32, 32), 200, dtype=np.uint8)
     assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(c, levels=3)), c)
+
+
+class _BitRecorder:
+    """Duck-typed _HeaderBits write side that records raw bits as a string
+    (no FF-stuffing) for exact ISO bit-layout comparison."""
+
+    def __init__(self):
+        self.s = ""
+
+    def put(self, bit):
+        self.s += "1" if bit & 1 else "0"
+
+    def put_bits(self, value, n):
+        for i in range(n - 1, -1, -1):
+            self.put((value >> i) & 1)
+
+
+def test_npasses_iso_table_b4_bit_layout():
+    """ISO/IEC 15444-1 Table B.4 comma code, pinned bit-for-bit (the 3-5
+    range is '11'+2 bits — n=4 must be '1101', not the 5-bit '11001' that a
+    '110'-prefix deviation would produce; OpenJPEG opj_t2_getnumpasses)."""
+    expected = {
+        1: "0",
+        2: "10",
+        3: "1100",
+        4: "1101",
+        5: "1110",
+        6: "1111" + "00000",
+        36: "1111" + "11110",
+        37: "111111111" + "0000000",
+        164: "111111111" + "1111111",
+    }
+    for n, want in expected.items():
+        rec = _BitRecorder()
+        jp2._put_npasses(rec, n)
+        assert rec.s == want, f"n={n}: {rec.s} != {want}"
+    # full-range encode->decode identity through the real FF-stuffed
+    # header bit I/O (covers both escapes)
+    for n in range(1, 165):
+        hb = jp2._HeaderBits()
+        jp2._put_npasses(hb, n)
+        assert jp2._get_npasses(jp2._HeaderBits(data=hb.flush())) == n
+
+
+def test_jp2_numbps2_blocks_roundtrip():
+    """Code-blocks whose max |coefficient| is 2-3 (numbps=2 -> 4 coding
+    passes) exercise the 3-5 comma-code range that desynced conformant
+    readers before the Table B.4 fix."""
+    rng = np.random.RandomState(7)
+    # small values around mid-scale keep DWT coefficients in the 2-3 range
+    img = (128 + rng.randint(-2, 3, size=(1, 64, 64))).astype(np.uint8)
+    assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(img, levels=2)), img)
+    img16 = (32768 + rng.randint(-3, 4, size=(2, 48, 80))).astype(np.uint16)
+    assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(img16, levels=3)), img16)

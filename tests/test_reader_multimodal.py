@@ -154,6 +154,14 @@ def test_mp3_frame_walk():
     vbr = multimodal.encode_mp3_frames(5, 128) + multimodal.encode_mp3_frames(5, 192)
     vi = multimodal.parse_mp3(vbr)
     assert vi["bitrate_kbps"] is None and vi["n_units"] == 10
+    # channels come from the mode bits (3 = single_channel), not a hardcode
+    assert info["channels"] == 2
+    mono = multimodal.parse_mp3(multimodal.encode_mp3_frames(4, 128, mode=3))
+    assert mono["channels"] == 1
+    for m in (1, 2):  # joint stereo / dual channel are 2-channel
+        assert multimodal.parse_mp3(
+            multimodal.encode_mp3_frames(2, 128, mode=m)
+        )["channels"] == 2
 
 
 def test_flac_streaminfo():

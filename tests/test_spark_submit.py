@@ -13,9 +13,12 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
-pytestmark = pytest.mark.skipif(
-    not Path(SPARK_SUBMIT).exists(), reason="spark-submit not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not Path(SPARK_SUBMIT).exists(), reason="spark-submit not available"
+    ),
+    pytest.mark.cluster,  # separate driver+executor JVMs, ~90 s per test
+]
 
 
 def _make_zip(tmp_path: Path) -> Path:

@@ -148,3 +148,27 @@ def test_blocked_refined_lee_with_holes(spark):
     a = _collect(stencil.apply_stencil(df, k, tile=t, halo=3))
     b = _collect(stencil.apply_stencil_blocked(df, {"px": ("px", k)}, tile=t, block=2, halo=3))
     assert a == b
+
+
+def test_blocked_negative_tile_coords(spark):
+    """Grids whose origin gives negative tile coordinates (e.g. tiles west
+    of a UTM false-easting anchor): Spark's % takes the dividend's sign, so
+    the block-edge prefilter must use pmod or block-crossing strips from
+    tiles like tile_x=-1 silently vanish and halos come out NaN (round-4
+    ADVICE). Bit-identical to the per-tile path is the invariant."""
+    t = 16
+    rng = np.random.RandomState(17)
+    rows = []
+    for ty in range(-3, 2):
+        for tx in range(-3, 2):
+            px = rng.randint(0, 1000, size=t * t).astype(np.float32)
+            rows.append(("i0", tx, ty, px.tolist()))
+    dem = spark.createDataFrame(
+        rows, "image_id string, tile_x int, tile_y int, px array<float>"
+    )
+    a = _collect(stencil.slope(dem, tile=t))
+    b = _collect(stencil.slope(dem, tile=t, block=2))
+    assert a == b
+    # a crossing at the negative-side block edge actually produced pixels
+    interior = np.asarray(b[("i0", -1, -1)][0]).reshape(t, t)
+    assert not np.isnan(interior).any()
