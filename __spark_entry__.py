@@ -1018,16 +1018,62 @@ _STAC_SCENE_EXPRS = [
 ]
 
 
+def _stac_band_stats() -> dict[str, tuple[int, int, int]]:
+    """constellation -> (n_bands, n_with_common_name, x1e4-scaled wavelength
+    sum) from the SAME vocabulary the engine serializes; the Python sum runs
+    in the same left-to-right order as Spark's fold, so the scaled integer
+    is bit-identical."""
+    from eoreader_spark import bands as bands_mod
+
+    out = {}
+    for c in ("S2", "L8", "S1", "PLD"):
+        eb = bands_mod.eo_bands_for(c)
+        wl = 0.0
+        for _n, _cn, w in eb:
+            if w is not None:
+                wl += w
+        out[c] = (len(eb), sum(1 for _n, cn, _w in eb if cn), int(round(wl * 10000)))
+    return out
+
+
+def _stac_case_sql(idx: int, alias: str) -> str:
+    """CASE over constellations for one _stac_band_stats component (vocab
+    constants, BIGINT so DuckDB's count/size-typed columns match Spark)."""
+    stats = _stac_band_stats()
+    whens = " ".join(
+        f"WHEN '{c}' THEN {v[idx]}" for c, v in stats.items()
+    )
+    return f"cast(CASE constellation {whens} END AS {'BIGINT' if idx == 2 else 'INT'}) AS {alias}"
+
+
 def q_stac_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 both directions, VALUE-EXACT: scene rows -> to_stac_items (to_json)
-    -> open_stac_items (from_json) -> per-constellation aggregates.  The
-    oracle aggregates the same derivations directly, so any field the JSON
-    round-trip corrupts (doubles, timestamps, ints) breaks the hash."""
+    """S7 both directions, VALUE-EXACT: scene rows (+ synthetic sun-angle
+    table) -> to_stac_items (to_json, EO + View extensions) ->
+    open_stac_items (from_json) -> per-constellation aggregates.  The oracle
+    aggregates the same derivations directly, so any field the JSON
+    round-trip corrupts (doubles, timestamps, ints, eo:bands structs, view
+    angles) breaks the hash.  Angle inputs are integer-valued doubles, so
+    their sums are order-exact; eo:bands wavelength sums compare as x1e4
+    integers (ref extensions: stac_extensions.py:62-183 EoExt,
+    316-365 ViewExt incl. the 90-zenith elevation conversion)."""
     from eoreader_spark.sources import stac
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     scenes = ev.selectExpr(*_STAC_SCENE_EXPRS)
-    parsed = stac.open_stac_items(stac.to_stac_items(scenes))
+    view = ev.selectExpr(
+        "concat('img', lpad(cast(event_id as string), 12, '0')) as image_id",
+        "cast(user_id % 360 as double) as sun_az",
+        "cast(user_id % 60 + 10 as double) as sun_zen",
+    )
+    parsed = stac.open_stac_items(stac.to_stac_items(scenes, view_angles=view))
+    wl_item = F.round(
+        F.aggregate(
+            F.filter(F.col("eo_bands"), lambda b: b["center_wavelength"].isNotNull()),
+            F.lit(0.0),
+            lambda a, b: a + b["center_wavelength"],
+        )
+        * 10000
+    ).cast("long")
     return (
         parsed.groupBy("constellation")
         .agg(
@@ -1037,6 +1083,13 @@ def q_stac_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
             F.round(F.min("lon"), 4).alias("min_lon"),
             F.min("crs_epsg").alias("min_epsg"),
+            F.max(F.size("eo_bands")).alias("n_bands"),
+            F.max(
+                F.size(F.filter(F.col("eo_bands"), lambda b: b["common_name"].isNotNull()))
+            ).alias("n_common"),
+            F.max(wl_item).alias("wl_sum4"),
+            F.round(F.avg("sun_az"), 4).alias("avg_sun_az"),
+            F.round(F.avg("sun_el"), 4).alias("avg_sun_el"),
         )
         .orderBy("constellation")
     )
@@ -4078,7 +4131,9 @@ def oracle_sql() -> dict[str, str]:
                        cast(32600 + user_id % 60 + 1 AS int) AS crs_epsg,
                        {LON_EXPR} AS lon,
                        cast(user_id * 37 % 101 AS double) AS cloud_cover,
-                       date_trunc('second', ts) AS dt
+                       date_trunc('second', ts) AS dt,
+                       cast(user_id % 360 AS double) AS sun_az,
+                       90.0 - cast(user_id % 60 + 10 AS double) AS sun_el
                 FROM events WHERE event_id < 500
             )
             SELECT constellation,
@@ -4087,7 +4142,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(pixel_size), 2) AS sum_gsd,
                    strftime(max(dt), '%Y-%m-%d %H:%M:%S') AS max_dt,
                    round(min(lon), 4) AS min_lon,
-                   min(crs_epsg) AS min_epsg
+                   min(crs_epsg) AS min_epsg,
+                   {_stac_case_sql(0, "n_bands")},
+                   {_stac_case_sql(1, "n_common")},
+                   {_stac_case_sql(2, "wl_sum4")},
+                   round(avg(sun_az), 4) AS avg_sun_az,
+                   round(avg(sun_el), 4) AS avg_sun_el
             FROM s GROUP BY constellation ORDER BY constellation
         """,
         # hull membership by the exact sign test: p is a hull vertex iff no

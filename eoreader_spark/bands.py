@@ -340,6 +340,45 @@ def layout_for(constellation: str) -> str:
     """Detected constellation tag -> layout class (KeyError if undetectable)."""
     return CONSTELLATION_LAYOUT[constellation]
 
+
+# ------------------------------------------------- STAC EO-extension vocab
+# canonical band -> STAC eo common name
+# (https://github.com/stac-extensions/eo/#common-band-names; mirrors the
+# reference's StacCommonNames enum, _stac_keywords.py:98-115, and each
+# SpectralBand's common_name assignment).  Bands with no STAC common name
+# (SAR polarizations, L2A QA planes, OLCI Oa ids) are absent.
+STAC_COMMON_NAMES: dict[str, str] = {
+    "CA": "coastal", "BLUE": "blue", "GREEN": "green", "RED": "red",
+    "YELLOW": "yellow", "VRE_1": "rededge", "VRE_2": "rededge",
+    "VRE_3": "rededge", "NIR": "nir", "NARROW_NIR": "nir08", "WV": "nir09",
+    "SWIR_CIRRUS": "cirrus", "SWIR_1": "swir16", "SWIR_2": "swir22",
+    "TIR_1": "lwir11", "TIR_2": "lwir12", "PAN": "pan",
+}
+
+# canonical band -> center wavelength in micrometers (published S2 MSI /
+# Landsat OLI-TIRS / S3 OLCI channel centers — public constants; the
+# reference carries them per SpectralBand as `center_wavelength`,
+# eoreader/bands/spectral_bands.py)
+CENTER_WAVELENGTH_UM: dict[str, float] = {
+    "CA": 0.443, "BLUE": 0.49, "DEEP_BLUE": 0.4125, "GREEN": 0.56,
+    "GREEN_1": 0.531, "YELLOW": 0.62, "RED": 0.665, "VRE_1": 0.705,
+    "VRE_2": 0.74, "VRE_3": 0.783, "NIR": 0.842, "NARROW_NIR": 0.865,
+    "WV": 0.945, "SWIR_CIRRUS": 1.375, "SWIR_1": 1.61, "SWIR_2": 2.19,
+    "TIR_1": 10.895, "TIR_2": 12.005, "PAN": 0.59,
+    "Oa01": 0.4, "Oa09": 0.6735, "Oa10": 0.6815, "Oa13": 0.7615,
+    "Oa14": 0.764, "Oa15": 0.7675, "Oa18": 0.885, "Oa19": 0.9, "Oa21": 1.02,
+}
+
+
+def eo_bands_for(constellation: str) -> list[tuple[str, str | None, float | None]]:
+    """-> [(name, common_name, center_wavelength_um), ...] in plane order
+    for a detected constellation — the eo:bands payload of its STAC item
+    (reference EoExt, stac_extensions.py:62-170)."""
+    return [
+        (b, STAC_COMMON_NAMES.get(b), CENTER_WAVELENGTH_UM.get(b))
+        for b in plane_of(layout_for(constellation))
+    ]
+
 # canonical name -> SLSTR band id (S1 555nm, S2 659nm, S3 865nm, S5 1.6um,
 # S6 2.25um — the solar channels the radiance adjustment applies to;
 # reference keys coefficients by this id, s3_slstr_product.py:836-841)

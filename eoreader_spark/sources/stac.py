@@ -1,22 +1,41 @@
 """STAC item serialization + catalog read side (S7, both directions).
 
 Reference: Product -> STAC Item with EO/Projection/View extensions
-(/root/reference/eoreader/stac/stac_item.py:61-179), and the read side —
-Reader.open accepts STAC items/paths and reconstructs product metadata
+(/root/reference/eoreader/stac/stac_item.py:61-179, extension classes
+ stac_extensions.py:62-420), and the read side — Reader.open accepts STAC
+items/paths and reconstructs product metadata
 (/root/reference/eoreader/reader.py:673-738,
  /root/reference/eoreader/products/stac_product.py:81-140).
 
+Extension coverage:
+- EO: `eo:cloud_cover` + per-band `eo:bands` structs
+  (name / common_name / center_wavelength) derived from the constellation's
+  layout vocabulary (bands.eo_bands_for — the analog of EoExt walking
+  prod.bands, stac_extensions.py:150-183)
+- Projection: epsg + centroid (proj bbox/shape need the raster grid, which
+  travels separately in this engine)
+- View: `view:sun_azimuth`, `view:sun_elevation` (= 90 - zenith, exactly the
+  reference's conversion, stac_extensions.py:336-345) and, when provided,
+  `view:azimuth` / `view:off_nadir` / `view:incidence_angle`
+Remote catalog HTTP fetch is out of sandbox scope (documented exclusion).
+
 Spark form: one JVM-side projection each way — to_json over a struct out,
 from_json with an explicit schema back in; a catalog row per scene, no
-Python anywhere.
-"""
+Python in the data path.  The eo:bands vocabulary is a ~43-row broadcast
+dimension; view angles join broadcast-left on image_id when given.
+to_json drops null fields, so items without angles simply omit the view
+properties (the reference's ViewExt.create_ext semantics)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eoreader_spark import bands as bands_mod
+
 STAC_VERSION = "1.0.0"
+
+_EO_BAND_STRUCT = "array<struct<name:string,common_name:string,center_wavelength:double>>"
 
 # explicit parse schema (never inferred: at 10^12 items schema inference
 # would scan the table; an explicit schema keeps the read a single pass)
@@ -24,18 +43,64 @@ ITEM_SCHEMA = (
     "struct<type:string, stac_version:string, id:string,"
     " properties:struct<datetime:string, constellation:string,"
     " product_type:string, gsd:double, `proj:epsg`:int,"
-    " `sat:orbit_state`:string, `eo:cloud_cover`:double>,"
+    " `sat:orbit_state`:string, `eo:cloud_cover`:double,"
+    f" `eo:bands`:{_EO_BAND_STRUCT},"
+    " `view:sun_azimuth`:double, `view:sun_elevation`:double,"
+    " `view:azimuth`:double, `view:off_nadir`:double,"
+    " `view:incidence_angle`:double>,"
     " geometry_wkt:string, centroid:array<double>>"
 )
 
+_VIEW_EXTRAS = {  # optional view_angles columns -> STAC property names
+    "view_az": "view:azimuth",
+    "off_nadir": "view:off_nadir",
+    "incidence_angle": "view:incidence_angle",
+}
 
-def to_stac_items(scenes: DataFrame, footprints: DataFrame | None = None) -> DataFrame:
-    """scenes (T2) [+ footprints (T3)] -> (image_id, stac_json)."""
+
+def eo_bands_table(spark: SparkSession) -> DataFrame:
+    """(constellation, eo_bands) dimension from the layout vocabulary —
+    one row per detectable constellation, broadcast-sized forever."""
+    rows = [
+        (const, bands_mod.eo_bands_for(const))
+        for const in bands_mod.CONSTELLATION_LAYOUT
+    ]
+    return spark.createDataFrame(
+        rows, f"constellation string, eo_bands {_EO_BAND_STRUCT}"
+    )
+
+
+def to_stac_items(
+    scenes: DataFrame,
+    footprints: DataFrame | None = None,
+    view_angles: DataFrame | None = None,
+    eo_bands: bool = True,
+) -> DataFrame:
+    """scenes (T2) [+ footprints (T3)] [+ view_angles (image_id, sun_az,
+    sun_zen[, view_az, off_nadir, incidence_angle])] -> (image_id, stac_json)."""
     df = scenes
     if footprints is not None:
         df = df.join(footprints.select("image_id", "geom_wkt"), "image_id", "left")
     else:
         df = df.withColumn("geom_wkt", F.lit(None).cast("string"))
+    if eo_bands:
+        df = df.join(
+            F.broadcast(eo_bands_table(scenes.sparkSession)), "constellation", "left"
+        )
+    else:
+        df = df.withColumn("eo_bands", F.lit(None).cast(_EO_BAND_STRUCT))
+    view_cols = []
+    if view_angles is not None:
+        df = df.join(F.broadcast(view_angles), "image_id", "left")
+        view_cols = [
+            F.col("sun_az").alias("view:sun_azimuth"),
+            # STAC wants elevation; products carry zenith (ref conversion)
+            (F.lit(90.0) - F.col("sun_zen")).alias("view:sun_elevation"),
+        ] + [
+            F.col(c).alias(p)
+            for c, p in _VIEW_EXTRAS.items()
+            if c in view_angles.columns
+        ]
     item = F.struct(
         F.lit("Feature").alias("type"),
         F.lit(STAC_VERSION).alias("stac_version"),
@@ -48,6 +113,8 @@ def to_stac_items(scenes: DataFrame, footprints: DataFrame | None = None) -> Dat
             F.col("crs_epsg").alias("proj:epsg"),
             F.col("orbit_direction").alias("sat:orbit_state"),
             F.col("cloud_cover").alias("eo:cloud_cover"),
+            F.col("eo_bands").alias("eo:bands"),
+            *view_cols,
         ).alias("properties"),
         F.col("geom_wkt").alias("geometry_wkt"),
         F.array(F.col("lon"), F.col("lat")).alias("centroid"),
@@ -57,11 +124,14 @@ def to_stac_items(scenes: DataFrame, footprints: DataFrame | None = None) -> Dat
 
 def open_stac_items(items: DataFrame, json_col: str = "stac_json") -> DataFrame:
     """Inverse of to_stac_items: STAC JSON -> scene rows (the Reader.open
-    from-STAC path, reference reader.py:673-738).
+    from-STAC path, reference reader.py:673-738).  Items written without the
+    EO/View extension fields parse to nulls there (from_json is lenient on
+    absent struct fields).
 
     Output columns mirror the scenes table (T2) minus the derived cell key:
     (image_id, constellation, product_type, datetime, pixel_size, crs_epsg,
-    lon, lat, orbit_direction, cloud_cover, geom_wkt)."""
+    lon, lat, orbit_direction, cloud_cover, geom_wkt, eo_bands, sun_az,
+    sun_el, view_az, off_nadir, incidence_angle)."""
     parsed = items.withColumn("_it", F.from_json(F.col(json_col), ITEM_SCHEMA))
     p = "_it.properties"
     return parsed.select(
@@ -76,4 +146,10 @@ def open_stac_items(items: DataFrame, json_col: str = "stac_json") -> DataFrame:
         F.col(f"{p}.`sat:orbit_state`").alias("orbit_direction"),
         F.col(f"{p}.`eo:cloud_cover`").alias("cloud_cover"),
         F.col("_it.geometry_wkt").alias("geom_wkt"),
+        F.col(f"{p}.`eo:bands`").alias("eo_bands"),
+        F.col(f"{p}.`view:sun_azimuth`").alias("sun_az"),
+        F.col(f"{p}.`view:sun_elevation`").alias("sun_el"),
+        F.col(f"{p}.`view:azimuth`").alias("view_az"),
+        F.col(f"{p}.`view:off_nadir`").alias("off_nadir"),
+        F.col(f"{p}.`view:incidence_angle`").alias("incidence_angle"),
     )

@@ -286,3 +286,44 @@ def test_geocode_bilinear_on_grid_point(spark):
     grid = spark.createDataFrame([("g", 1.0, 1.0)], "grid_id string, lon double, lat double")
     r = warp.geocode_swath_bilinear(swath, grid).first()
     assert r.value == 11.0  # value at (line=1, sample=1)
+
+
+def test_stac_eo_view_extensions_roundtrip(spark):
+    """S7 EO + View extensions (ref stac_extensions.py:62-183, 316-365):
+    eo:bands structs come from the constellation's layout vocabulary,
+    view:sun_elevation is 90 - zenith, items without angles omit the view
+    properties, and everything survives the JSON round trip."""
+    from eoreader_spark import bands as bands_mod
+
+    scenes = datagen.gen_scenes(spark, 8)
+    ids = [r.image_id for r in scenes.select("image_id").orderBy("image_id").collect()]
+    view = spark.createDataFrame(
+        [(ids[0], 123.0, 30.0, 45.0), (ids[1], 200.0, 55.0, None)],
+        "image_id string, sun_az double, sun_zen double, off_nadir double",
+    )
+    items = stac.to_stac_items(scenes, view_angles=view)
+    raw = {r.image_id: json.loads(r.stac_json) for r in items.collect()}
+    p0 = raw[ids[0]]["properties"]
+    assert p0["view:sun_azimuth"] == 123.0
+    assert p0["view:sun_elevation"] == 60.0
+    assert p0["view:off_nadir"] == 45.0
+    const0 = p0["constellation"]
+    want_bands = bands_mod.eo_bands_for(const0)
+    assert [b["name"] for b in p0["eo:bands"]] == [n for n, _c, _w in want_bands]
+    named = [b for b in p0["eo:bands"] if "common_name" in b]
+    assert len(named) == sum(1 for _n, c, _w in want_bands if c)
+    # items without a view row omit the view properties entirely
+    assert "view:sun_azimuth" not in raw[ids[2]]["properties"]
+    back = {r.image_id: r for r in stac.open_stac_items(items).collect()}
+    assert back[ids[0]].sun_az == 123.0 and back[ids[0]].sun_el == 60.0
+    assert back[ids[0]].off_nadir == 45.0 and back[ids[0]].view_az is None
+    assert back[ids[2]].sun_az is None
+    eb = back[ids[0]].eo_bands
+    assert [b.name for b in eb] == [n for n, _c, _w in want_bands]
+    wl = {b.name: b.center_wavelength for b in eb}
+    for n, _c, w in want_bands:
+        assert wl[n] == w
+    # old items (no extension fields) still parse, with nulls
+    legacy = stac.to_stac_items(scenes, eo_bands=False)
+    lb = {r.image_id: r for r in stac.open_stac_items(legacy).collect()}
+    assert lb[ids[0]].eo_bands is None and lb[ids[0]].sun_el is None
