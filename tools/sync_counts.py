@@ -17,6 +17,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from eoreader_spark import bands  # noqa: E402
 from eoreader_spark.functions import indices  # noqa: E402
 
 
@@ -36,6 +37,7 @@ def counts() -> dict[str, int]:
         "oracle": n_oracle,
         "rows_only": n_q - n_oracle,
         "indices": len(indices.INDEX_REGISTRY),
+        "layouts": len(bands.LAYOUTS),
         "tests": n_tests,
     }
 
@@ -60,12 +62,18 @@ def sync(write: bool = True) -> dict[str, int]:
         f"{c['oracle']} compared + {c['rows_only']} rows-only",
         readme,
     )
+    readme = re.sub(
+        r"tag dispatch \(\d+ layouts:",
+        f"tag dispatch ({c['layouts']} layouts:",
+        readme,
+    )
     status = (REPO / "STATUS.md").read_text()
     status = re.sub(
         r"spectral indices \(\d+ in registry",
         f"spectral indices ({c['indices']} in registry",
         status,
     )
+    status = re.sub(r"\d+ layouts,", f"{c['layouts']} layouts,", status)
     if write:
         (REPO / "README.md").write_text(readme)
         (REPO / "STATUS.md").write_text(status)
