@@ -554,6 +554,49 @@ def q_reader_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reader_dispatch_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 metadata-presence fallback (ref reader.py:871-952 `valid_mtd`):
+    product names are unrecognizable zips, so detection must fall back to
+    the archive MEMBER list (sources/reader.py detect_with_fallback —
+    exists(members, rlike), pure JVM).  Rows with event_id%16==15 carry a
+    recognizable S2 name AND a Maxar-looking member: the name must win
+    (coalesce precedence).  The oracle states the expected constellation per
+    residue class from the published member-file semantics (a .TIL ->
+    Maxar, METADATA.DIM -> SPOT4/5, B12.jp2 -> sinergise S2, ...)."""
+    from eoreader_spark.sources import reader
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    r8 = F.col("event_id") % 8
+    member = (
+        F.when(r8 == 0, F.lit("CSKS1_SCS_B_HI_16_HH_RA_FF.h5"))
+        .when(r8 == 1, F.lit("CSG_SSAR1_DGM_B_0101_STR_008.h5"))
+        .when(r8 == 2, F.lit("12MAY20240101-M1BS-013533998010.TIL"))
+        .when(r8 == 3, F.lit("METADATA.DIM"))
+        .when(r8 == 4, F.lit("GRANULE/IMG_DATA/B12.jp2"))
+        .when(r8 == 5, F.lit("SV1-01_20240101_L1B0000000001_1234567890123_01-MUX.xml"))
+        .when(r8 == 6, F.lit("20240101_000000_ssc1_L1A_TOA.vrt"))
+        .otherwise(F.lit("random_notes.txt"))
+    )
+    name = F.when(
+        F.col("event_id") % 16 == 15,
+        F.lit("S2A_MSIL2A_20240116T105309_N0510_R051_T30TXN_20240116T123456.SAFE"),
+    ).otherwise(F.concat(F.lit("scene_"), F.col("event_id"), F.lit(".zip")))
+    maxar_member = F.lit("12MAY20240101-M1BS-013533998010.TIL")
+    df = ev.select(
+        "event_id",
+        name.alias("product_name"),
+        F.when(F.col("event_id") % 16 == 15, F.array(maxar_member, F.lit("readme.txt")))
+        .otherwise(F.array(F.lit("preview/thumb.png"), member))
+        .alias("members"),
+    )
+    return (
+        reader.detect_with_fallback(df)
+        .groupBy("constellation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("constellation").asc_nulls_first())
+    )
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 NaN-interpolation SQL analog: forward-fill NULLs with the last
     valid value within 10 preceding rows (last ignorenulls window)."""
@@ -3117,14 +3160,140 @@ def q_image_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio path, VALUE-EXACT: REAL stdlib-wave decode of PCM WAV
-    payloads; round(sig*32768) reconstructs the int16 samples bit-for-bit
-    (division by a power of two is exact), so the integer sample stats replay
-    from the generator's closed form via generate_series."""
+    payloads PLUS real compressed decode of the same closed-form samples
+    re-encoded as FLAC (sources/flacc.py — fixed predictors + Rice
+    residuals, lossless).  round(sig*32768) reconstructs the int16 samples
+    bit-for-bit (division by a power of two is exact), so the integer sample
+    stats replay from the generator's closed form via generate_series, and
+    the 'flc' rows equal their 'med' counterparts iff the FLAC round-trip is
+    truly lossless through the distributed path."""
+    from collections.abc import Iterator as _It
+
     from eoreader_spark import datagen
     from eoreader_spark.operators import multimodal
 
-    media = datagen.gen_media(spark, 24)
+    def gen_flac(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark.sources import flacc
+
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                if i % 2 == 1:
+                    j = np.arange(2048, dtype=np.int64)
+                    pcm = ((i * 7919 + j * 31) % 4001) - 2000
+                    rows.append(
+                        (f"flc{i:08d}", "audio", flacc.encode_flac(pcm, 16000),
+                         "flac", 0, 0, 16000, 2048)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    media = datagen.gen_media(spark, 24).unionByName(
+        spark.range(24, numPartitions=2).mapInPandas(
+            gen_flac, schema=multimodal.MEDIA_SCHEMA
+        )
+    )
     return multimodal.audio_stats(media).orderBy("media_id")
+
+
+def _gen_video_media(spark: SparkSession, n_videos: int = 4):
+    """Deterministic Motion-JPEG fixtures: video j has 5+j frames of
+    closed-form make_image(seed=400+j*16+fi) luma content, 64x64 for even j,
+    32x64 for odd j — dims chosen so resize=4 box means divide power-of-two
+    pixel counts (exact in float32)."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+        from eoreader_spark.operators import multimodal as _m
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (64, 64) if j % 2 == 0 else (32, 64)
+                frames = [
+                    _c.make_image(400 + j * 16 + fi, h, w, planes=3)
+                    for fi in range(5 + j)
+                ]
+                rows.append(
+                    (f"vid{j:03d}", "video", _m.encode_mjpeg(frames, quality=90),
+                     "mjpeg", w, h, 0, len(frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    from eoreader_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.range(n_videos, numPartitions=2).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def q_video_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Motion-JPEG video on the gate: demux the concatenated-JFIF
+    stream (split_mjpeg marker walk), decode every 2nd frame with the
+    engine's own T.81 baseline codec, 4x4 luma box-mean features.  Each
+    feature times its block pixel count is an integer (power-of-two blocks),
+    so distributed decode == independent single-process replay exactly; the
+    oracle states the per-frame integer stats as literals."""
+    from eoreader_spark.operators import multimodal
+
+    media = _gen_video_media(spark)
+    feats = multimodal.video_frame_sample(media, every_n=2, resize=4)
+    block_px = (F.col("w") / 4 * (F.col("h") / 4)).cast("double")
+    scaled = F.transform("features", lambda x: x * block_px)
+    return (
+        feats.join(media.select("media_id", "w", "h"), "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x)
+            .cast("long").alias("feat_sum_px"),
+            F.array_min(scaled).cast("long").alias("feat_min_px"),
+            F.array_max(scaled).cast("long").alias("feat_max_px"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _video_feats_oracle() -> str:
+    """Independent single-process numpy replay of demux+decode+features."""
+    from eoreader_spark import codecs as _c
+    from eoreader_spark.operators import multimodal as _m
+    from eoreader_spark.sources import jpegc as _j
+
+    rows = []
+    for j in range(4):
+        h, w = (64, 64) if j % 2 == 0 else (32, 64)
+        frames = [_c.make_image(400 + j * 16 + fi, h, w, planes=3) for fi in range(5 + j)]
+        parts = _m.split_mjpeg(_m.encode_mjpeg(frames, quality=90))
+        bh, bw = h // 4, w // 4
+        for fi in range(0, len(parts), 2):
+            luma = _j.decode_jfif(parts[fi])[0].astype(np.float32)
+            feat = luma.reshape(4, bh, 4, bw).mean(axis=(1, 3)).ravel()
+            sc = (feat * (bh * bw)).astype(np.int64)
+            rows.append(
+                f"('vid{j:03d}', {fi}, 16, {int(sc.sum())}, {int(sc.min())}, {int(sc.max())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                   cast(n_feat AS BIGINT) AS n_feat,
+                   cast(feat_sum_px AS BIGINT) AS feat_sum_px,
+                   cast(feat_min_px AS BIGINT) AS feat_min_px,
+                   cast(feat_max_px AS BIGINT) AS feat_max_px
+            FROM (VALUES
+                {values}
+            ) AS t(media_id, frame_idx, n_feat, feat_sum_px, feat_min_px, feat_max_px)
+            ORDER BY media_id, frame_idx
+        """
 
 
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3646,6 +3815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pyramid": q_pyramid,
         "archive_scan": q_archive_scan,
         "reader_dispatch": q_reader_dispatch,
+        "reader_dispatch_mtd": q_reader_dispatch_mtd,
         "xml_mtd": q_xml_mtd,
         "stac_catalog": q_stac_catalog,
         # -- SAR / stencil / warp --
@@ -3668,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_feats": q_image_feats,
         "audio_feats": q_audio_feats,
         "audio_info": q_audio_info,
+        "video_feats": q_video_feats,
         "sensor_masks": q_sensor_masks,
         "bit_union": q_bit_union,
         # ---- driver 50-key window ends here (keys above are snapshot) ----
@@ -3975,6 +4146,24 @@ def oracle_sql() -> dict[str, str]:
         # (sources/reader.NAME_PATTERNS) — sync by construction; patterns are
         # RE2-compatible so Java regex and DuckDB agree
         "reader_dispatch": _reader_dispatch_oracle(),
+        # reader_dispatch_mtd: expected constellation per residue class from
+        # the published member-file semantics; name recognition (%16==15)
+        # takes precedence over the member fallback
+        "reader_dispatch_mtd": """
+            WITH c AS (
+                SELECT CASE WHEN event_id % 16 = 15 THEN 'S2'
+                            ELSE CASE event_id % 8
+                                WHEN 0 THEN 'CSK' WHEN 1 THEN 'CSG'
+                                WHEN 2 THEN 'MAXAR' WHEN 3 THEN 'SPOT45'
+                                WHEN 4 THEN 'S2_SIN' WHEN 5 THEN 'SV1'
+                                WHEN 6 THEN 'ALEPH1' ELSE NULL END
+                       END AS constellation
+                FROM events
+            )
+            SELECT constellation, cast(count(*) AS BIGINT) AS n
+            FROM c GROUP BY constellation
+            ORDER BY constellation NULLS FIRST
+        """,
         "gap_fill": """
             WITH t AS (
                 SELECT event_type, event_id,
@@ -4417,14 +4606,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM generate_series(0, 23) AS g(i),
                      generate_series(0, 2047) AS gj(j)
                 WHERE i % 2 = 1
-            )
-            SELECT 'med' || lpad(cast(i AS VARCHAR), 8, '0') AS media_id,
+            ),
+            p AS (SELECT 'med' AS pre UNION ALL SELECT 'flc')
+            SELECT pre || lpad(cast(i AS VARCHAR), 8, '0') AS media_id,
                    cast(count(*) AS BIGINT) AS n_samples,
                    cast(sum(k) AS BIGINT) AS s_sum,
                    cast(min(k) AS BIGINT) AS s_min,
                    cast(max(k) AS BIGINT) AS s_max,
                    cast(sum(k*k) AS BIGINT) AS ss_sum
-            FROM s GROUP BY i ORDER BY media_id
+            FROM s, p GROUP BY pre, i ORDER BY media_id
         """,
         # lineage_resume: final per-cell counts are the full groupBy; the
         # resumed run wrote exactly the odd cells (even cells were committed
@@ -4500,6 +4690,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT image_id, count(*) AS n_px, cast(sum(v) AS BIGINT) AS px_sum
             FROM px GROUP BY image_id ORDER BY image_id
         """,
+        # video_feats: independent single-process MJPEG demux+decode replay
+        "video_feats": _video_feats_oracle(),
         # audio_info: integer duration arithmetic restated from the fixture
         # construction parameters (mp3: n*1152/44100; flac: total/48000;
         # wav: n/16000)

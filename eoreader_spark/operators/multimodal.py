@@ -4,11 +4,13 @@ Payloads are opaque `binary` columns with typed metadata; the Spark side —
 schema, partitioning, Arrow batch shape, kernel signatures — is real and
 tested.  The image path uses the engine's own codecs (real decode).  The
 audio path REALLY decodes PCM WAV (stdlib ``wave`` — no external libs
-needed); compressed audio (mp3/flac) and video decode need
-libsndfile/ffmpeg, absent in this container, so those raise
-NotImplementedError unless `fake=True`, in which case a clearly-marked
-deterministic fake (closed-form synthesis from the payload hash) stands in
-so the distributed plumbing is exercisable end-to-end.
+needed) and FLAC subset streams (pure-numpy, see ``decode_flac``); the
+video path REALLY demuxes + decodes Motion-JPEG via the engine's own
+baseline JPEG codec.  Inter-coded video (h264 in mp4) and mp3 sample
+decode need ffmpeg/libsndfile, absent in this container, so those raise
+NotImplementedError naming the format; `fake=True` on the audio path
+substitutes a clearly-marked deterministic fake (closed-form synthesis
+from the payload hash) so the distributed plumbing is exercisable.
 """
 
 from __future__ import annotations
@@ -96,11 +98,29 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return sig, sr
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Magic-byte audio decode dispatch: RIFF -> stdlib WAV, fLaC -> the
+    engine's own FLAC subset codec (sources/flacc.py — REAL compressed
+    sample decode, exact int math).  mp3 sample decode genuinely needs
+    libmad/ffmpeg and raises naming the format."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from eoreader_spark.sources import flacc
+
+        pcm, sr = flacc.decode_flac(data)
+        return (pcm.astype(np.float32) / 32768.0), sr
+    raise NotImplementedError(
+        "sample decode for this audio container requires libmad/ffmpeg "
+        "(not in container); WAV and FLAC decode natively"
+    )
+
+
 def audio_features(media: DataFrame, n_mels: int = 16, fake: bool = False) -> DataFrame:
-    """Audio -> per-band RMS energy features.  PCM WAV payloads (RIFF magic)
-    decode for REAL via the stdlib; compressed codecs need libsndfile/ffmpeg
-    (absent) and raise unless fake=True substitutes the deterministic
-    pseudo-signal."""
+    """Audio -> per-band RMS energy features.  PCM WAV (RIFF magic) and
+    FLAC payloads decode for REAL (stdlib wave / sources/flacc.py); mp3
+    needs libmad/ffmpeg (absent) and raises unless fake=True substitutes
+    the deterministic pseudo-signal."""
     schema = "media_id string, features array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,15 +128,12 @@ def audio_features(media: DataFrame, n_mels: int = 16, fake: bool = False) -> Da
             rows = []
             for mid, data, sr in zip(pdf["media_id"], pdf["bytes"], pdf["sample_rate"]):
                 data = bytes(data)
-                if data[:4] == b"RIFF":
-                    sig, _ = decode_wav(data)  # REAL decode
-                elif fake:
+                try:
+                    sig, _ = decode_audio(data)  # REAL decode
+                except NotImplementedError:
+                    if not fake:
+                        raise
                     sig = _fake_signal(data, int(sr))  # 1 second
-                else:
-                    raise NotImplementedError(
-                        "non-WAV audio decode requires libsndfile/ffmpeg (not in "
-                        "container); pass fake=True for the deterministic stand-in"
-                    )
                 frames = sig[: len(sig) // n_mels * n_mels].reshape(n_mels, -1)
                 rows.append((mid, np.sqrt((frames**2).mean(axis=1)).astype(np.float32)))
             yield pd.DataFrame(rows, columns=["media_id", "features"])
@@ -125,13 +142,13 @@ def audio_features(media: DataFrame, n_mels: int = 16, fake: bool = False) -> Da
 
 
 def audio_stats(media: DataFrame) -> DataFrame:
-    """Integer sample statistics over REAL-decoded PCM WAV payloads.
+    """Integer sample statistics over REAL-decoded WAV or FLAC payloads.
 
-    decode_wav's float32 signal is pcm16/32768 — exact for every int16 (the
+    The decoded float32 signal is pcm16/32768 — exact for every int16 (the
     divisor is a power of two), so round(sig*32768) reconstructs the encoded
     samples bit-for-bit and the emitted sums are engine-independent integers:
     this is the value-exact gate surface for the multimodal audio path
-    (sum of squares stays < 2^62 for any WAV under ~2^31 samples)."""
+    (sum of squares stays < 2^62 for any stream under ~2^31 samples)."""
     schema = (
         "media_id string, n_samples long, s_sum long, s_min long, s_max long, ss_sum long"
     )
@@ -140,7 +157,7 @@ def audio_stats(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["bytes"]):
-                sig, _ = decode_wav(bytes(data))  # REAL decode
+                sig, _ = decode_audio(bytes(data))  # REAL decode
                 k = np.round(sig.astype(np.float64) * 32768.0).astype(np.int64)
                 rows.append(
                     (mid, len(k), int(k.sum()), int(k.min()), int(k.max()), int((k * k).sum()))
@@ -403,24 +420,103 @@ def encode_mp4_skeleton(duration: int, timescale: int = 1000, n_tracks: int = 1)
     return ftyp + moov
 
 
-def video_frame_sample(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
-    """STUB: video decode needs ffmpeg (absent).  Emits one row per sampled
-    frame with a per-frame feature vector; with fake=True frames are
-    deterministic pseudo-images."""
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 95) -> bytes:
+    """Motion-JPEG elementary stream: each (planes, h, w) uint8 frame encoded
+    as a standalone baseline JFIF image (sources/jpegc.py, public T.81 spec),
+    frames concatenated back-to-back — the wire format MJPEG cameras and
+    `ffmpeg -c:v mjpeg -f mjpeg` emit."""
+    from eoreader_spark.sources import jpegc
+
+    return b"".join(jpegc.encode_jfif(f, quality=quality) for f in frames)
+
+
+def split_mjpeg(data: bytes) -> list[bytes]:
+    """Real MJPEG demux: walk JPEG markers to find each SOI..EOI frame.
+
+    Marker segments are skipped by their length fields; entropy-coded scan
+    data is walked byte-wise honoring FF-stuffing (FF 00), restart markers
+    (FF D0-D7) and fill bytes (FF FF), exactly like a conforming T.81
+    parser — so an EOI byte pair inside a segment payload can never be
+    mistaken for a frame boundary."""
+    frames: list[bytes] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at byte {pos}")
+        start = pos
+        pos += 2
+        in_scan = False
+        while pos < n:
+            if in_scan:
+                if data[pos] != 0xFF:
+                    pos += 1
+                    continue
+                nxt = data[pos + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffed / RST
+                    pos += 2
+                    continue
+                if nxt == 0xFF:  # fill byte
+                    pos += 1
+                    continue
+                in_scan = False  # real marker terminates the scan
+                continue
+            if data[pos] != 0xFF:
+                raise ValueError(f"MJPEG: expected marker at byte {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI -> frame complete
+                pos += 2
+                frames.append(data[start:pos])
+                break
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                pos += 2  # parameterless markers
+                continue
+            seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            if marker == 0xDA:  # SOS: entropy data follows the header
+                in_scan = True
+            pos += 2 + seglen
+        else:
+            raise ValueError("MJPEG: truncated stream (no EOI)")
+    return frames
+
+
+def video_frame_sample(
+    media: DataFrame, every_n: int = 10, resize: int = 4
+) -> DataFrame:
+    """REAL path for Motion-JPEG payloads (fmt='mjpeg'): demux the
+    concatenated-JFIF stream with `split_mjpeg`, decode every `every_n`-th
+    frame with the engine's own baseline JPEG codec, and emit a per-frame
+    feature vector (resize x resize box means of the luma plane — exact in
+    float32 when block pixel counts are powers of two).
+
+    Inter-coded containers (h264/h265 in mp4 etc.) need ffmpeg, absent in
+    this container — those raise with the format named.  Reference analog:
+    eoreader treats quicklooks/overviews as decimated reads
+    (`/root/reference/eoreader/products/product.py` quicklook path); frame
+    sampling is the temporal equivalent for training-data pipelines."""
+    from eoreader_spark.sources import jpegc
+
     schema = "media_id string, frame_idx int, features array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for mid, data, nf in zip(pdf["media_id"], pdf["bytes"], pdf["n_frames"]):
-                if not fake:
+            for mid, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "mjpeg":
                     raise NotImplementedError(
-                        "video decode requires ffmpeg (not in container); "
-                        "pass fake=True for the deterministic stand-in"
+                        f"video decode for fmt={fmt!r} requires ffmpeg (not in "
+                        "container); only Motion-JPEG ('mjpeg') decodes natively"
                     )
-                for fi in range(0, int(nf), every_n):
-                    sig = _fake_signal(bytes(data) + fi.to_bytes(4, "big"), 16)
-                    rows.append((mid, fi, sig))
+                frames = split_mjpeg(bytes(data))
+                for fi in range(0, len(frames), every_n):
+                    luma = jpegc.decode_jfif(frames[fi])[0].astype(np.float32)
+                    hh, ww = luma.shape
+                    bh, bw = hh // resize, ww // resize
+                    feat = (
+                        luma[: bh * resize, : bw * resize]
+                        .reshape(resize, bh, resize, bw)
+                        .mean(axis=(1, 3))
+                    )
+                    rows.append((mid, fi, feat.ravel()))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "features"])
 
     return media.filter("kind = 'video'").mapInPandas(batch, schema=schema)

@@ -69,12 +69,48 @@ def test_audio_stub_raises_without_fake(spark, media):
         multimodal.audio_features(media).collect()
 
 
-def test_audio_video_fake_deterministic(spark, media):
+def test_audio_fake_deterministic(spark, media):
     a1 = {r.media_id: tuple(r.features) for r in multimodal.audio_features(media, fake=True).collect()}
     a2 = {r.media_id: tuple(r.features) for r in multimodal.audio_features(media.repartition(5), fake=True).collect()}
     assert a1 == a2 and set(a1) == {"a1"}
-    v = multimodal.video_frame_sample(media, every_n=10, fake=True).collect()
-    assert {(r.media_id, r.frame_idx) for r in v} == {("v1", 0), ("v1", 10), ("v1", 20)}
+
+
+def test_video_non_mjpeg_raises(spark, media):
+    with pytest.raises(Exception, match="ffmpeg|mjpeg"):
+        multimodal.video_frame_sample(media, every_n=10).collect()
+
+
+def test_video_mjpeg_real_decode(spark):
+    """REAL Motion-JPEG: demux + per-frame baseline-JPEG decode through the
+    distributed path matches a single-process numpy replay bit-for-bit."""
+    from eoreader_spark.sources import jpegc
+
+    n_frames, every_n, resize = 9, 4, 4
+    frames = [codecs.make_image(300 + i, 64, 32, planes=3) for i in range(n_frames)]
+    payload = multimodal.encode_mjpeg(frames, quality=90)
+    rows = [("vid0", "video", payload, "mjpeg", 32, 64, 0, n_frames)]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    got = {
+        (r.media_id, r.frame_idx): np.asarray(r.features, dtype=np.float32)
+        for r in multimodal.video_frame_sample(media, every_n=every_n, resize=resize).collect()
+    }
+    assert set(got) == {("vid0", 0), ("vid0", 4), ("vid0", 8)}
+    parts = multimodal.split_mjpeg(payload)
+    assert len(parts) == n_frames
+    for fi in range(0, n_frames, every_n):
+        luma = jpegc.decode_jfif(parts[fi])[0].astype(np.float32)
+        bh, bw = 64 // resize, 32 // resize
+        want = luma.reshape(resize, bh, resize, bw).mean(axis=(1, 3)).ravel()
+        assert np.array_equal(got[("vid0", fi)], want.astype(np.float32))
+
+
+def test_split_mjpeg_rejects_garbage():
+    with pytest.raises(ValueError, match="SOI"):
+        multimodal.split_mjpeg(b"\x00\x01\x02")
+    one = multimodal.encode_mjpeg([codecs.make_image(7, 16, 16, planes=1)])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.split_mjpeg(one[:-2])  # EOI chopped off
 
 
 def test_audio_wav_real_decode(spark):
