@@ -3616,6 +3616,47 @@ def q_geocode_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grid_id")
 
 
+def q_geocode_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 LUT-reuse parity (ref s3_product.py:660-683: the bilinear
+    resampler LUT is cached to zarr and reused for every band of the
+    product): geocode_bilinear_lut builds the (grid_id -> quad base, u, v)
+    mapping ONCE from swath geometry, and a single geocode_apply_lut pass
+    blends TWO bands with 4 corner equi-joins — no per-band kNN anchor,
+    candidate explode or quadratic solve.  Same exact-dyadic sheared
+    parallelogram as q_geocode_bilinear; both bands are integer-valued so
+    the blends are exact dyadic rationals, restated closed-form by the
+    oracle."""
+    from eoreader_spark.operators import warp
+
+    swath = spark.range(64).selectExpr(
+        "cast(id div 8 as int) as line",
+        "cast(id % 8 as int) as sample",
+        "(id % 8) * 0.25 + (id div 8) * 0.0625 as lon",
+        "(id div 8) * 0.25 as lat",
+        "cast((13 * (id div 8) + 7 * (id % 8)) % 50 as double) as b1",
+        "cast((5 * (id div 8) + 11 * (id % 8)) % 37 as double) as b2",
+    )
+    grid = spark.range(81).selectExpr(
+        "element_at(array(0, 2, 5), cast(id div 27 as int) + 1) as l",
+        "element_at(array(0, 2, 5), cast((id div 9) % 3 as int) + 1) as s",
+        "(cast(id div 3 as int) % 3 + 1) * 0.25 as du",
+        "(cast(id as int) % 3 + 1) * 0.25 as dv",
+    ).selectExpr(
+        "concat('g', l, '_', s, '_', cast(du * 4 as int), '_', cast(dv * 4 as int)) as grid_id",
+        "s * 0.25 + l * 0.0625 + du * 0.25 + dv * 0.0625 as lon",
+        "l * 0.25 + dv * 0.25 as lat",
+    )
+    lut = warp.geocode_bilinear_lut(swath, grid)
+    out = warp.geocode_apply_lut(lut, swath, value_cols=("b1", "b2"))
+    return out.select(
+        "grid_id",
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round("u", 6).alias("u"),
+        F.round("v", 6).alias("v"),
+    ).orderBy("grid_id")
+
+
 _RLEE_SPEC = [
     ("img_rl0", 39, 150, 64, 64),
     ("img_rl1", 70, 35, 64, 128),
@@ -3839,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_feats": q_audio_feats,
         "audio_info": q_audio_info,
         "video_feats": q_video_feats,
+        "geocode_lut": q_geocode_lut,
         "sensor_masks": q_sensor_masks,
         "bit_union": q_bit_union,
         # ---- driver 50-key window ends here (keys above are snapshot) ----
@@ -4927,6 +4969,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT grid_id, round(value, 6) AS value, round(u, 6) AS u,
                    round(v, 6) AS v
+            FROM v ORDER BY grid_id
+        """,
+        # geocode_lut: the two-band LUT-apply restated closed-form — the
+        # LUT's (u, v) are the construction offsets, each band is its own
+        # 4-corner dyadic blend
+        "geocode_lut": """
+            WITH ls(l) AS (VALUES (0), (2), (5)),
+            ss(s) AS (VALUES (0), (2), (5)),
+            offs(o) AS (VALUES (0.25), (0.5), (0.75)),
+            t AS (
+                SELECT l.l, s.s, du.o AS du, dv.o AS dv
+                FROM ls l, ss s, offs du, offs dv
+            ),
+            v AS (
+                SELECT concat('g', l, '_', s, '_', cast(du * 4 AS INTEGER),
+                              '_', cast(dv * 4 AS INTEGER)) AS grid_id,
+                       (1 - du) * (1 - dv) * ((13 * l + 7 * s) % 50)
+                     + du * (1 - dv) * ((13 * l + 7 * (s + 1)) % 50)
+                     + (1 - du) * dv * ((13 * (l + 1) + 7 * s) % 50)
+                     + du * dv * ((13 * (l + 1) + 7 * (s + 1)) % 50) AS b1,
+                       (1 - du) * (1 - dv) * ((5 * l + 11 * s) % 37)
+                     + du * (1 - dv) * ((5 * l + 11 * (s + 1)) % 37)
+                     + (1 - du) * dv * ((5 * (l + 1) + 11 * s) % 37)
+                     + du * dv * ((5 * (l + 1) + 11 * (s + 1)) % 37) AS b2,
+                       du AS u, dv AS v
+                FROM t
+            )
+            SELECT grid_id, round(b1, 6) AS b1, round(b2, 6) AS b2,
+                   round(u, 6) AS u, round(v, 6) AS v
             FROM v ORDER BY grid_id
         """,
     }

@@ -255,20 +255,91 @@ def _cross(ax, ay, bx, by):
     return ax * by - ay * bx
 
 
-def geocode_swath_bilinear(
+def _inv_bilinear_udf(eps: float):
+    """Vectorized inverse-bilinear solve: given quad corners A..D and the
+    target P, return (u, v) with P = A + u*e + v*f + u*v*g.  Pure float64
+    +,-,*,/,sqrt — every op is IEEE-correctly-rounded identically in numpy
+    and the JVM, so the dyadic-exact gate fixtures stay bit-stable."""
+    import pandas as pd
+
+    @F.pandas_udf("u double, v double")
+    def inv_bilinear(
+        ax: pd.Series, ay: pd.Series, bx: pd.Series, by: pd.Series,
+        cx: pd.Series, cy: pd.Series, dx: pd.Series, dy: pd.Series,
+        px: pd.Series, py: pd.Series,
+    ) -> pd.DataFrame:
+        import numpy as np
+
+        ax, ay = ax.to_numpy(np.float64), ay.to_numpy(np.float64)
+        bx, by = bx.to_numpy(np.float64), by.to_numpy(np.float64)
+        cx, cy = cx.to_numpy(np.float64), cy.to_numpy(np.float64)
+        dx_, dy_ = dx.to_numpy(np.float64), dy.to_numpy(np.float64)
+        px, py = px.to_numpy(np.float64), py.to_numpy(np.float64)
+        ex, ey = bx - ax, by - ay
+        fx, fy = cx - ax, cy - ay
+        gx, gy = ax - bx + dx_ - cx, ay - by + dy_ - cy
+        hx, hy = px - ax, py - ay
+        k2 = gx * fy - gy * fx
+        k1 = (ex * fy - ey * fx) + (hx * gy - hy * gx)
+        k0 = hx * ey - hy * ex
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sq = np.sqrt(np.maximum(k1 * k1 - 4.0 * k0 * k2, 0.0))
+            # numerically stable quadratic: qq = -(k1 + sign(k1)*sqrt)/2
+            # never cancels; roots are qq/k2 and k0/qq (near-parallelogram
+            # cells have k2 tiny but nonzero — the naive (-k1+sq)/(2*k2)
+            # form cancels there)
+            qq = -(k1 + np.where(k1 >= 0, sq, -sq)) / 2.0
+            v1 = np.where(k2 != 0.0, qq / k2, np.nan)
+            v2 = np.where(qq != 0.0, k0 / qq, -k0 / k1)
+            v_lin = -k0 / k1  # exact parallelogram: cross(e,h)/cross(e,f)
+
+            def u_of(vv):
+                den_x, den_y = ex + gx * vv, ey + gy * vv
+                return np.where(
+                    np.abs(den_x) >= np.abs(den_y),
+                    (hx - fx * vv) / den_x,
+                    (hy - fy * vv) / den_y,
+                )
+
+            def in01(x):
+                return ~np.isnan(x) & (x >= -eps) & (x <= 1.0 + eps)
+
+            # choose the root whose (u, v) BOTH land in the cell — checking
+            # v alone can pick a root whose u is outside while the other
+            # root is the true containment (strongly trapezoidal cells)
+            u1, u2 = u_of(v1), u_of(v2)
+            first_ok = in01(v1) & in01(u1)
+            second_ok = in01(v2) & in01(u2)
+            v = np.where(
+                k2 == 0.0,
+                v_lin,
+                np.where(first_ok, v1, np.where(second_ok, v2, v1)),
+            )
+            u = u_of(v)
+        return pd.DataFrame({"u": u, "v": v})
+
+    return inv_bilinear
+
+
+def geocode_bilinear_lut(
     swath: DataFrame,
     grid: DataFrame,
     res: int = 7,
     k_cells: int = 1,
     eps: float = 1e-9,
 ) -> DataFrame:
-    """J4 TRUE bilinear swath geocoding — parity with the reference's
-    pyresample XArrayBilinearResampler path (s3_product.py:584-683): exact
-    4-corner inverse-bilinear weights from the swath's own (line, sample)
-    grid topology, not IDW.
+    """J4 bilinear-LUT construction — the VALUE-FREE half of true bilinear
+    swath geocoding, the analog of the reference's cached pyresample
+    resampler LUT (s3_product.py:660-683 stores the bilinear info to a zarr
+    cache and reuses it for every band of the product).
 
-    ``swath``: (line int, sample int, lon, lat, value) — S3-style swaths
-    carry their instrument grid indices.  ``grid``: (grid_id, lon, lat).
+    Input geometry only: ``swath`` needs (line, sample, lon, lat);
+    ``grid`` is (grid_id, lon, lat).  Output is the reusable mapping
+    (grid_id, bl, bs, u, v): the containing quad's base corner plus the
+    inverse-bilinear local coordinates.  Multi-band products build this
+    ONCE (optionally persist/lineage-checkpoint it) and run the cheap
+    `geocode_apply_lut` per band — the kNN anchor, candidate explode and
+    quadratic solve are paid a single time.
 
     Plan shape (all equi-joins + one kNN anchor, no cross joins, scales):
       1. quads: 3 self-equi-joins on (line, sample) build every complete
@@ -276,24 +347,30 @@ def geocode_swath_bilinear(
       2. anchor: kNN k=1 (H3 ring machinery) -> nearest swath corner per
          target; the containing quad must have it as SOME corner, so the 4
          quads based at (L-1..L, S-1..S) are the only candidates
-      3. inverse bilinear per candidate in JVM column expressions:
-         parallelogram cells (the exact g == 0 case; regular/affine swaths)
-         solve the 2x2 linear system with +,-,*,/ only (bit-stable
-         cross-engine); general quads solve the standard quadratic
-         (iq-style k0/k1/k2 cross products) with sqrt
-      4. keep candidates with (u, v) in [0,1] (eps-expanded), rank by
-         (bl, bs) for a deterministic winner on shared edges
-    -> (grid_id, value, u, v); targets outside every swath cell drop out
-    (the reference returns fill_value there).
+      3. inverse bilinear per candidate in ONE vectorized numpy pandas UDF
+         over the 14 candidate doubles: parallelogram cells (the exact
+         g == 0 case; regular/affine swaths) solve the 2x2 linear system
+         with +,-,*,/ only (IEEE-identical in numpy and the JVM, so still
+         bit-stable cross-engine); general quads solve the standard
+         quadratic (iq-style k0/k1/k2 cross products) with sqrt.  This was
+         JVM column expressions until round 5: the nested solve re-inlines
+         under CollapseProject/filter-pushdown into an exponential tree —
+         measured 130+ s of optimizer + janino time (codegen method-size
+         failure, interpreted fallback) PER geocode plan vs ~1 s for the
+         Arrow pass, and staging through aliased projections does not
+         survive the optimizer either.
+      4. keep candidates with (u, v) in [0,1] (eps-expanded) — JVM filter
+         above the UDF — rank by (bl, bs) for a deterministic winner on
+         shared edges
     """
     from eoreader_spark.operators import knn
 
-    s0 = swath.select("line", "sample", "lon", "lat", "value")
-    # 1. complete quads, base-cornered at (bl, bs)
-    A = s0.selectExpr("line as bl", "sample as bs", "lon as ax", "lat as ay", "value as va")
-    B = s0.selectExpr("line as bl", "sample - 1 as bs", "lon as bx", "lat as by", "value as vb")
-    C = s0.selectExpr("line - 1 as bl", "sample as bs", "lon as cx", "lat as cy", "value as vc")
-    D = s0.selectExpr("line - 1 as bl", "sample - 1 as bs", "lon as dx", "lat as dy", "value as vd")
+    s0 = swath.select("line", "sample", "lon", "lat")
+    # 1. complete quads, base-cornered at (bl, bs) — geometry only
+    A = s0.selectExpr("line as bl", "sample as bs", "lon as ax", "lat as ay")
+    B = s0.selectExpr("line as bl", "sample - 1 as bs", "lon as bx", "lat as by")
+    C = s0.selectExpr("line - 1 as bl", "sample as bs", "lon as cx", "lat as cy")
+    D = s0.selectExpr("line - 1 as bl", "sample - 1 as bs", "lon as dx", "lat as dy")
     quads = A.join(B, ["bl", "bs"]).join(C, ["bl", "bs"]).join(D, ["bl", "bs"])
 
     # 2. nearest-corner anchor
@@ -318,45 +395,17 @@ def geocode_swath_bilinear(
         .join(quads, ["bl", "bs"])
     )
 
-    # 3. inverse bilinear: P(u,v) = A + u*e + v*f + u*v*g
-    ex, ey = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
-    fx, fy = F.col("cx") - F.col("ax"), F.col("cy") - F.col("ay")
-    gx = F.col("ax") - F.col("bx") + F.col("dx") - F.col("cx")
-    gy = F.col("ay") - F.col("by") + F.col("dy") - F.col("cy")
-    hx, hy = F.col("px") - F.col("ax"), F.col("py") - F.col("ay")
-    k2 = _cross(gx, gy, fx, fy)
-    k1 = _cross(ex, ey, fx, fy) + _cross(hx, hy, gx, gy)
-    k0 = _cross(hx, hy, ex, ey)
-    disc = k1 * k1 - F.lit(4.0) * k0 * k2
-    sq = F.sqrt(F.greatest(disc, F.lit(0.0)))
-    # numerically stable quadratic: qq = -(k1 + sign(k1)*sqrt(disc))/2 never
-    # cancels; roots are qq/k2 and k0/qq (near-parallelogram cells have k2
-    # tiny but nonzero — the naive (-k1+sq)/(2*k2) form cancels there)
-    qq = -(k1 + F.when(k1 >= 0, sq).otherwise(-sq)) / F.lit(2.0)
-    v1 = F.when(k2 != F.lit(0.0), qq / k2)
-    v2 = F.when(qq != F.lit(0.0), k0 / qq).otherwise(-k0 / k1)
-    v_lin = -k0 / k1  # exact parallelogram (k2 == 0): cross(e,h)/cross(e,f)
-
-    def u_of(vv):
-        den_x = ex + gx * vv
-        den_y = ey + gy * vv
-        return F.when(
-            F.abs(den_x) >= F.abs(den_y), (hx - fx * vv) / den_x
-        ).otherwise((hy - fy * vv) / den_y)
-
-    def in01(x):
-        return x.isNotNull() & (x >= -eps) & (x <= 1.0 + eps)
-
-    # choose the root whose (u, v) BOTH land in the cell — checking v alone
-    # can pick a root whose u is outside while the other root is the true
-    # containment (strongly trapezoidal cells)
-    u1, u2 = u_of(v1), u_of(v2)
-    quad_first_ok = in01(v1) & in01(u1)
-    quad_second_ok = in01(v2) & in01(u2)
-    vv = F.when(k2 == F.lit(0.0), v_lin).otherwise(
-        F.when(quad_first_ok, v1).when(quad_second_ok, v2).otherwise(v1)
+    # 3. inverse bilinear: P(u,v) = A + u*e + v*f + u*v*g — one vectorized
+    # Arrow pass over the candidate rows (see docstring for why this is not
+    # JVM column expressions).
+    uv = _inv_bilinear_udf(eps)
+    c = cand.withColumn(
+        "uv",
+        uv("ax", "ay", "bx", "by", "cx", "cy", "dx", "dy", "px", "py"),
+    ).select(
+        "grid_id", "bl", "bs",
+        F.col("uv.u").alias("u"), F.col("uv.v").alias("v"),
     )
-    c = cand.withColumn("v", vv).withColumn("u", u_of(F.col("v")))
     c = c.filter(
         (F.col("u") >= -eps) & (F.col("u") <= 1.0 + eps)
         & (F.col("v") >= -eps) & (F.col("v") <= 1.0 + eps)
@@ -364,13 +413,62 @@ def geocode_swath_bilinear(
     # 4. deterministic winner on shared edges
     win = Window.partitionBy("grid_id").orderBy(F.col("bl").asc(), F.col("bs").asc())
     c = c.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") == 1)
-    val = (
-        (1.0 - F.col("u")) * (1.0 - F.col("v")) * F.col("va")
-        + F.col("u") * (1.0 - F.col("v")) * F.col("vb")
-        + (1.0 - F.col("u")) * F.col("v") * F.col("vc")
-        + F.col("u") * F.col("v") * F.col("vd")
-    )
-    return c.select("grid_id", val.alias("value"), "u", "v")
+    return c.select("grid_id", "bl", "bs", "u", "v")
+
+
+def geocode_apply_lut(
+    lut: DataFrame, swath: DataFrame, value_cols: tuple[str, ...] = ("value",)
+) -> DataFrame:
+    """Apply a `geocode_bilinear_lut` mapping to one or more bands: 4
+    equi-joins fetch the quad's corner samples, then the bilinear blend —
+    no kNN, no candidate explode, no quadratic solve (those live in the LUT
+    build).  ``swath`` is (line, sample, *value_cols); several bands can be
+    blended in ONE pass by passing all their columns (the reference reuses
+    its cached resampler per band the same way, s3_product.py:660-683)."""
+    cols = list(value_cols)
+    corners = []
+    for tag, dl, ds in (("a", 0, 0), ("b", 0, 1), ("c", 1, 0), ("d", 1, 1)):
+        sel = [f"line - {dl} as bl", f"sample - {ds} as bs"] + [
+            f"`{v}` as v{tag}_{i}" for i, v in enumerate(cols)
+        ]
+        corners.append(swath.selectExpr(*sel))
+    j = lut
+    for cdf in corners:
+        j = j.join(cdf, ["bl", "bs"])
+    u, v = F.col("u"), F.col("v")
+    outs = [
+        (
+            (1.0 - u) * (1.0 - v) * F.col(f"va_{i}")
+            + u * (1.0 - v) * F.col(f"vb_{i}")
+            + (1.0 - u) * v * F.col(f"vc_{i}")
+            + u * v * F.col(f"vd_{i}")
+        ).alias(name)
+        for i, name in enumerate(cols)
+    ]
+    return j.select("grid_id", *outs, "u", "v")
+
+
+def geocode_swath_bilinear(
+    swath: DataFrame,
+    grid: DataFrame,
+    res: int = 7,
+    k_cells: int = 1,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """J4 TRUE bilinear swath geocoding — parity with the reference's
+    pyresample XArrayBilinearResampler path (s3_product.py:584-683): exact
+    4-corner inverse-bilinear weights from the swath's own (line, sample)
+    grid topology, not IDW.
+
+    ``swath``: (line int, sample int, lon, lat, value); ``grid``:
+    (grid_id, lon, lat) -> (grid_id, value, u, v); targets outside every
+    swath cell drop out (the reference returns fill_value there).
+
+    Composition of `geocode_bilinear_lut` (geometry, paid once) and
+    `geocode_apply_lut` (per-band blend) — multi-band callers should build
+    the LUT themselves and reuse it."""
+    lut = geocode_bilinear_lut(swath, grid, res=res, k_cells=k_cells, eps=eps)
+    return geocode_apply_lut(lut, swath.select("line", "sample", "value"))
 
 
 def mosaic(tile_dfs: list[DataFrame], order_col: str | None = None) -> DataFrame:

@@ -288,6 +288,42 @@ def test_geocode_bilinear_on_grid_point(spark):
     assert r.value == 11.0  # value at (line=1, sample=1)
 
 
+def test_geocode_lut_reuse_multiband(spark):
+    """J4 LUT reuse (ref s3_product.py:660-683: the bilinear resampler LUT
+    is zarr-cached and reused for every band): geocode_bilinear_lut is
+    built ONCE from geometry, a single two-band geocode_apply_lut returns
+    exactly the per-band geocode_swath_bilinear answers, and the apply plan
+    on a materialized LUT contains none of the build machinery — no Window
+    (dedup winner), no quadratic-solve sqrt, no kNN anchor."""
+    rows = [
+        (line, s, s * 0.25 + line * 0.0625, line * 0.25,
+         float((line * 13 + s * 7) % 50), float((line * 5 + s * 11) % 37))
+        for line in range(6) for s in range(6)
+    ]
+    swath = spark.createDataFrame(
+        rows, "line int, sample int, lon double, lat double, b1 double, b2 double"
+    )
+    grid = spark.createDataFrame(
+        [("g0", 0.9, 0.4), ("g1", 1.1, 0.8), ("far", 99.0, 99.0)],
+        "grid_id string, lon double, lat double",
+    )
+    lut = warp.geocode_bilinear_lut(swath, grid)
+    # emulate the reference's cache: materialize once, reuse the rows
+    lut_rows = lut.collect()
+    assert {r.grid_id for r in lut_rows} == {"g0", "g1"}
+    cached = spark.createDataFrame(lut_rows, lut.schema)
+
+    both = warp.geocode_apply_lut(cached, swath, value_cols=("b1", "b2"))
+    got = {r.grid_id: (r.b1, r.b2) for r in both.collect()}
+    for band in ("b1", "b2"):
+        one = swath.selectExpr("line", "sample", "lon", "lat", f"{band} as value")
+        want = {r.grid_id: r.value for r in warp.geocode_swath_bilinear(one, grid).collect()}
+        assert {g: got[g][0 if band == "b1" else 1] for g in got} == want
+
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "SQRT" not in plan.upper()
+
+
 def test_stac_eo_view_extensions_roundtrip(spark):
     """S7 EO + View extensions (ref stac_extensions.py:62-183, 316-365):
     eo:bands structs come from the constellation's layout vocabulary,
