@@ -2872,6 +2872,93 @@ def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jp2_lossy_images() -> list[tuple[str, "np.ndarray"]]:
+    """Deterministic fixtures for the 9/7 lossy profile: two smooth uint8
+    images (lossy JP2 is a transform codec — smooth content is the regime
+    it exists for) and one uint16 modular ramp."""
+    out = []
+    for j in range(2):
+        yy, xx = np.mgrid[0:64, 0:80]
+        img = (
+            120
+            + (50 + 10 * j) * np.sin(yy / (7.0 + 2 * j))
+            + 45 * np.cos(xx / 11.0)
+        ).astype(np.uint8)[None]
+        out.append((f"ql_{j:03d}", img))
+    yy, xx = np.mgrid[0:48, 0:64]
+    out.append(
+        ("ql_u16", ((yy * 131 + xx * 57) % 4096).astype(np.uint16)[None])
+    )
+    return out
+
+
+def _jp2_lossy_replay() -> list[tuple[str, int, int, int, int, int]]:
+    """Encode each fixture with the irreversible 9/7 profile at two
+    quantizer steps, decode full + one overview level, and report integer
+    stats: (image_id, q4=qstep*4, nbytes, px_sum, sse vs original,
+    overview px_sum).  Pure numpy/int — identical on driver and executor."""
+    from eoreader_spark.sources import jp2 as _jp2
+
+    rows = []
+    for image_id, img in _jp2_lossy_images():
+        for qstep in (0.5, 2.0):
+            data = _jp2.encode_jp2(img, levels=2, wavelet="9/7", qstep=qstep)
+            dec = _jp2.decode_jp2(data).astype(np.int64)
+            ov = _jp2.decode_jp2(data, max_res=1).astype(np.int64)
+            sse = int(((dec - img.astype(np.int64)) ** 2).sum())
+            rows.append(
+                (image_id, int(qstep * 4), len(data), int(dec.sum()), sse,
+                 int(ov.sum()))
+            )
+    return rows
+
+
+def q_jp2_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3++ LOSSY profile, VALUE-EXACT: irreversible CDF 9/7 wavelet
+    (Annex F.4.8 lifting) + scalar-expounded deadzone quantization
+    (Annex E) through the same EBCOT/MQ/tag-tree machinery as the lossless
+    path — the other half of the reference's Sentinel-2 format family
+    (lossless band files, lossy previews; s2_product.py:592).  The decode
+    output is integer (rint+clip), so per-image sums/SSE are exact; the
+    oracle is the same single-process replay pattern as jp2_overview."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import __spark_entry__ as _me
+
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame(
+                    _me._jp2_lossy_replay(),
+                    columns=["image_id", "q4", "nbytes", "px_sum", "sse", "ov_sum"],
+                )
+
+    out = spark.range(1, numPartitions=1).mapInPandas(
+        gen,
+        schema="image_id string, q4 int, nbytes int, px_sum long, sse long, ov_sum long",
+    )
+    return out.orderBy("image_id", "q4")
+
+
+def _jp2_lossy_oracle() -> str:
+    """Same replay, run locally -> literal VALUES."""
+    values = ",\n                ".join(
+        f"('{i}', {q}, {n}, {s}, {e}, {o})"
+        for (i, q, n, s, e, o) in _jp2_lossy_replay()
+    )
+    return f"""
+            SELECT image_id, cast(q4 AS INTEGER) AS q4,
+                   cast(nbytes AS INTEGER) AS nbytes,
+                   cast(px_sum AS BIGINT) AS px_sum,
+                   cast(sse AS BIGINT) AS sse,
+                   cast(ov_sum AS BIGINT) AS ov_sum
+            FROM (VALUES
+                {values}
+            ) AS t(image_id, q4, nbytes, px_sum, sse, ov_sum)
+            ORDER BY image_id, q4
+        """
+
+
 def _jp2_overview_oracle() -> str:
     """Independent single-process replay -> literal VALUES (jfif pattern)."""
     from eoreader_spark import codecs as _c
@@ -3830,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_product_e2e": q_s2_product_e2e,
         "jp2_decode": q_jp2_decode,
         "jp2_overview": q_jp2_overview,
+        "jp2_lossy": q_jp2_lossy,
         "geotiff_read": q_geotiff_read,
         "jfif_decode": q_jfif_decode,
         "jfif420_decode": q_jfif420_decode,
@@ -3857,12 +3945,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "archive_scan": q_archive_scan,
         "reader_dispatch": q_reader_dispatch,
         "reader_dispatch_mtd": q_reader_dispatch_mtd,
-        "xml_mtd": q_xml_mtd,
         "stac_catalog": q_stac_catalog,
         # -- SAR / stencil / warp --
         "sar_chain": q_sar_chain,
         "sar_noise_chain": q_sar_noise_chain,
-        "lee_despeckle": q_lee_despeckle,
         "slope_ramp": q_slope_ramp,
         "hillshade_ramp": q_hillshade_ramp,
         "stencil_custom": q_stencil_custom,
@@ -3923,6 +4009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_distinct": q_phash_distinct,
         "tumbling_window": q_tumbling_window,
         "topk_window": q_topk_window,
+        # rotated out of the window (driver-green in r4, stable since r2)
+        "xml_mtd": q_xml_mtd,
+        "lee_despeckle": q_lee_despeckle,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -4469,6 +4558,7 @@ def oracle_sql() -> dict[str, str]:
         "geotiff_read": _geotiff_oracle(),
         "jfif_decode": _jfif_oracle(),
         "jp2_overview": _jp2_overview_oracle(),
+        "jp2_lossy": _jp2_lossy_oracle(),
         "jfif420_decode": _jfif420_oracle(),
         "winnow": _winnow_oracle(),
         "dedup_clusters": """

@@ -201,6 +201,103 @@ def inv_dwt53(bands: list[dict], shape: tuple[int, int]) -> np.ndarray:
     return ll
 
 
+# ------------------------------------------------------------- 9/7 lifting
+# ISO/IEC 15444-1 Annex F.4.8: the irreversible (lossy) CDF 9/7 filter as
+# four lifting steps + the K scaling pair.  Whole-sample symmetric
+# extension at both ends, float64 throughout.
+_A97 = -1.586134342059924   # step 1 (predict)
+_B97 = -0.052980118572961   # step 2 (update)
+_G97 = 0.882911075530934    # step 3 (predict)
+_D97 = 0.443506852043971    # step 4 (update)
+_K97 = 1.230174104914001    # lowpass *= 1/K, highpass *= K
+
+
+def _lift_odd97(even: np.ndarray, odd: np.ndarray, coef: float) -> np.ndarray:
+    """odd[n] += coef * (even[n] + even[n+1]); even[n+1] mirrors to even[n]
+    at the right edge (whole-sample symmetric extension)."""
+    right = np.concatenate([even[..., 1:], even[..., -1:]], axis=-1)
+    right = right[..., : odd.shape[-1]]
+    return odd + coef * (even[..., : odd.shape[-1]] + right)
+
+
+def _lift_even97(even: np.ndarray, odd: np.ndarray, coef: float) -> np.ndarray:
+    """even[n] += coef * (odd[n-1] + odd[n]); odd[-1] mirrors to odd[0] at
+    the left edge, odd[n] mirrors to odd[n-1] at the right (odd lengths)."""
+    dl = np.concatenate([odd[..., :1], odd], axis=-1)[..., : even.shape[-1]]
+    dr = np.concatenate([odd, odd[..., -1:]], axis=-1)[..., : even.shape[-1]]
+    return even + coef * (dl + dr)
+
+
+def _fwd97_1d(s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Irreversible 9/7 forward lifting along the last axis."""
+    x = s.astype(np.float64)
+    if x.shape[-1] == 1:
+        return x.copy(), x[..., :0]
+    even, odd = x[..., 0::2], x[..., 1::2]
+    odd = _lift_odd97(even, odd, _A97)
+    even = _lift_even97(even, odd, _B97)
+    odd = _lift_odd97(even, odd, _G97)
+    even = _lift_even97(even, odd, _D97)
+    return even * (1.0 / _K97), odd * _K97
+
+
+def _inv97_1d(a: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of _fwd97_1d; n = original length."""
+    if n == 1:
+        return a.astype(np.float64).copy()  # fwd passes singletons through
+    even = a.astype(np.float64) * _K97
+    odd = d.astype(np.float64) * (1.0 / _K97)
+    even = _lift_even97(even, odd, -_D97)
+    odd = _lift_odd97(even, odd, -_G97)
+    even = _lift_even97(even, odd, -_B97)
+    odd = _lift_odd97(even, odd, -_A97)
+    out = np.empty(a.shape[:-1] + (n,), dtype=np.float64)
+    out[..., 0::2] = even[..., : (n + 1) // 2]
+    out[..., 1::2] = odd[..., : n // 2]
+    return out
+
+
+def fwd_dwt97(img: np.ndarray, levels: int) -> list[dict]:
+    """2-D irreversible 9/7 DWT, same subband layout as fwd_dwt53
+    (coarsest-first), float64 coefficients."""
+    ll = img.astype(np.float64)
+    details = []
+    for _ in range(levels):
+        a, d = _fwd97_1d(ll)  # along x
+        aa, ad = _fwd97_1d(a.swapaxes(-1, -2))
+        da, dd = _fwd97_1d(d.swapaxes(-1, -2))
+        ll = aa.swapaxes(-1, -2)
+        details.append(
+            {
+                "HL": da.swapaxes(-1, -2),
+                "LH": ad.swapaxes(-1, -2),
+                "HH": dd.swapaxes(-1, -2),
+            }
+        )
+    return [{"LL": ll}] + details[::-1]
+
+
+def inv_dwt97(bands: list[dict], shape: tuple[int, int]) -> np.ndarray:
+    """Inverse of fwd_dwt97 back to ``shape`` (float64)."""
+    h, w = shape
+    shapes = [(h, w)]
+    for _ in range(len(bands) - 1):
+        hh, ww = shapes[-1]
+        shapes.append(((hh + 1) // 2, (ww + 1) // 2))
+    ll = bands[0]["LL"]
+    for lev in range(len(bands) - 1, 0, -1):
+        th, tw = shapes[lev - 1]
+        det = bands[len(bands) - lev]
+        a = _inv97_1d(
+            ll.swapaxes(-1, -2), det["LH"].swapaxes(-1, -2), th
+        ).swapaxes(-1, -2)
+        d = _inv97_1d(
+            det["HL"].swapaxes(-1, -2), det["HH"].swapaxes(-1, -2), th
+        ).swapaxes(-1, -2)
+        ll = _inv97_1d(a, d, tw)
+    return ll
+
+
 # ------------------------------------------------------------- MQ coder
 # ISO 15444-1 Annex C (shared with ITU-T T.88): 47-state probability table
 # (Qe, NMPS, NLPS, SWITCH) and the software-conventions encoder/decoder.
@@ -815,19 +912,74 @@ def _get_npasses(bits: _HeaderBits) -> int:
     return 37 + bits.get_bits(7)
 
 
+def _qcd_expounded(depth: int, levels: int, qstep: float) -> list[tuple[int, int, float]]:
+    """Scalar-expounded quantization table (Annex E.1): one (εb, μb, Δb)
+    per subband in QCD order (LL, then HL/LH/HH per resolution).  Δb =
+    2^(Rb−εb)·(1+μb/2^11) with Rb = depth + log2 subband gain (table E.1:
+    LL 0, HL/LH 1, HH 2); εb absorbs the gain so a single ``qstep`` yields
+    a uniform step across bands while Mb still tracks each band's range.
+    Δb is recomputed from the CODED (εb, μb) so encoder and decoder share
+    the exact step."""
+    import math
+
+    gains = [0] + [g for _ in range(levels) for g in (1, 1, 2)]
+    n = math.floor(math.log2(qstep))
+    mu = min(2047, max(0, round((qstep / 2.0**n - 1.0) * 2048)))
+    out = []
+    for gain in gains:
+        rb = depth + gain
+        eb = min(31, max(0, rb - n))
+        out.append((eb, mu, 2.0 ** (rb - eb) * (1.0 + mu / 2048.0)))
+    return out
+
+
+def _qi_index(r: int, bname: str) -> int:
+    """QCD subband order: LL, then (HL, LH, HH) per resolution 1..levels."""
+    if r == 0:
+        return 0
+    return 1 + 3 * (r - 1) + {"HL": 0, "LH": 1, "HH": 2}[bname]
+
+
 def encode_jp2(
-    img: np.ndarray, levels: int = 2, cb: int = 64, container: bool = True
+    img: np.ndarray, levels: int = 2, cb: int = 64, container: bool = True,
+    wavelet: str = "5/3", qstep: float = 0.5,
 ) -> bytes:
-    """(planes, h, w) uint8/uint16 -> lossless JPEG 2000 (JP2 container or
-    raw codestream): 5/3 reversible DWT, single tile/layer, LRCP, MQ-coded
-    EBCOT code-blocks, tag-tree packet headers."""
+    """(planes, h, w) uint8/uint16 -> JPEG 2000 (JP2 container or raw
+    codestream): single tile/layer, LRCP, MQ-coded EBCOT code-blocks,
+    tag-tree packet headers.  ``wavelet="5/3"`` (default) is the lossless
+    reversible profile; ``wavelet="9/7"`` is the irreversible LOSSY
+    profile (Annex F.4.8 float lifting + Annex E scalar-expounded
+    deadzone quantization with step ``qstep``; the reference's actual
+    Sentinel-2 files use both — lossless L1C bands and lossy previews)."""
+    if wavelet not in ("5/3", "9/7"):
+        raise ValueError(f"unknown wavelet {wavelet!r}")
+    lossy = wavelet == "9/7"
     if img.ndim == 2:
         img = img[None]
     p, h, w = img.shape
     depth = 8 * img.dtype.itemsize
     shift = 1 << (depth - 1)
 
-    comp_bands = [fwd_dwt53(img[c].astype(np.int64) - shift, levels) for c in range(p)]
+    if lossy:
+        qinfo = _qcd_expounded(depth, levels, qstep)
+        comp_bands = []
+        for c in range(p):
+            fb = fwd_dwt97(img[c].astype(np.float64) - shift, levels)
+            qb: list[dict] = []
+            for r in range(levels + 1):
+                d = {}
+                for bname, arr in _res_bands(fb, r):
+                    delta = qinfo[_qi_index(r, bname)][2]
+                    # deadzone scalar quantizer: q = sign(y)·floor(|y|/Δb)
+                    d[bname] = (
+                        np.sign(arr) * np.floor(np.abs(arr) / delta)
+                    ).astype(np.int64)
+                qb.append(d)
+            comp_bands.append(qb)
+    else:
+        comp_bands = [
+            fwd_dwt53(img[c].astype(np.int64) - shift, levels) for c in range(p)
+        ]
 
     # per-component, per-band encoded blocks + per-band Mb
     enc_blocks: dict = {}
@@ -855,7 +1007,14 @@ def encode_jp2(
                 blocks = enc_blocks[(c, r, bname)]
                 # zero-bitplanes are relative to the QCD-derived Mb, which
                 # is shared across components: use the cross-component max
-                mb = max(band_mb[(cc, r, bname)] for cc in range(p))
+                # (lossless) or the quantizer's coded exponent (lossy)
+                if lossy:
+                    mb = _GUARD + qinfo[_qi_index(r, bname)][0] - 1
+                    assert all(nb <= mb for (_d, nb, _np) in blocks), (
+                        "quantized magnitude exceeds QCD-derived Mb"
+                    )
+                else:
+                    mb = max(band_mb[(cc, r, bname)] for cc in range(p))
                 nbx = -(-arr.shape[1] // cb) if arr.shape[1] else 0
                 nby = -(-arr.shape[0] // cb) if arr.shape[0] else 0
                 if nbx == 0 or nby == 0:
@@ -896,20 +1055,27 @@ def encode_jp2(
     ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(p))
     cod = struct.pack(
         ">HBBHBBBBBB", 12, 0, 0, 1, 0, levels,
-        (cb.bit_length() - 3), (cb.bit_length() - 3), 0, 1,
+        (cb.bit_length() - 3), (cb.bit_length() - 3), 0,
+        0 if lossy else 1,
     )
     n_sub = 3 * levels + 1
-    eps = [band_mb[(0, 0, "LL")] - _GUARD + 1]
-    for r in range(1, levels + 1):
-        for bname in ("HL", "LH", "HH"):
-            eps.append(max(b for b in (
-                band_mb[(c, r, bname)] for c in range(p)
-            )) - _GUARD + 1)
-    # component 0's band maxima may undershoot another component's: take max
-    eps[0] = max(band_mb[(c, 0, "LL")] for c in range(p)) - _GUARD + 1
-    qcd = struct.pack(">HB", 3 + n_sub, (_GUARD << 5) | 0) + bytes(
-        max(e, 0) << 3 & 0xFF for e in eps
-    )
+    if lossy:
+        # scalar expounded (Sqcd style 2): 16 bits (εb<<11 | μb) per subband
+        qcd = struct.pack(">HB", 3 + 2 * n_sub, (_GUARD << 5) | 2) + b"".join(
+            struct.pack(">H", (eb << 11) | mu) for (eb, mu, _d) in qinfo
+        )
+    else:
+        eps = [band_mb[(0, 0, "LL")] - _GUARD + 1]
+        for r in range(1, levels + 1):
+            for bname in ("HL", "LH", "HH"):
+                eps.append(max(b for b in (
+                    band_mb[(c, r, bname)] for c in range(p)
+                )) - _GUARD + 1)
+        # component 0's band maxima may undershoot another component's: max
+        eps[0] = max(band_mb[(c, 0, "LL")] for c in range(p)) - _GUARD + 1
+        qcd = struct.pack(">HB", 3 + n_sub, (_GUARD << 5) | 0) + bytes(
+            max(e, 0) << 3 & 0xFF for e in eps
+        )
     tile_body = b"".join(packets)
     psot = 12 + 2 + len(tile_body)  # SOT seg + SOD marker + body
     sot = struct.pack(">HHIBB", 10, 0, psot, 0, 1)
@@ -948,8 +1114,7 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
     meta = parse_jp2(data) if data[:2] != b"\xff\x4f" else None
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
-    if m["wavelet"] != "5/3":
-        raise NotImplementedError("9/7 irreversible wavelet not supported (lossy JP2)")
+    lossy = m["wavelet"] == "9/7"
     if m["n_layers"] != 1 or m["progression"] != "LRCP":
         raise NotImplementedError("multi-layer / non-LRCP progression not supported")
     if m["precincts"]:
@@ -973,7 +1138,9 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
     # one main-header walk captures QCD exponents AND guard bits
     pos = 2
     eps: list[int] = []
+    mus: list[int] = []
     guard = None
+    qstyle = None
     sot_pos = None
     while pos + 4 <= len(cs):
         (marker,) = struct.unpack(">H", cs[pos : pos + 2])
@@ -983,19 +1150,40 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
         (seglen,) = struct.unpack(">H", cs[pos + 2 : pos + 4])
         if marker == _QCD:
             seg = cs[pos + 4 : pos + 2 + seglen]
-            if seg[0] & 0x1F != 0:
-                raise NotImplementedError("only reversible (no-quantization) QCD supported")
+            qstyle = seg[0] & 0x1F
             guard = seg[0] >> 5
-            eps = [b >> 3 for b in seg[1:]]
+            if qstyle == 0:  # no quantization (reversible)
+                eps = [b >> 3 for b in seg[1:]]
+                mus = [0] * len(eps)
+            elif qstyle == 2:  # scalar expounded: (εb<<11 | μb) per subband
+                vals = struct.unpack(f">{(len(seg) - 1) // 2}H", seg[1:])
+                eps = [v >> 11 for v in vals]
+                mus = [v & 0x7FF for v in vals]
+            else:
+                raise NotImplementedError(
+                    "scalar-derived (Sqcd style 1) quantization not supported"
+                )
         pos += 2 + seglen
     if sot_pos is None:
         raise ValueError("no tile-part (SOT) in codestream")
+    if lossy and qstyle != 2:
+        raise NotImplementedError("9/7 wavelet requires scalar-expounded QCD")
+    if not lossy and qstyle != 0:
+        raise NotImplementedError("5/3 reversible wavelet with quantization not supported")
     mb_of = {}
+    delta_of = {}
+
+    def _delta(idx: int, gain: int) -> float:
+        rb = depth + gain
+        return 2.0 ** (rb - eps[idx]) * (1.0 + mus[idx] / 2048.0)
+
     mb_of[(0, "LL")] = guard + eps[0] - 1
+    delta_of[(0, "LL")] = _delta(0, 0)
     i = 1
     for r in range(1, levels + 1):
-        for bname in ("HL", "LH", "HH"):
+        for bname, gain in (("HL", 1), ("LH", 1), ("HH", 2)):
             mb_of[(r, bname)] = guard + eps[i] - 1
+            delta_of[(r, bname)] = _delta(i, gain)
             i += 1
 
     # tile body
@@ -1076,14 +1264,39 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
                 )
 
     dt = np.uint8 if depth == 8 else np.uint16
+
+    def _dequant(bl: list[dict]) -> list[dict]:
+        """Annex E.2 mid-point reconstruction for the deadzone quantizer:
+        yhat = sign(q) * (|q| + 1/2) * delta_b for q != 0, else 0."""
+        out = []
+        for r, d in enumerate(bl):
+            out.append(
+                {
+                    bname: np.where(
+                        q == 0,
+                        0.0,
+                        np.sign(q) * (np.abs(q) + 0.5) * delta_of[(r, bname)],
+                    )
+                    for bname, q in d.items()
+                }
+            )
+        return out
+
+    def _invert(bl: list[dict], shape: tuple[int, int]) -> np.ndarray:
+        if lossy:
+            return np.rint(inv_dwt97(_dequant(bl), shape))
+        return inv_dwt53(bl, shape)
+
     if stop_res < levels:
         # partial reconstruction: invert only the decoded resolutions; the
-        # result is the exact level-(levels - stop_res) LL approximation
+        # result is the exact (5/3) / dequantized (9/7) level-(levels -
+        # stop_res) LL approximation — the 9/7 LL keeps the input's nominal
+        # range (table E.1 gain 0), so no extra scaling applies
         oh, ow = shapes[levels - stop_res]
         out = np.stack(
             [
                 np.clip(
-                    inv_dwt53(comp_bands[c][: stop_res + 1], (oh, ow)) + shift,
+                    _invert(comp_bands[c][: stop_res + 1], (oh, ow)) + shift,
                     0, (1 << depth) - 1,
                 )
                 for c in range(p)
@@ -1092,7 +1305,7 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
         return out.astype(dt)
     out = np.stack(
         [
-            np.clip(inv_dwt53(comp_bands[c], (h, w)) + shift, 0, (1 << depth) - 1)
+            np.clip(_invert(comp_bands[c], (h, w)) + shift, 0, (1 << depth) - 1)
             for c in range(p)
         ]
     )

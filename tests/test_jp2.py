@@ -217,3 +217,82 @@ def test_jp2_numbps2_blocks_roundtrip():
     assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(img, levels=2)), img)
     img16 = (32768 + rng.randint(-3, 4, size=(2, 48, 80))).astype(np.uint16)
     assert np.array_equal(jp2.decode_jp2(jp2.encode_jp2(img16, levels=3)), img16)
+
+
+# ------------------------------------------------------------ 9/7 lossy
+def test_dwt97_is_self_inverse():
+    """Annex F.4.8 lifting: inverse(forward) reconstructs to float64
+    rounding noise, including odd dimensions and singleton axes."""
+    rng = np.random.RandomState(11)
+    for shape in ((33, 47), (64, 64), (1, 17), (16, 1)):
+        x = rng.normal(0.0, 1000.0, shape)
+        levels = 3 if min(shape) > 8 else 1
+        got = jp2.inv_dwt97(jp2.fwd_dwt97(x, levels), shape)
+        assert np.abs(got - x).max() < 1e-9 * max(1.0, np.abs(x).max())
+
+
+def test_dwt97_ll_keeps_nominal_range():
+    """Table E.1 gain: the LL subband of a constant image IS the constant
+    (DC gain 1 after K-normalization) — the property the overview read and
+    the quantizer exponent arithmetic both rely on."""
+    b = jp2.fwd_dwt97(np.full((32, 48), 7.0), 2)
+    assert np.allclose(b[0]["LL"], 7.0)
+    assert all(
+        np.abs(d[k]).max() < 1e-9 for d in b[1:] for k in ("HL", "LH", "HH")
+    )
+
+
+@pytest.mark.parametrize("qstep,min_psnr", [(0.25, 70.0), (2.0, 40.0)])
+def test_jp2_lossy_rate_distortion(qstep, min_psnr):
+    """9/7 + deadzone quantization: PSNR tracks the step size, and the
+    coarser step compresses a smooth raster far below raw size."""
+    yy, xx = np.mgrid[0:80, 0:96]
+    img = (120 + 60 * np.sin(yy / 9.0) + 50 * np.cos(xx / 11.0)).astype(
+        np.uint8
+    )[None]
+    data = jp2.encode_jp2(img, levels=3, wavelet="9/7", qstep=qstep)
+    dec = jp2.decode_jp2(data)
+    assert dec.shape == img.shape and dec.dtype == img.dtype
+    err = dec.astype(np.float64) - img.astype(np.float64)
+    psnr = 10 * np.log10(255.0**2 / max((err**2).mean(), 1e-12))
+    assert psnr > min_psnr
+    if qstep == 2.0:
+        assert len(data) < img.size // 10
+
+
+def test_jp2_lossy_uint16_and_multicomponent():
+    yy, xx = np.mgrid[0:48, 0:80]
+    img = np.stack(
+        [((yy * 131 + xx * 57) % 4096), ((yy * 29 + xx * 91) % 3000)]
+    ).astype(np.uint16)
+    dec = jp2.decode_jp2(jp2.encode_jp2(img, levels=2, wavelet="9/7", qstep=1.0))
+    assert dec.dtype == np.uint16 and dec.shape == img.shape
+    assert np.abs(dec.astype(np.int64) - img.astype(np.int64)).max() <= 2
+
+
+def test_jp2_lossy_overview_read():
+    """Resolution-progressive reads work on the lossy profile too: a packet
+    prefix reconstructs the dequantized coarse LL at 1/2^k scale."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = (128 + 100 * np.sin((yy + xx) / 13.0)).astype(np.uint8)[None]
+    data = jp2.encode_jp2(img, levels=3, wavelet="9/7", qstep=0.5)
+    ov = jp2.decode_jp2(data, max_res=1)
+    assert ov.shape == (1, 16, 16)
+    # the overview approximates the clean forward transform's level-2 LL
+    # (the only divergence is quantization error, bounded by the step)
+    ll2 = jp2.fwd_dwt97(img[0].astype(np.float64) - 128.0, 2)[0]["LL"] + 128.0
+    assert np.abs(ov[0].astype(np.float64) - ll2).max() < 8.0 * 0.5
+
+
+def test_jp2_lossy_qcd_guards():
+    """Mismatched wavelet/quantization combinations raise with the feature
+    named: 5/3 + scalar-expounded QCD and 9/7 + no-quantization are both
+    out of profile."""
+    img = codecs.make_image(3, 32, 32, planes=1)
+    lossy = bytearray(jp2.encode_jp2(img, wavelet="9/7", container=False))
+    i = lossy.find(b"\xff\x52")
+    lossy[i + 13] = 1  # claim 5/3 reversible against the expounded QCD
+    with pytest.raises(NotImplementedError, match="5/3"):
+        jp2.decode_jp2(bytes(lossy))
+    with pytest.raises(ValueError, match="wavelet"):
+        jp2.encode_jp2(img, wavelet="7/5")
