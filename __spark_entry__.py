@@ -2959,6 +2959,90 @@ def _jp2_lossy_oracle() -> str:
         """
 
 
+def _jp2_tiled_images() -> list[tuple[str, "np.ndarray"]]:
+    from eoreader_spark import codecs as _c
+
+    return [(f"ts_{j}", _c.make_image(j, 96, 128, planes=2)) for j in range(2)]
+
+
+def _jp2_tiled_replay() -> list[tuple]:
+    """Per-tile stats of TILED jp2 scenes, replayed single-process: the
+    full-res tile sums come straight from the original array (lossless =>
+    decode is the identity), the coarse sums from a local per-tile
+    decode_jp2(tile_idx=, max_res=0)."""
+    from eoreader_spark.sources import jp2 as _jp2
+
+    rows = []
+    grid = _jp2._tile_grid(96, 128, 48, 48)
+    for image_id, img in _jp2_tiled_images():
+        data = _jp2.encode_jp2(img, levels=2, tile=48)
+        for t, (ty, tx, y0, x0, th, tw) in enumerate(grid):
+            px_sum = int(img[1, y0 : y0 + th, x0 : x0 + tw].astype(np.int64).sum())
+            ov = _jp2.decode_jp2(data, max_res=0, tile_idx=t)
+            ov_sum = int(ov[0].astype(np.int64).sum())
+            rows.append((image_id, tx, ty, th, tw, px_sum, ov_sum))
+    return rows
+
+
+def q_jp2_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3++/S13 TILE-PARALLEL scene decode, VALUE-EXACT: multi-tile JPEG 2000
+    codestreams (one independently-coded SOT/SOD tile-part per tile — how a
+    single 10980x10980 S2 band file must be decoded ACROSS executors at
+    100 TB).  The plan is raster.jp2_scene_tiles' two-stage split scan:
+    a seek-based marker-walk index emits narrow split descriptors, the
+    descriptors (not image bytes) repartition, and each task ranged-reads +
+    decodes ONE tile, full-res and coarse (max_res=0) both.  Lossless =>
+    per-tile integer sums are exact; the oracle replays them locally."""
+    import tempfile
+
+    from eoreader_spark.operators import raster
+    from eoreader_spark.sources import jp2 as _jp2
+
+    root = tempfile.mkdtemp(prefix="jp2_tiled_gate_")
+    files = []
+    for image_id, img in _jp2_tiled_images():
+        p = f"{root}/{image_id}.jp2"
+        with open(p, "wb") as f:
+            f.write(_jp2.encode_jp2(img, levels=2, tile=48))
+        files.append((image_id, p))
+    fdf = spark.createDataFrame(files, "image_id string, path string")
+
+    def arr_sum(col: str):
+        return F.expr(
+            f"cast(aggregate({col}, 0.0D, (a, x) -> a + cast(x as double)) as bigint)"
+        )
+
+    full = raster.jp2_scene_tiles(fdf, plane=1).select(
+        "image_id", "tile_x", "tile_y", "th", "tw",
+        arr_sum("px").alias("px_sum"),
+    )
+    ov = raster.jp2_scene_tiles(fdf, plane=0, max_res=0).select(
+        "image_id", "tile_x", "tile_y", arr_sum("px").alias("ov_sum")
+    )
+    return (
+        full.join(ov, ["image_id", "tile_x", "tile_y"])
+        .orderBy("image_id", "tile_y", "tile_x")
+    )
+
+
+def _jp2_tiled_oracle() -> str:
+    values = ",\n                ".join(
+        f"('{i}', {tx}, {ty}, {th}, {tw}, {s}, {o})"
+        for (i, tx, ty, th, tw, s, o) in _jp2_tiled_replay()
+    )
+    return f"""
+            SELECT image_id, cast(tile_x AS INTEGER) AS tile_x,
+                   cast(tile_y AS INTEGER) AS tile_y,
+                   cast(th AS INTEGER) AS th, cast(tw AS INTEGER) AS tw,
+                   cast(px_sum AS BIGINT) AS px_sum,
+                   cast(ov_sum AS BIGINT) AS ov_sum
+            FROM (VALUES
+                {values}
+            ) AS t(image_id, tile_x, tile_y, th, tw, px_sum, ov_sum)
+            ORDER BY image_id, tile_y, tile_x
+        """
+
+
 def _jp2_overview_oracle() -> str:
     """Independent single-process replay -> literal VALUES (jfif pattern)."""
     from eoreader_spark import codecs as _c
@@ -3918,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp2_decode": q_jp2_decode,
         "jp2_overview": q_jp2_overview,
         "jp2_lossy": q_jp2_lossy,
+        "jp2_tiled": q_jp2_tiled,
         "geotiff_read": q_geotiff_read,
         "jfif_decode": q_jfif_decode,
         "jfif420_decode": q_jfif420_decode,
@@ -3939,7 +4024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- raster read / scan / metadata --
         "raster_load": q_raster_load,
         "nbr_stats": q_nbr_stats,
-        "scl_hist": q_scl_hist,
         "quicklook": q_quicklook,
         "pyramid": q_pyramid,
         "archive_scan": q_archive_scan,
@@ -4012,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out of the window (driver-green in r4, stable since r2)
         "xml_mtd": q_xml_mtd,
         "lee_despeckle": q_lee_despeckle,
+        "scl_hist": q_scl_hist,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -4559,6 +4644,7 @@ def oracle_sql() -> dict[str, str]:
         "jfif_decode": _jfif_oracle(),
         "jp2_overview": _jp2_overview_oracle(),
         "jp2_lossy": _jp2_lossy_oracle(),
+        "jp2_tiled": _jp2_tiled_oracle(),
         "jfif420_decode": _jfif420_oracle(),
         "winnow": _winnow_oracle(),
         "dedup_clusters": """

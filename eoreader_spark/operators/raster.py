@@ -77,6 +77,92 @@ def multi_plane_tiles(images: DataFrame, planes: list[int], tile: int = TILE) ->
     return images.select("image_id", "bytes", "fmt", "h", "w").mapInPandas(batch, schema=schema)
 
 
+def jp2_scene_tiles(
+    files: DataFrame, plane: int = 0, max_res: int | None = None
+) -> DataFrame:
+    """Tile-parallel decode of TILED JPEG 2000 scenes — the split-plan scan
+    for the case where ONE scene is too big for one task (the reference's
+    real S2 band files are single 10980x10980 JP2s; at 100 TB a scene must
+    decode across executors, not within one).
+
+    Two-stage plan, same architecture as sources/pyscan.py:
+      1. index: per file, a seek-based marker walk (jp2_file_index —
+         O(#tiles) reads of ~12 bytes, never pixel payload) emits NARROW
+         split descriptors (path, isot, offset, length, tile geometry).
+      2. decode: descriptors repartition across the cluster (a few dozen
+         bytes each — image bytes NEVER shuffle); each task ranged-reads
+         its tile-part [offset, offset+length) plus the tiny main header
+         (both object-store GETs at scale; the header is cached per path
+         within a task) and entropy-decodes ONE independently-coded tile.
+
+    ``files``: (image_id, path).  Output: (image_id, tile_x, tile_y, th,
+    tw, px array<float>) — the standard tile-row model, so downstream
+    stencils/indices/collocation compose unchanged.
+    """
+
+    def index_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from eoreader_spark.sources import jp2 as _jp2
+
+        for pdf in it:
+            rows = []
+            for iid, path in zip(pdf["image_id"], pdf["path"]):
+                ix = _jp2.jp2_file_index(path)
+                m = ix["meta"]
+                grid = _jp2._tile_grid(
+                    m["h"], m["w"], m["tile_h"], m["tile_w"]
+                )
+                for isot, off, ln in ix["parts"]:
+                    ty, tx, _y0, _x0, th, tw = grid[isot]
+                    rows.append((iid, path, isot, off, ln, tx, ty, th, tw))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "path", "isot", "off", "ln",
+                         "tile_x", "tile_y", "th", "tw"],
+            )
+
+    splits = files.select("image_id", "path").mapInPandas(
+        index_batch,
+        schema="image_id string, path string, isot int, off long, ln long, "
+               "tile_x int, tile_y int, th int, tw int",
+    )
+    # descriptors spread across the cluster; hash on (image_id, isot) so
+    # one scene's tiles land on MANY executors
+    splits = splits.repartition("image_id", "isot")
+
+    def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from eoreader_spark.sources import jp2 as _jp2
+
+        headers: dict[str, bytes] = {}
+        for pdf in it:
+            rows = []
+            for iid, path, isot, off, ln, tx, ty in zip(
+                pdf["image_id"], pdf["path"], pdf["isot"], pdf["off"],
+                pdf["ln"], pdf["tile_x"], pdf["tile_y"],
+            ):
+                if path not in headers:
+                    headers[path] = _jp2.jp2_file_index(path)["header"]
+                with open(path, "rb") as f:
+                    f.seek(int(off))
+                    part = f.read(int(ln))
+                dec = _jp2.decode_jp2_part(
+                    headers[path], part, int(isot), max_res=max_res
+                )[plane].astype(np.float32)
+                rows.append(
+                    (iid, int(tx), int(ty), dec.shape[0], dec.shape[1],
+                     dec.ravel())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "tile_x", "tile_y", "th", "tw", "px"],
+            )
+
+    return splits.mapInPandas(
+        decode_batch,
+        schema="image_id string, tile_x int, tile_y int, th int, tw int, "
+               "px array<float>",
+    )
+
+
 def collocate(bands: dict[str, DataFrame]) -> DataFrame:
     """J1 collocation: equi-join band tile DataFrames on the tile key.
 

@@ -7,16 +7,24 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
 
 - the JP2 container box walk (jP/ftyp/jp2h/ihdr/jp2c) and the codestream
   main-header markers (SIZ/COD/QCD) -> image + coding metadata
-- a REAL minimal lossless codec for the profile this engine writes:
-  reversible 5/3 wavelet, single tile, single layer, one quality layer,
-  LRCP, code-blocks up to 64x64, MQ arithmetic coding with the standard
-  three coding passes per bit-plane (significance propagation, magnitude
-  refinement, cleanup), tag-tree packet headers
+- a REAL codec for the profiles this engine writes: lossless (reversible
+  5/3 wavelet, no-quantization QCD) and lossy (irreversible CDF 9/7
+  lifting, Annex F.4.8, with Annex E scalar-expounded deadzone
+  quantization), single layer, one quality layer, LRCP, code-blocks up to
+  64x64, MQ arithmetic coding with the standard three coding passes per
+  bit-plane (significance propagation, magnitude refinement, cleanup),
+  tag-tree packet headers
+- MULTI-TILE codestreams (one independently-coded SOT/SOD tile-part per
+  tile on the B.3 grid) with a seek-based byte index (jp2_file_index /
+  jp2_tile_index) and per-tile decode (decode_jp2(tile_idx=),
+  decode_jp2_part) — the unit of tile-parallel scene decode across
+  executors (operators/raster.jp2_scene_tiles)
 
-Scope note (honest): arbitrary third-party JP2s (9/7 irreversible wavelet,
-multiple tiles/layers, precincts, ROI shifts, vertically-causal contexts,
-bypass/termination modes) raise NotImplementedError with the feature named
-— parse_jp2 still returns their metadata.
+Scope note (honest): remaining third-party JP2 features (multiple quality
+layers, precincts, non-LRCP progressions, ROI shifts, vertically-causal
+contexts, bypass/termination modes, Sqcd style 1) raise
+NotImplementedError with the feature named — parse_jp2 still returns their
+metadata.
 """
 
 from __future__ import annotations
@@ -940,17 +948,146 @@ def _qi_index(r: int, bname: str) -> int:
     return 1 + 3 * (r - 1) + {"HL": 0, "LH": 1, "HH": 2}[bname]
 
 
+def _tile_grid(
+    h: int, w: int, tile_h: int, tile_w: int
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Raster-order tile grid (Isot order): (ty, tx, y0, x0, th, tw) with
+    edge tiles clipped to the image, matching B.3's tile partition with
+    zero offsets."""
+    out = []
+    for ty in range((h + tile_h - 1) // tile_h):
+        for tx in range((w + tile_w - 1) // tile_w):
+            y0, x0 = ty * tile_h, tx * tile_w
+            out.append(
+                (ty, tx, y0, x0, min(tile_h, h - y0), min(tile_w, w - x0))
+            )
+    return out
+
+
+def jp2_tile_index(data: bytes) -> list[tuple[int, int, int]]:
+    """Cheap tile-part byte index: (Isot, offset, length) of every tile-part
+    (SOT marker through the end of its body), offsets into ``data`` as
+    given (container or raw codestream).  Only marker segments are walked —
+    no entropy decoding — so a scheduler can hand each worker ONE tile's
+    byte range (object-store ranged GET at cluster scale) and the worker
+    decodes it independently via decode_jp2(..., tile_idx=)."""
+    base = 0
+    cs = data
+    if data[:2] != b"\xff\x4f":
+        meta = parse_jp2(data)
+        cs = meta["codestream"]
+        base = data.index(cs[:64])
+    pos = 2
+    out = []
+    while pos + 4 <= len(cs):
+        (marker,) = struct.unpack(">H", cs[pos : pos + 2])
+        if marker == _EOC:
+            break
+        if marker == _SOT:
+            isot, psot = struct.unpack(">HI", cs[pos + 4 : pos + 10])
+            if psot == 0:  # "to EOC" (last tile-part)
+                psot = len(cs) - 2 - pos
+            out.append((isot, base + pos, psot))
+            pos += psot
+            continue
+        (seglen,) = struct.unpack(">H", cs[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    return out
+
+
+def jp2_file_index(path: str) -> dict:
+    """Seek-based tile index of a JP2 file: O(#tiles) tiny reads, never the
+    pixel payload.  Returns {"header": main-header bytes (codestream start
+    through the byte before the first SOT), "parts": [(isot, abs_offset,
+    length)], "meta": parsed SIZ/COD dict}.  This is the planner's split
+    table for tile-parallel scene decode: each executor later ranged-reads
+    header + ONE part (object-store GETs at cluster scale) and decodes
+    independently via decode_jp2_part."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+        cs_base = 0
+        if head[:2] != b"\xff\x4f":
+            if head[4:8] != b"jP  " or head[:4] != b"\x00\x00\x00\x0c":
+                raise ValueError("not a JP2 file (missing signature box)")
+            # box walk by seeks to the jp2c payload
+            pos = 0
+            while True:
+                f.seek(pos)
+                hdr = f.read(16)
+                if len(hdr) < 8:
+                    raise ValueError("no jp2c codestream box")
+                (size,) = struct.unpack(">I", hdr[:4])
+                btype = hdr[4:8]
+                body = pos + 8
+                if size == 1:
+                    (size,) = struct.unpack(">Q", hdr[8:16])
+                    body = pos + 16
+                if btype == b"jp2c":
+                    cs_base = body
+                    break
+                if size == 0:
+                    raise ValueError("no jp2c codestream box")
+                pos += size
+        # marker walk from the codestream start: segment-length hops only
+        pos = cs_base + 2
+        parts = []
+        header_end = None
+        while True:
+            f.seek(pos)
+            mk = f.read(12)
+            if len(mk) < 4:
+                break
+            (marker,) = struct.unpack(">H", mk[:2])
+            if marker == _EOC:
+                break
+            if marker == _SOT:
+                if header_end is None:
+                    header_end = pos
+                isot, psot = struct.unpack(">HI", mk[4:10])
+                if psot == 0:
+                    f.seek(0, 2)
+                    psot = f.tell() - 2 - pos
+                parts.append((isot, pos, psot))
+                pos += psot
+                continue
+            (seglen,) = struct.unpack(">H", mk[2:4])
+            pos += 2 + seglen
+        if header_end is None:
+            raise ValueError("no tile-part (SOT) in codestream")
+        f.seek(cs_base)
+        header = f.read(header_end - cs_base)
+    return {
+        "header": header,
+        "parts": parts,
+        "meta": parse_codestream_header(header + b"\xff\xd9"),
+    }
+
+
+def decode_jp2_part(header: bytes, part: bytes, isot: int,
+                    max_res: int | None = None) -> np.ndarray:
+    """Decode ONE tile from its ranged-read bytes: ``header`` is the main
+    header (jp2_file_index["header"]), ``part`` one tile-part's bytes (SOT
+    through body end).  Tiles are independently entropy-coded, so this is
+    the executor-side unit of work for tile-parallel scene decode."""
+    return decode_jp2(header + part + b"\xff\xd9", max_res=max_res,
+                      tile_idx=isot)
+
+
 def encode_jp2(
     img: np.ndarray, levels: int = 2, cb: int = 64, container: bool = True,
-    wavelet: str = "5/3", qstep: float = 0.5,
+    wavelet: str = "5/3", qstep: float = 0.5, tile: int | None = None,
 ) -> bytes:
     """(planes, h, w) uint8/uint16 -> JPEG 2000 (JP2 container or raw
-    codestream): single tile/layer, LRCP, MQ-coded EBCOT code-blocks,
-    tag-tree packet headers.  ``wavelet="5/3"`` (default) is the lossless
+    codestream): single layer, LRCP, MQ-coded EBCOT code-blocks, tag-tree
+    packet headers.  ``wavelet="5/3"`` (default) is the lossless
     reversible profile; ``wavelet="9/7"`` is the irreversible LOSSY
     profile (Annex F.4.8 float lifting + Annex E scalar-expounded
     deadzone quantization with step ``qstep``; the reference's actual
-    Sentinel-2 files use both — lossless L1C bands and lossy previews)."""
+    Sentinel-2 files use both — lossless L1C bands and lossy previews).
+    ``tile`` = square tile size (XTsiz=YTsiz): the image splits into an
+    independently-coded tile grid, one SOT/SOD tile-part each — the wire
+    layout that makes a single huge scene decodable tile-parallel across
+    executors (jp2_tile_index + decode_jp2(tile_idx=))."""
     if wavelet not in ("5/3", "9/7"):
         raise ValueError(f"unknown wavelet {wavelet!r}")
     lossy = wavelet == "9/7"
@@ -960,98 +1097,126 @@ def encode_jp2(
     depth = 8 * img.dtype.itemsize
     shift = 1 << (depth - 1)
 
-    if lossy:
-        qinfo = _qcd_expounded(depth, levels, qstep)
-        comp_bands = []
+    tile_w = min(tile, w) if tile else w
+    tile_h = min(tile, h) if tile else h
+    grid = _tile_grid(h, w, tile_h, tile_w)
+    qinfo = _qcd_expounded(depth, levels, qstep) if lossy else None
+
+    # pass 1 — per tile: wavelet transform (+ quantize) and EBCOT-encode
+    # every code-block; record per-(tile, comp, band) max bit-depth
+    tiles_cb = []
+    for _ty, _tx, y0, x0, th, tw in grid:
+        sub = img[:, y0 : y0 + th, x0 : x0 + tw]
+        if lossy:
+            comp_bands = []
+            for c in range(p):
+                fb = fwd_dwt97(sub[c].astype(np.float64) - shift, levels)
+                qb: list[dict] = []
+                for r in range(levels + 1):
+                    d = {}
+                    for bname, arr in _res_bands(fb, r):
+                        delta = qinfo[_qi_index(r, bname)][2]
+                        # deadzone scalar quantizer: q = sign(y)·floor(|y|/Δb)
+                        d[bname] = (
+                            np.sign(arr) * np.floor(np.abs(arr) / delta)
+                        ).astype(np.int64)
+                    qb.append(d)
+                comp_bands.append(qb)
+        else:
+            comp_bands = [
+                fwd_dwt53(sub[c].astype(np.int64) - shift, levels)
+                for c in range(p)
+            ]
+        enc_blocks: dict = {}
+        band_mb: dict = {}
         for c in range(p):
-            fb = fwd_dwt97(img[c].astype(np.float64) - shift, levels)
-            qb: list[dict] = []
             for r in range(levels + 1):
-                d = {}
-                for bname, arr in _res_bands(fb, r):
-                    delta = qinfo[_qi_index(r, bname)][2]
-                    # deadzone scalar quantizer: q = sign(y)·floor(|y|/Δb)
-                    d[bname] = (
-                        np.sign(arr) * np.floor(np.abs(arr) / delta)
-                    ).astype(np.int64)
-                qb.append(d)
-            comp_bands.append(qb)
+                for bname, arr in _res_bands(comp_bands[c], r):
+                    blocks = []
+                    mx = 1
+                    for by0, bx0, blk in _band_blocks(arr, cb):
+                        data, numbps, n_passes = encode_codeblock(blk, bname)
+                        blocks.append((data, numbps, n_passes))
+                        mx = max(mx, numbps)
+                    enc_blocks[(c, r, bname)] = blocks
+                    band_mb[(c, r, bname)] = mx
+        tiles_cb.append((comp_bands, enc_blocks, band_mb))
+
+    # global Mb per (r, band): the QCD is a MAIN-header segment shared by
+    # every tile and component, so zero-bitplane counts are relative to the
+    # cross-tile cross-component max (lossless) / the quantizer's coded
+    # exponent (lossy)
+    if lossy:
+        mb_of = {
+            (r, bn): _GUARD + qinfo[_qi_index(r, bn)][0] - 1
+            for r in range(levels + 1)
+            for bn in (("LL",) if r == 0 else ("HL", "LH", "HH"))
+        }
     else:
-        comp_bands = [
-            fwd_dwt53(img[c].astype(np.int64) - shift, levels) for c in range(p)
-        ]
+        mb_of = {
+            (r, bn): max(
+                bm[(c, r, bn)] for (_cb, _eb, bm) in tiles_cb for c in range(p)
+            )
+            for r in range(levels + 1)
+            for bn in (("LL",) if r == 0 else ("HL", "LH", "HH"))
+        }
 
-    # per-component, per-band encoded blocks + per-band Mb
-    enc_blocks: dict = {}
-    band_mb: dict = {}
-    for c in range(p):
+    # pass 2 — per tile: packets (LRCP, 1 layer: for r, for c) + SOT/SOD
+    tile_parts = []
+    for t, (comp_bands, enc_blocks, band_mb) in enumerate(tiles_cb):
+        packets = []
         for r in range(levels + 1):
-            for bname, arr in _res_bands(comp_bands[c], r):
-                blocks = []
-                mx = 1
-                for y0, x0, blk in _band_blocks(arr, cb):
-                    data, numbps, n_passes = encode_codeblock(blk, bname)
-                    blocks.append((data, numbps, n_passes))
-                    mx = max(mx, numbps)
-                enc_blocks[(c, r, bname)] = blocks
-                band_mb[(c, r, bname)] = mx
-
-    # ---- packets (LRCP, 1 layer): for r, for c: one packet
-    packets = []
-    for r in range(levels + 1):
-        for c in range(p):
-            bits = _HeaderBits()
-            bits.put(1)  # non-empty packet
-            body = bytearray()
-            for bname, arr in _res_bands(comp_bands[c], r):
-                blocks = enc_blocks[(c, r, bname)]
-                # zero-bitplanes are relative to the QCD-derived Mb, which
-                # is shared across components: use the cross-component max
-                # (lossless) or the quantizer's coded exponent (lossy)
-                if lossy:
-                    mb = _GUARD + qinfo[_qi_index(r, bname)][0] - 1
+            for c in range(p):
+                bits = _HeaderBits()
+                bits.put(1)  # non-empty packet
+                body = bytearray()
+                for bname, arr in _res_bands(comp_bands[c], r):
+                    blocks = enc_blocks[(c, r, bname)]
+                    mb = mb_of[(r, bname)]
                     assert all(nb <= mb for (_d, nb, _np) in blocks), (
-                        "quantized magnitude exceeds QCD-derived Mb"
+                        "code-block magnitude exceeds QCD-derived Mb"
                     )
-                else:
-                    mb = max(band_mb[(cc, r, bname)] for cc in range(p))
-                nbx = -(-arr.shape[1] // cb) if arr.shape[1] else 0
-                nby = -(-arr.shape[0] // cb) if arr.shape[0] else 0
-                if nbx == 0 or nby == 0:
-                    continue
-                incl = TagTree(nbx, nby)
-                incl.set_values(np.zeros((nby, nbx), dtype=np.int64))
-                zbp = TagTree(nbx, nby)
-                zvals = np.array(
-                    [mb - nb for (_d, nb, _np) in blocks], dtype=np.int64
-                ).reshape(nby, nbx)
-                zbp.set_values(zvals)
-                lblock = np.full((nby, nbx), 3, dtype=np.int64)
-                bi = 0
-                for by in range(nby):
-                    for bx in range(nbx):
-                        data, numbps, n_passes = blocks[bi]
-                        bi += 1
-                        incl.encode(bits, bx, by, 1)  # included in layer 0
-                        zbp.encode(bits, bx, by, 1 << 30)  # fully resolve
-                        _put_npasses(bits, n_passes)
-                        nbits_len = int(lblock[by, bx]) + int(
-                            np.floor(np.log2(n_passes))
-                        )
-                        need = max(len(data).bit_length(), 1)
-                        k = max(0, need - nbits_len)
-                        for _ in range(k):
-                            bits.put(1)
-                        bits.put(0)
-                        lblock[by, bx] += k
-                        nbits_len += k
-                        bits.put_bits(len(data), nbits_len)
-                        body += data
-            packets.append(bits.flush() + bytes(body))
+                    nbx = -(-arr.shape[1] // cb) if arr.shape[1] else 0
+                    nby = -(-arr.shape[0] // cb) if arr.shape[0] else 0
+                    if nbx == 0 or nby == 0:
+                        continue
+                    incl = TagTree(nbx, nby)
+                    incl.set_values(np.zeros((nby, nbx), dtype=np.int64))
+                    zbp = TagTree(nbx, nby)
+                    zvals = np.array(
+                        [mb - nb for (_d, nb, _np) in blocks], dtype=np.int64
+                    ).reshape(nby, nbx)
+                    zbp.set_values(zvals)
+                    lblock = np.full((nby, nbx), 3, dtype=np.int64)
+                    bi = 0
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            data, numbps, n_passes = blocks[bi]
+                            bi += 1
+                            incl.encode(bits, bx, by, 1)  # layer 0
+                            zbp.encode(bits, bx, by, 1 << 30)  # resolve
+                            _put_npasses(bits, n_passes)
+                            nbits_len = int(lblock[by, bx]) + int(
+                                np.floor(np.log2(n_passes))
+                            )
+                            need = max(len(data).bit_length(), 1)
+                            k = max(0, need - nbits_len)
+                            for _ in range(k):
+                                bits.put(1)
+                            bits.put(0)
+                            lblock[by, bx] += k
+                            nbits_len += k
+                            bits.put_bits(len(data), nbits_len)
+                            body += data
+                packets.append(bits.flush() + bytes(body))
+        tile_body = b"".join(packets)
+        psot = 12 + 2 + len(tile_body)  # SOT seg + SOD marker + body
+        sot = struct.pack(">HHIBB", 10, t, psot, 0, 1)
+        tile_parts.append(b"\xff\x90" + sot + b"\xff\x93" + tile_body)
 
     # ---- markers
     siz = struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * p, 0, w, h, 0, 0, w, h, 0, 0, p
+        ">HHIIIIIIIIH", 38 + 3 * p, 0, w, h, 0, 0, tile_w, tile_h, 0, 0, p
     ) + b"".join(struct.pack(">BBB", depth - 1, 1, 1) for _ in range(p))
     cod = struct.pack(
         ">HBBHBBBBBB", 12, 0, 0, 1, 0, levels,
@@ -1065,27 +1230,19 @@ def encode_jp2(
             struct.pack(">H", (eb << 11) | mu) for (eb, mu, _d) in qinfo
         )
     else:
-        eps = [band_mb[(0, 0, "LL")] - _GUARD + 1]
+        eps = [mb_of[(0, "LL")] - _GUARD + 1]
         for r in range(1, levels + 1):
             for bname in ("HL", "LH", "HH"):
-                eps.append(max(b for b in (
-                    band_mb[(c, r, bname)] for c in range(p)
-                )) - _GUARD + 1)
-        # component 0's band maxima may undershoot another component's: max
-        eps[0] = max(band_mb[(c, 0, "LL")] for c in range(p)) - _GUARD + 1
+                eps.append(mb_of[(r, bname)] - _GUARD + 1)
         qcd = struct.pack(">HB", 3 + n_sub, (_GUARD << 5) | 0) + bytes(
             max(e, 0) << 3 & 0xFF for e in eps
         )
-    tile_body = b"".join(packets)
-    psot = 12 + 2 + len(tile_body)  # SOT seg + SOD marker + body
-    sot = struct.pack(">HHIBB", 10, 0, psot, 0, 1)
     cs = (
         b"\xff\x4f"
         + b"\xff\x51" + siz
         + b"\xff\x52" + cod
         + b"\xff\x5c" + qcd
-        + b"\xff\x90" + sot
-        + b"\xff\x93" + tile_body
+        + b"".join(tile_parts)
         + b"\xff\xd9"
     )
     if not container:
@@ -1099,7 +1256,9 @@ def encode_jp2(
     return jp2_sig + ftyp + jp2h + jp2c
 
 
-def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
+def decode_jp2(
+    data: bytes, max_res: int | None = None, tile_idx: int | None = None
+) -> np.ndarray:
     """Lossless decode of this engine's JP2 profile -> (planes, h, w)
     uint8/uint16.  Out-of-profile features raise NotImplementedError with
     the feature named (see module scope note).
@@ -1110,7 +1269,13 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
     stopping after resolution r reconstructs the exact level-(L-r) LL
     image at 1/2^(L-r) scale from a PREFIX of the codestream — never
     decoding (or at cloud scale, never fetching) the fine-detail bytes.
-    max_res=0 reads only the coarsest LL packets."""
+    max_res=0 reads only the coarsest LL packets.
+
+    ``tile_idx`` decodes ONE tile of a tiled codestream (Isot raster
+    order) and returns just that tile's pixels: tiles are independently
+    entropy-coded, so only the indexed tile-part's bytes are touched —
+    combined with jp2_tile_index this is the tile-parallel executor read
+    path for a single huge scene."""
     meta = parse_jp2(data) if data[:2] != b"\xff\x4f" else None
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
@@ -1121,8 +1286,6 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
         raise NotImplementedError("user-defined precincts not supported")
     if m["cb_style"] != 0:
         raise NotImplementedError("code-block style flags (bypass/termall/...) not supported")
-    if m["tile_w"] < m["w"] or m["tile_h"] < m["h"]:
-        raise NotImplementedError("multi-tile codestreams not supported")
     if m["cb_w"] != m["cb_h"]:
         raise NotImplementedError("rectangular code-blocks not supported")
     if any(c["dx"] != 1 or c["dy"] != 1 for c in m["components"]):
@@ -1186,83 +1349,14 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
             delta_of[(r, bname)] = _delta(i, gain)
             i += 1
 
-    # tile body
-    body_start = sot_pos + 12 + 2  # SOT marker+seg (12) + SOD marker (2)
-    (psot,) = struct.unpack(">I", cs[sot_pos + 6 : sot_pos + 10])
-    stream = cs[body_start : sot_pos + psot]
-
-    # subband shapes replay the forward split arithmetic
-    shapes = [(h, w)]
-    for _ in range(levels):
-        hh, ww = shapes[-1]
-        shapes.append(((hh + 1) // 2, (ww + 1) // 2))
-    # bands[0]['LL'] has shape shapes[levels]; detail level r (resolution r)
-    # has LH/HL/HH shapes derived from shapes[levels - r + 1] split
-    comp_bands: list[list[dict]] = []
-    for c in range(p):
-        bl = [{"LL": np.zeros(shapes[levels], dtype=np.int64)}]
-        for r in range(1, levels + 1):
-            th, tw = shapes[levels - r]
-            a_w = (tw + 1) // 2
-            d_w = tw // 2
-            a_h = (th + 1) // 2
-            d_h = th // 2
-            bl.append(
-                {
-                    "HL": np.zeros((a_h, d_w), dtype=np.int64),
-                    "LH": np.zeros((d_h, a_w), dtype=np.int64),
-                    "HH": np.zeros((d_h, d_w), dtype=np.int64),
-                }
-            )
-        comp_bands.append(bl)
-
+    # tile grid + per-tile-part byte ranges (marker walk only)
+    grid = _tile_grid(h, w, m["tile_h"], m["tile_w"])
+    parts = {
+        isot: (off, ln) for isot, off, ln in jp2_tile_index(cs)
+    }
+    if not parts:
+        raise ValueError("no tile-part (SOT) in codestream")
     stop_res = levels if max_res is None else min(max_res, levels)
-    spos = 0
-    for r in range(stop_res + 1):
-        for c in range(p):
-            bits = _HeaderBits(stream[spos:])
-            if not bits.get():
-                spos += bits.align()
-                continue
-            todo = []
-            for bname, arr in _res_bands(comp_bands[c], r):
-                hh, ww = arr.shape
-                if hh == 0 or ww == 0:
-                    continue
-                nbx, nby = -(-ww // cb), -(-hh // cb)
-                incl = TagTree(nbx, nby)
-                zbp = TagTree(nbx, nby)
-                lblock = np.full((nby, nbx), 3, dtype=np.int64)
-                for by in range(nby):
-                    for bx in range(nbx):
-                        if not incl.decode(bits, bx, by, 1):
-                            continue
-                        zbp.decode(bits, bx, by, 1 << 30)
-                        pmiss = zbp.leaf_value(bx, by)
-                        numbps = mb_of[(r, bname)] - pmiss
-                        n_passes = _get_npasses(bits)
-                        nbits_len = int(lblock[by, bx]) + int(
-                            np.floor(np.log2(n_passes))
-                        )
-                        k = 0
-                        while bits.get():
-                            k += 1
-                        lblock[by, bx] += k
-                        nbits_len += k
-                        ln = bits.get_bits(nbits_len)
-                        todo.append((bname, arr, bx, by, numbps, ln))
-            hdr_len = bits.align()
-            spos += hdr_len
-            for bname, arr, bx, by, numbps, ln in todo:
-                blk_data = stream[spos : spos + ln]
-                spos += ln
-                y0, x0 = by * cb, bx * cb
-                bh = min(cb, arr.shape[0] - y0)
-                bw = min(cb, arr.shape[1] - x0)
-                arr[y0 : y0 + bh, x0 : x0 + bw] = decode_codeblock(
-                    blk_data, bh, bw, bname, numbps
-                )
-
     dt = np.uint8 if depth == 8 else np.uint16
 
     def _dequant(bl: list[dict]) -> list[dict]:
@@ -1287,13 +1381,85 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
             return np.rint(inv_dwt97(_dequant(bl), shape))
         return inv_dwt53(bl, shape)
 
-    if stop_res < levels:
-        # partial reconstruction: invert only the decoded resolutions; the
-        # result is the exact (5/3) / dequantized (9/7) level-(levels -
-        # stop_res) LL approximation — the 9/7 LL keeps the input's nominal
-        # range (table E.1 gain 0), so no extra scaling applies
+    def _decode_tile(t: int) -> np.ndarray:
+        """Decode tile-part Isot=t -> (p, oh, ow): only this tile's bytes
+        are entropy-decoded (tiles are independently coded)."""
+        off, ln = parts[t]
+        stream = cs[off + 12 + 2 : off + ln]  # skip SOT seg + SOD marker
+        th, tw = grid[t][4], grid[t][5]
+
+        # subband shapes replay the forward split arithmetic per tile
+        shapes = [(th, tw)]
+        for _ in range(levels):
+            hh, ww = shapes[-1]
+            shapes.append(((hh + 1) // 2, (ww + 1) // 2))
+        comp_bands: list[list[dict]] = []
+        for c in range(p):
+            bl = [{"LL": np.zeros(shapes[levels], dtype=np.int64)}]
+            for r in range(1, levels + 1):
+                sh, sw = shapes[levels - r]
+                a_w, d_w = (sw + 1) // 2, sw // 2
+                a_h, d_h = (sh + 1) // 2, sh // 2
+                bl.append(
+                    {
+                        "HL": np.zeros((a_h, d_w), dtype=np.int64),
+                        "LH": np.zeros((d_h, a_w), dtype=np.int64),
+                        "HH": np.zeros((d_h, d_w), dtype=np.int64),
+                    }
+                )
+            comp_bands.append(bl)
+
+        spos = 0
+        for r in range(stop_res + 1):
+            for c in range(p):
+                bits = _HeaderBits(stream[spos:])
+                if not bits.get():
+                    spos += bits.align()
+                    continue
+                todo = []
+                for bname, arr in _res_bands(comp_bands[c], r):
+                    hh, ww = arr.shape
+                    if hh == 0 or ww == 0:
+                        continue
+                    nbx, nby = -(-ww // cb), -(-hh // cb)
+                    incl = TagTree(nbx, nby)
+                    zbp = TagTree(nbx, nby)
+                    lblock = np.full((nby, nbx), 3, dtype=np.int64)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            if not incl.decode(bits, bx, by, 1):
+                                continue
+                            zbp.decode(bits, bx, by, 1 << 30)
+                            pmiss = zbp.leaf_value(bx, by)
+                            numbps = mb_of[(r, bname)] - pmiss
+                            n_passes = _get_npasses(bits)
+                            nbits_len = int(lblock[by, bx]) + int(
+                                np.floor(np.log2(n_passes))
+                            )
+                            k = 0
+                            while bits.get():
+                                k += 1
+                            lblock[by, bx] += k
+                            nbits_len += k
+                            ln2 = bits.get_bits(nbits_len)
+                            todo.append((bname, arr, bx, by, numbps, ln2))
+                hdr_len = bits.align()
+                spos += hdr_len
+                for bname, arr, bx, by, numbps, ln2 in todo:
+                    blk_data = stream[spos : spos + ln2]
+                    spos += ln2
+                    y0, x0 = by * cb, bx * cb
+                    bh = min(cb, arr.shape[0] - y0)
+                    bw = min(cb, arr.shape[1] - x0)
+                    arr[y0 : y0 + bh, x0 : x0 + bw] = decode_codeblock(
+                        blk_data, bh, bw, bname, numbps
+                    )
+
+        # partial reconstruction inverts only the decoded resolutions: the
+        # exact (5/3) / dequantized (9/7) level-(levels - stop_res) LL —
+        # the 9/7 LL keeps the input's nominal range (table E.1 gain 0)
         oh, ow = shapes[levels - stop_res]
-        out = np.stack(
+        return np.stack(
             [
                 np.clip(
                     _invert(comp_bands[c][: stop_res + 1], (oh, ow)) + shift,
@@ -1301,12 +1467,24 @@ def decode_jp2(data: bytes, max_res: int | None = None) -> np.ndarray:
                 )
                 for c in range(p)
             ]
-        )
-        return out.astype(dt)
-    out = np.stack(
-        [
-            np.clip(_invert(comp_bands[c], (h, w)) + shift, 0, (1 << depth) - 1)
-            for c in range(p)
-        ]
-    )
-    return out.astype(dt)
+        ).astype(dt)
+
+    if tile_idx is not None:
+        return _decode_tile(tile_idx)
+
+    # mosaic: per-tile decodes pasted at (possibly coarse-scale) offsets
+    def _coarse(n: int) -> int:
+        for _ in range(levels - stop_res):
+            n = (n + 1) // 2
+        return n
+
+    ntx = (w + m["tile_w"] - 1) // m["tile_w"]
+    nty = (h + m["tile_h"] - 1) // m["tile_h"]
+    row_h = [_coarse(grid[ty * ntx][4]) for ty in range(nty)]
+    col_w = [_coarse(grid[tx][5]) for tx in range(ntx)]
+    out = np.zeros((p, sum(row_h), sum(col_w)), dtype=dt)
+    for t, (ty, tx, _y0, _x0, _th, _tw) in enumerate(grid):
+        dec = _decode_tile(t)
+        yo, xo = sum(row_h[:ty]), sum(col_w[:tx])
+        out[:, yo : yo + dec.shape[1], xo : xo + dec.shape[2]] = dec
+    return out

@@ -296,3 +296,98 @@ def test_jp2_lossy_qcd_guards():
         jp2.decode_jp2(bytes(lossy))
     with pytest.raises(ValueError, match="wavelet"):
         jp2.encode_jp2(img, wavelet="7/5")
+
+
+# ------------------------------------------------------------ multi-tile
+def test_jp2_multitile_lossless_roundtrip():
+    """Tiled codestreams (one SOT/SOD tile-part per tile, shared main-header
+    QCD across tiles): bit-exact round trip including clipped edge tiles."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(2, 100, 130)).astype(np.uint8)
+    for tile in (64, 48):
+        data = jp2.encode_jp2(img, levels=2, tile=tile)
+        assert np.array_equal(jp2.decode_jp2(data), img)
+        meta = jp2.parse_codestream_header(jp2.parse_jp2(data)["codestream"])
+        assert meta["tile_w"] == min(tile, 130)
+
+
+def test_jp2_tile_index_and_single_tile_decode():
+    """jp2_tile_index walks only marker segments to the per-tile byte
+    ranges; decode_jp2(tile_idx=) decodes exactly one tile's pixels — the
+    ranged-read unit an executor fetches for tile-parallel decode of one
+    huge scene."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 4096, size=(1, 100, 130)).astype(np.uint16)
+    data = jp2.encode_jp2(img, levels=2, tile=48)
+    idx = jp2.jp2_tile_index(data)
+    assert [i for i, _o, _l in idx] == list(range(9))  # 3x3 grid, Isot order
+    grid = jp2._tile_grid(100, 130, 48, 48)
+    # byte ranges tile the tile-part region: each starts with an SOT marker
+    for _i, off, ln in idx:
+        assert data[off : off + 2] == b"\xff\x90"
+    for t, (_ty, _tx, y0, x0, th, tw) in enumerate(grid):
+        sub = jp2.decode_jp2(data, tile_idx=t)
+        assert np.array_equal(sub, img[:, y0 : y0 + th, x0 : x0 + tw])
+
+
+def test_jp2_multitile_lossy_and_overview():
+    """The 9/7 profile and resolution-progressive reads compose with
+    tiling: per-tile quantized transforms mosaic back with bounded error,
+    and max_res pastes per-tile coarse LLs at coarse offsets."""
+    yy, xx = np.mgrid[0:96, 0:128]
+    img = (120 + 60 * np.sin(yy / 9.0) + 50 * np.cos(xx / 11.0)).astype(
+        np.uint8
+    )[None]
+    data = jp2.encode_jp2(img, levels=2, wavelet="9/7", qstep=0.5, tile=64)
+    dec = jp2.decode_jp2(data)
+    assert np.abs(dec.astype(np.int64) - img.astype(np.int64)).max() <= 2
+    ov = jp2.decode_jp2(data, max_res=0)
+    assert ov.shape == (1, 24, 32)
+    # tiled overview == mosaic of per-tile overviews (same code path as a
+    # distributed coarse read)
+    d53 = jp2.encode_jp2(img, levels=2, tile=64)
+    ov53 = jp2.decode_jp2(d53, max_res=1)
+    assert ov53.shape == (1, 48, 64)
+
+
+def test_jp2_scene_tiles_distributed(spark, tmp_path):
+    """Tile-parallel scene decode (operators/raster.jp2_scene_tiles): the
+    index stage emits narrow split descriptors, the decode stage ranged-
+    reads ONE tile-part per row, and the reassembled mosaic is bit-exact.
+    max_res composes (per-tile coarse LLs)."""
+    from eoreader_spark.operators import raster
+
+    rng = np.random.RandomState(21)
+    paths = []
+    imgs = {}
+    for j in range(2):
+        img = rng.randint(0, 256, size=(2, 100, 130)).astype(np.uint8)
+        p = str(tmp_path / f"scene{j}.jp2")
+        with open(p, "wb") as f:
+            f.write(jp2.encode_jp2(img, levels=2, tile=48))
+        paths.append((f"sc{j}", p))
+        imgs[f"sc{j}"] = img
+    files = spark.createDataFrame(paths, "image_id string, path string")
+
+    out = raster.jp2_scene_tiles(files, plane=1)
+    rows = out.collect()
+    assert len(rows) == 2 * 9  # 3x3 grid per scene
+    grid = jp2._tile_grid(100, 130, 48, 48)
+    for r in rows:
+        t = next(
+            i for i, (ty, tx, *_rest) in enumerate(grid)
+            if tx == r.tile_x and ty == r.tile_y
+        )
+        _ty, _tx, y0, x0, th, tw = grid[t]
+        want = imgs[r.image_id][1, y0 : y0 + th, x0 : x0 + tw]
+        assert (r.th, r.tw) == (th, tw)
+        assert np.array_equal(
+            np.asarray(r.px, dtype=np.float32).reshape(th, tw), want
+        ), (r.image_id, t)
+
+    # coarse read: every tile decodes only its LL prefix
+    ov = raster.jp2_scene_tiles(files, plane=0, max_res=0).collect()
+    assert all(r.th == -(-g[4] // 4) for r, g in
+               [(r, grid[next(i for i, g in enumerate(grid)
+                              if g[1] == r.tile_x and g[0] == r.tile_y)])
+                for r in ov])
