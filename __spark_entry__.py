@@ -2831,13 +2831,23 @@ def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         from eoreader_spark import codecs as _c
 
+        from eoreader_spark.sources import jpegc as _jc
+
         for pdf in it:
             rows = []
             for j in pdf["id"].astype("int64"):
                 j = int(j)
                 h, w = (64, 64) if j % 2 == 0 else (128, 64)
                 img = _c.make_image(j, h, w, planes=3)
-                rows.append((f"jfif{j:03d}", _c.encode(img, "jfif"), w, h, "jfif"))
+                # odd ids carry DRI/RSTn restart intervals — decoded pixels
+                # are identical (pinned by test_jfif), so the same replay
+                # oracle covers both wire layouts on the driver gate
+                data = (
+                    _jc.encode_jfif(img, 95, restart_interval=8)
+                    if j % 2
+                    else _c.encode(img, "jfif")
+                )
+                rows.append((f"jfif{j:03d}", data, w, h, "jfif"))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     images = spark.range(6, numPartitions=2).mapInPandas(

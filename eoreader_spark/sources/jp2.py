@@ -920,6 +920,28 @@ def _get_npasses(bits: _HeaderBits) -> int:
     return 37 + bits.get_bits(7)
 
 
+def _qcd_derived(depth: int, levels: int, qstep: float) -> list[tuple[int, int, float]]:
+    """Scalar-derived quantization table (Sqcd style 1, Annex E.1.1): ONE
+    coded (ε0, μ0) pair; every subband derives ε_b = ε0 − N_L + n_b (n_b =
+    the subband's decomposition-level count, so detail bands at resolution
+    r share ε0 − (r−1)) and μ_b = μ0, while R_b keeps the per-band gain —
+    equation E-5's Δb = 2^(Rb−εb)·(1+μb/2^11).  Returned in QCD subband
+    order like _qcd_expounded; only out[0]'s (ε, μ) is written to the
+    codestream."""
+    import math
+
+    n = math.floor(math.log2(qstep))
+    mu = min(2047, max(0, round((qstep / 2.0**n - 1.0) * 2048)))
+    e0 = min(31, max(0, depth - n))
+    out = [(e0, mu, 2.0 ** (depth - e0) * (1.0 + mu / 2048.0))]
+    for r in range(1, levels + 1):
+        eb = max(0, e0 - (r - 1))
+        for gain in (1, 1, 2):
+            rb = depth + gain
+            out.append((eb, mu, 2.0 ** (rb - eb) * (1.0 + mu / 2048.0)))
+    return out
+
+
 def _qcd_expounded(depth: int, levels: int, qstep: float) -> list[tuple[int, int, float]]:
     """Scalar-expounded quantization table (Annex E.1): one (εb, μb, Δb)
     per subband in QCD order (LL, then HL/LH/HH per resolution).  Δb =
@@ -1076,6 +1098,7 @@ def decode_jp2_part(header: bytes, part: bytes, isot: int,
 def encode_jp2(
     img: np.ndarray, levels: int = 2, cb: int = 64, container: bool = True,
     wavelet: str = "5/3", qstep: float = 0.5, tile: int | None = None,
+    qcd_style: int = 2,
 ) -> bytes:
     """(planes, h, w) uint8/uint16 -> JPEG 2000 (JP2 container or raw
     codestream): single layer, LRCP, MQ-coded EBCOT code-blocks, tag-tree
@@ -1100,7 +1123,13 @@ def encode_jp2(
     tile_w = min(tile, w) if tile else w
     tile_h = min(tile, h) if tile else h
     grid = _tile_grid(h, w, tile_h, tile_w)
-    qinfo = _qcd_expounded(depth, levels, qstep) if lossy else None
+    if lossy and qcd_style not in (1, 2):
+        raise ValueError("qcd_style must be 1 (derived) or 2 (expounded)")
+    qinfo = (
+        (_qcd_derived if qcd_style == 1 else _qcd_expounded)(depth, levels, qstep)
+        if lossy
+        else None
+    )
 
     # pass 1 — per tile: wavelet transform (+ quantize) and EBCOT-encode
     # every code-block; record per-(tile, comp, band) max bit-depth
@@ -1224,7 +1253,13 @@ def encode_jp2(
         0 if lossy else 1,
     )
     n_sub = 3 * levels + 1
-    if lossy:
+    if lossy and qcd_style == 1:
+        # scalar derived (Sqcd style 1): ONE 16-bit (ε0<<11 | μ0) value
+        e0, mu0, _d0 = qinfo[0]
+        qcd = struct.pack(">HB", 5, (_GUARD << 5) | 1) + struct.pack(
+            ">H", (e0 << 11) | mu0
+        )
+    elif lossy:
         # scalar expounded (Sqcd style 2): 16 bits (εb<<11 | μb) per subband
         qcd = struct.pack(">HB", 3 + 2 * n_sub, (_GUARD << 5) | 2) + b"".join(
             struct.pack(">H", (eb << 11) | mu) for (eb, mu, _d) in qinfo
@@ -1318,19 +1353,26 @@ def decode_jp2(
             if qstyle == 0:  # no quantization (reversible)
                 eps = [b >> 3 for b in seg[1:]]
                 mus = [0] * len(eps)
+            elif qstyle == 1:  # scalar derived: one (ε0, μ0), E.1.1 expand
+                (v,) = struct.unpack(">H", seg[1:3])
+                e0, mu0 = v >> 11, v & 0x7FF
+                eps, mus = [e0], [mu0]
+                for r in range(1, levels + 1):
+                    eps.extend([max(0, e0 - (r - 1))] * 3)
+                    mus.extend([mu0] * 3)
             elif qstyle == 2:  # scalar expounded: (εb<<11 | μb) per subband
                 vals = struct.unpack(f">{(len(seg) - 1) // 2}H", seg[1:])
                 eps = [v >> 11 for v in vals]
                 mus = [v & 0x7FF for v in vals]
             else:
                 raise NotImplementedError(
-                    "scalar-derived (Sqcd style 1) quantization not supported"
+                    f"Sqcd quantization style {qstyle} not supported"
                 )
         pos += 2 + seglen
     if sot_pos is None:
         raise ValueError("no tile-part (SOT) in codestream")
-    if lossy and qstyle != 2:
-        raise NotImplementedError("9/7 wavelet requires scalar-expounded QCD")
+    if lossy and qstyle not in (1, 2):
+        raise NotImplementedError("9/7 wavelet requires scalar (derived/expounded) QCD")
     if not lossy and qstyle != 0:
         raise NotImplementedError("5/3 reversible wavelet with quantization not supported")
     mb_of = {}

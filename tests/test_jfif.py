@@ -149,3 +149,44 @@ def test_420_requires_three_planes():
 def test_444_unchanged_by_new_param():
     img = codecs.make_image(3, 64, 64, planes=3)
     assert jpegc.encode_jfif(img, 95) == jpegc.encode_jfif(img, 95, subsampling="444")
+
+
+def test_restart_markers_444_and_420():
+    """DRI/RSTn (round 5): restart intervals byte-align the entropy stream
+    and reset DC predictors every Ri MCUs; decoded pixels are IDENTICAL to
+    the no-restart encoding in both scan layouts, and the markers are
+    really in the file."""
+    img = codecs.make_image(11, 72, 88, planes=3)
+    base444 = jpegc.decode_jfif(jpegc.encode_jfif(img, 95))
+    base420 = jpegc.decode_jfif(jpegc.encode_jfif(img, 95, subsampling="420"))
+    for ri in (1, 5, 17):
+        d = jpegc.encode_jfif(img, 95, restart_interval=ri)
+        assert b"\xff\xdd" in d and b"\xff\xd0" in d
+        assert np.array_equal(jpegc.decode_jfif(d), base444), ri
+    for ri in (1, 3, 7):
+        d = jpegc.encode_jfif(img, 95, subsampling="420", restart_interval=ri)
+        assert np.array_equal(jpegc.decode_jfif(d), base420), ri
+
+
+def test_restart_marker_resync_recovers_tail():
+    """The POINT of restart markers: a byte corrupted inside one interval
+    cannot damage blocks past the next RSTm.  Corrupt the middle segment's
+    data and check the final interval still decodes identically (per-block
+    mismatches stay confined to the corrupted interval's block range)."""
+    img = codecs.make_image(13, 64, 64, planes=1)
+    d = bytearray(jpegc.encode_jfif(img, 95, restart_interval=16))
+    clean = jpegc.decode_jfif(bytes(d))
+    # find the first RST0 marker and flip a scan byte just after it
+    i = bytes(d).find(b"\xff\xd0")
+    assert i > 0
+    j = i + 6
+    if d[j] == 0xFF or d[j + 1] == 0xFF:  # don't fabricate a marker
+        j += 2
+    d[j] ^= 0x55
+    try:
+        hurt = jpegc.decode_jfif(bytes(d))
+    except ValueError:
+        return  # detected corruption is also acceptable containment
+    # blocks before the corrupted interval and after the NEXT marker match
+    assert np.array_equal(hurt[:, :16, :], clean[:, :16, :])
+    assert np.array_equal(hurt[:, 40:, :], clean[:, 40:, :])

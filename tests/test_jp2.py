@@ -391,3 +391,32 @@ def test_jp2_scene_tiles_distributed(spark, tmp_path):
                [(r, grid[next(i for i, g in enumerate(grid)
                               if g[1] == r.tile_x and g[0] == r.tile_y)])
                 for r in ov])
+
+
+def test_jp2_lossy_derived_quantization():
+    """Sqcd style 1 (scalar derived, Annex E.1.1): one coded (eps0, mu0),
+    every subband derives eps_b = eps0 - (r - 1) with mu shared — a 5-byte
+    QCD instead of 2 per subband.  Round-trips in both profiles' tooling:
+    plain, tiled and overview reads."""
+    yy, xx = np.mgrid[0:80, 0:96]
+    img = (120 + 60 * np.sin(yy / 9.0) + 50 * np.cos(xx / 11.0)).astype(
+        np.uint8
+    )[None]
+    data = jp2.encode_jp2(img, levels=3, wavelet="9/7", qstep=0.25, qcd_style=1)
+    dec = jp2.decode_jp2(data)
+    assert np.abs(dec.astype(np.int64) - img.astype(np.int64)).max() <= 1
+    # QCD is the 5-byte single-value form
+    i = data.find(b"\xff\x5c")
+    assert data[i + 2 : i + 4] == b"\x00\x05"
+    assert data[i + 4] & 0x1F == 1
+    # derived composes with tiling and coarse reads
+    im16 = ((yy * 131 + xx * 57) % 4096).astype(np.uint16)[None]
+    d2 = jp2.encode_jp2(
+        im16, levels=2, wavelet="9/7", qstep=1.0, qcd_style=1, tile=48
+    )
+    assert np.abs(
+        jp2.decode_jp2(d2).astype(np.int64) - im16.astype(np.int64)
+    ).max() <= 8
+    assert jp2.decode_jp2(data, max_res=1).shape == (1, 20, 24)
+    with pytest.raises(ValueError, match="qcd_style"):
+        jp2.encode_jp2(img, wavelet="9/7", qcd_style=3)
