@@ -5,8 +5,9 @@ Reference analog: eoreader's raster read/write layer
 COG encode).  The container has no rasterio/PIL/libjpeg, so:
 
 - ``raw8``  : planes.tobytes() of a (PLANES, h, w) uint8 array — exact.
-- ``png``   : a REAL minimal PNG codec (8-bit RGB, zlib, filters 0-2) written
-              here from the public PNG spec — exact round-trip.
+- ``png``   : a REAL minimal PNG codec (8-bit RGB, zlib, all five scanline
+              filters) written here from the public PNG spec — exact
+              round-trip.
 - ``jpeg``  : DETERMINISTIC FAKE lossy codec ("qjpg"): uniform quantization by
               Q=3 + zlib.  Kept because its closed form (round(v/3)*3) is
               SQL-replayable, which the value-exact gate oracles rely on.
@@ -96,7 +97,8 @@ def encode_png(img: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
-    """Decode 8-bit RGB PNG with filters 0 (None), 1 (Sub), 2 (Up)."""
+    """Decode 8-bit RGB PNG — filters 0 None / 1 Sub / 2 Up / 3 Average /
+    4 Paeth (RFC 2083 §6)."""
     assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
     pos = 8
     idat = []
@@ -134,6 +136,21 @@ def decode_png(data: bytes, h: int | None = None, w: int | None = None) -> np.nd
                 rec[c] = (rec[c] + rec[c - 3]) & 0xFF
         elif f == 2:  # Up
             rec = (line + prev) & 0xFF
+        elif f == 3:  # Average: left/up dependency chain forces per-pixel x
+            rec = line.copy()
+            for c in range(stride):
+                left = rec[c - 3] if c >= 3 else 0
+                rec[c] = (rec[c] + ((left + prev[c]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor (RFC 2083 §6.6)
+            rec = line.copy()
+            for c in range(stride):
+                a = rec[c - 3] if c >= 3 else 0
+                b = prev[c]
+                cc = prev[c - 3] if c >= 3 else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[c] = (rec[c] + pred) & 0xFF
         else:
             raise NotImplementedError(f"PNG filter {f} not supported")
         out[r] = rec.astype(np.uint8)

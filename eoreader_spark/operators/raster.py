@@ -78,7 +78,10 @@ def multi_plane_tiles(images: DataFrame, planes: list[int], tile: int = TILE) ->
 
 
 def jp2_scene_tiles(
-    files: DataFrame, plane: int = 0, max_res: int | None = None
+    files: DataFrame,
+    plane: int = 0,
+    max_res: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Tile-parallel decode of TILED JPEG 2000 scenes — the split-plan scan
     for the case where ONE scene is too big for one task (the reference's
@@ -125,9 +128,16 @@ def jp2_scene_tiles(
         schema="image_id string, path string, isot int, off long, ln long, "
                "tile_x int, tile_y int, th int, tw int",
     )
-    # descriptors spread across the cluster; hash on (image_id, isot) so
-    # one scene's tiles land on MANY executors
-    splits = splits.repartition("image_id", "isot")
+    # descriptors spread across the cluster; hash on (image_id, isot) so one
+    # scene's tiles land on MANY executors.  The partition count MUST be
+    # explicit: descriptor rows are a few dozen bytes, so AQE's size-based
+    # coalescing would otherwise fold the whole shuffle into ONE partition
+    # and serialize the expensive decode stage (measured: 512 tiles ran at
+    # single-core speed).  Explicit repartition(n, cols) is exempt from AQE
+    # coalescing; size by decode cost, not by bytes.
+    if parallelism is None:
+        parallelism = files.sparkSession.sparkContext.defaultParallelism * 2
+    splits = splits.repartition(parallelism, "image_id", "isot")
 
     def decode_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from eoreader_spark.sources import jp2 as _jp2

@@ -27,7 +27,8 @@ def test_pixel_fn_is_closed_form():
 
 
 def test_png_decoder_handles_filters():
-    # decoder must handle Sub/Up filtered rows, not just our encoder's filter 0
+    # decoder must handle every spec filter (None/Sub/Up/Average/Paeth),
+    # not just our encoder's filter 0
     import struct
     import zlib
 
@@ -35,16 +36,34 @@ def test_png_decoder_handles_filters():
     rgb = np.transpose(img, (1, 2, 0)).reshape(16, 48).astype(np.int32)
     rows = []
     for r in range(16):
-        if r % 3 == 0:
+        prev = rgb[r - 1] if r > 0 else np.zeros(48, dtype=np.int32)
+        if r % 5 == 0:
             rows.append(b"\x00" + rgb[r].astype(np.uint8).tobytes())
-        elif r % 3 == 1:  # Sub
+        elif r % 5 == 1:  # Sub
             line = rgb[r].copy()
             enc = line.copy()
             enc[3:] = (line[3:] - line[:-3]) & 0xFF
             rows.append(b"\x01" + enc.astype(np.uint8).tobytes())
-        else:  # Up
-            enc = (rgb[r] - rgb[r - 1]) & 0xFF
+        elif r % 5 == 2:  # Up
+            enc = (rgb[r] - prev) & 0xFF
             rows.append(b"\x02" + enc.astype(np.uint8).tobytes())
+        elif r % 5 == 3:  # Average
+            line = rgb[r]
+            left = np.concatenate([[0, 0, 0], line[:-3]])
+            enc = (line - ((left + prev) >> 1)) & 0xFF
+            rows.append(b"\x03" + enc.astype(np.uint8).tobytes())
+        else:  # Paeth
+            line = rgb[r]
+            enc = np.empty(48, dtype=np.int32)
+            for c in range(48):
+                a = line[c - 3] if c >= 3 else 0
+                b = prev[c]
+                cc = prev[c - 3] if c >= 3 else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[c] = (line[c] - pred) & 0xFF
+            rows.append(b"\x04" + enc.astype(np.uint8).tobytes())
     ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 0)
     data = (
         b"\x89PNG\r\n\x1a\n"

@@ -100,3 +100,101 @@ class TestSparkPath:
         assert out["w0"] == out["f0"]
         assert out["f0"][0] == 2048
         assert out["f0"][1] == int(pcm.sum())
+
+
+class TestLpcStereo:
+    """Round-5 subset expansion: LPC subframes, stereo assignments,
+    wasted-bits decode."""
+
+    def test_lpc_mono_lossless(self):
+        sig = _sine(10000) + (np.arange(10000) % 17)
+        back, sr = flacc.decode_flac(flacc.encode_flac(sig, 16000, lpc_order=8))
+        assert sr == 16000
+        assert np.array_equal(back, sig)
+
+    def test_lpc_subframe_actually_emitted(self):
+        # type byte of the first subframe must be LPC (0b1xxxxx), not FIXED
+        sig = _sine(4096)
+        data = flacc.encode_flac(sig, 16000, lpc_order=6)
+        # find first frame: fLaC + 4-byte block hdr + 34 STREAMINFO
+        fr = 4 + 4 + 34
+        assert data[fr] == 0xFF and (data[fr + 1] & 0xFC) == 0xF8
+        # frame hdr: 4 fixed bytes + utf8(0)=1 byte + crc8 = 6 bytes
+        sub0 = data[fr + 6]
+        stype = (sub0 >> 1) & 0x3F
+        assert stype & 0b100000, f"expected LPC subframe, got type {stype:#08b}"
+        assert (stype & 0x1F) + 1 == 6
+
+    @pytest.mark.parametrize(
+        "mode", ["auto", "independent", "left-side", "right-side", "mid-side"]
+    )
+    def test_stereo_lossless_all_modes(self, mode):
+        rng = np.random.default_rng(3)
+        l = _sine(8000) + rng.integers(-50, 50, 8000)
+        r = (l * 0.7).astype(np.int64) + rng.integers(-30, 30, 8000)
+        st = np.stack([l, r])
+        back, sr = flacc.decode_flac(flacc.encode_flac(st, 22050, stereo_mode=mode))
+        assert back.shape == (2, 8000)
+        assert np.array_equal(back, st)
+
+    def test_stereo_auto_picks_cheapest(self):
+        rng = np.random.default_rng(3)
+        l = _sine(8000) + rng.integers(-50, 50, 8000)
+        r = (l * 0.7).astype(np.int64) + rng.integers(-30, 30, 8000)
+        st = np.stack([l, r])
+        sizes = {
+            m: len(flacc.encode_flac(st, 22050, stereo_mode=m))
+            for m in ("auto", "independent", "left-side", "right-side", "mid-side")
+        }
+        assert sizes["auto"] == min(sizes.values())
+
+    def test_stereo_extremes_and_correlated_side_width(self):
+        # side = l - r needs bps+1 bits at the rails
+        ex = np.array([[-32768, 32767, 0, 100], [32767, -32768, -1, -100]],
+                      dtype=np.int64)
+        back, _ = flacc.decode_flac(flacc.encode_flac(ex, 8000))
+        assert np.array_equal(back, ex)
+
+    def test_stereo_lpc_lossless(self):
+        rng = np.random.default_rng(11)
+        l = _sine(6000, step=0.02) + rng.integers(-9, 9, 6000)
+        st = np.stack([l, -l // 2])
+        back, _ = flacc.decode_flac(flacc.encode_flac(st, 22050, lpc_order=4))
+        assert np.array_equal(back, st)
+
+    def test_wasted_bits_decode(self):
+        """Hand-build a one-frame mono stream whose VERBATIM subframe uses
+        3 wasted bits; the decoder must shift samples back up."""
+        sig = (np.array([5, -3, 7, 0, -8, 2, 1, -1], dtype=np.int64)) << 3
+        n, bps, w = len(sig), 16, 3
+        hdr = bytearray([0xFF, 0xF8, (6 << 4) | 0, (0 << 4) | (0b100 << 1)])
+        hdr += flacc._utf8_number(0) + bytes([n - 1])
+        hdr.append(flacc._crc8(bytes(hdr)))
+        bw = flacc._BitWriter()
+        bw.write(0, 1)                    # pad
+        bw.write(0b000001, 6)             # VERBATIM
+        bw.write(1, 1)                    # wasted flag
+        bw.write(1, w - 1 + 1)            # unary(w-1): two 0s then a 1
+        for s in sig >> w:
+            bw.write(int(s), bps - w)
+        bw.align()
+        body = bytes(hdr) + bw.getvalue()
+        frame = body + flacc._crc16(body).to_bytes(2, "big")
+        si = bytearray(34)
+        si[0:2] = si[2:4] = n.to_bytes(2, "big")
+        si[10] = (8000 >> 12) & 0xFF
+        si[11] = (8000 >> 4) & 0xFF
+        si[12] = ((8000 & 0xF) << 4) | (0 << 1) | ((bps - 1) >> 4)
+        si[13] = ((bps - 1) & 0x0F) << 4
+        si[14:18] = n.to_bytes(4, "big")
+        import hashlib
+
+        si[18:34] = hashlib.md5(sig.astype("<i2").tobytes()).digest()
+        data = b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(si) + frame
+        back, sr = flacc.decode_flac(data)
+        assert sr == 8000
+        assert np.array_equal(back, sig)
+
+    def test_three_channels_rejected(self):
+        with pytest.raises(ValueError, match=r"\(2, n\)"):
+            flacc.encode_flac(np.zeros((3, 100), dtype=np.int64), 8000)

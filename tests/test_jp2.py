@@ -420,3 +420,29 @@ def test_jp2_lossy_derived_quantization():
     assert jp2.decode_jp2(data, max_res=1).shape == (1, 20, 24)
     with pytest.raises(ValueError, match="qcd_style"):
         jp2.encode_jp2(img, wavelet="9/7", qcd_style=3)
+
+
+def test_jp2_scene_tiles_decode_stage_stays_parallel(spark, tmp_path):
+    """The descriptor shuffle must pin an EXPLICIT partition count: the
+    rows are a few dozen bytes, so AQE's size-based coalescing would fold
+    the shuffle into one partition and serialize the expensive decode stage
+    (measured: 512 tiles at single-core speed before the fix)."""
+    from pyspark.sql import functions as F
+
+    from eoreader_spark.operators import raster
+
+    img = np.random.RandomState(3).randint(0, 256, (1, 96, 96)).astype(np.uint8)
+    p = str(tmp_path / "s.jp2")
+    with open(p, "wb") as f:
+        f.write(jp2.encode_jp2(img, levels=1, tile=48))
+    files = spark.createDataFrame([("a", p)], "image_id string, path string")
+    out = raster.jp2_scene_tiles(files, plane=0, parallelism=4)
+    # explicit repartition(n, cols) must survive into the physical plan
+    # (REPARTITION_BY_NUM exchanges are exempt from AQE coalescing)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # and the decode stage actually runs in >1 task even under AQE
+    nparts = (
+        out.select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert nparts > 1

@@ -55,6 +55,28 @@ datagen.gen_images(spark, n, partitions=256).write.mode("overwrite").parquet(out
 datagen.gen_tiles(spark, n).write.mode("overwrite").parquet(out + "/tiles.parquet")
 datagen.gen_aoi(spark, n).write.mode("overwrite").parquet(out + "/aoi.parquet")
 datagen.gen_dem(spark, n // 4).write.mode("overwrite").parquet(out + "/dem.parquet")
+
+# 8 tiled JP2 scenes (512x512, 64px tiles -> 64 tile-parts each) for the
+# round-5 tile-parallel scene-decode stage; encoded in parallel once
+import os
+jd = out + "/jp2scenes"
+os.makedirs(jd, exist_ok=True)
+def _genj(it):
+    import numpy as np
+    import pandas as pd
+    from eoreader_spark.sources import jp2 as _jp2
+    for pdf in it:
+        for j in pdf["id"].astype("int64"):
+            j = int(j)
+            yy, xx = np.mgrid[0:512, 0:512]
+            img = (
+                120 + 60 * np.sin(yy / (7.0 + j)) + 50 * np.cos(xx / 11.0)
+                + ((yy * 13 + xx * 7 + j) % 14)
+            ).astype(np.uint8)[None]
+            with open(f"{jd}/scene{j:02d}.jp2", "wb") as f:
+                f.write(_jp2.encode_jp2(img, levels=2, tile=64))
+        yield pd.DataFrame({"n": [len(pdf)]})
+spark.range(8, numPartitions=8).mapInPandas(_genj, schema="n long").count()
 print("SETUP done")
 """
 
@@ -118,6 +140,21 @@ def run_stencil_blocked():
 t_stencil_blk = best(run_stencil_blocked, reps=2)
 demb.unpersist()
 
+# round-5 stage: tile-parallel decode of SINGLE scenes (8 files x 64
+# independently-coded JP2 tile-parts).  The two-stage split plan: a seek
+# index emits narrow descriptors, descriptors repartition (image bytes
+# never shuffle), each task ranged-reads + entropy-decodes one tile.
+import glob as _glob
+from eoreader_spark.operators import raster
+jfiles = sorted(_glob.glob(base + "/jp2scenes/*.jp2"))
+fdf = spark.createDataFrame(
+    [(f"sc{i}", p) for i, p in enumerate(jfiles)], "image_id string, path string"
+)
+n_jp2 = [0]
+def run_jp2():
+    n_jp2[0] = raster.jp2_scene_tiles(fdf, plane=0).count()
+t_jp2 = best(run_jp2, reps=2) if jfiles else None
+
 def cpu_kernel(it):
     import pandas as pd
     for pdf in it:
@@ -136,6 +173,8 @@ print("RESULT " + json.dumps({
     "cpus": cpus, "n_assign": n_assign[0], "n_dem_tiles": n_dem[0],
     "t_index": t_index, "t_assign": t_assign, "t_stencil": t_stencil,
     "t_stencil_bucketed": t_stencil_bkt, "t_stencil_blocked": t_stencil_blk, "t_cpu_kernel": t_cpu,
+    "t_jp2tile": t_jp2, "n_jp2_tiles": n_jp2[0],
+    "jp2_tiles_per_sec": round(n_jp2[0] / t_jp2, 1) if t_jp2 else None,
     "images_per_sec": round(n / t_index, 1),
     "assign_rows_per_sec": round(n_assign[0] / t_assign, 1),
     "stencil_tiles_per_sec": round(n_dem[0] / t_stencil, 1),
@@ -216,7 +255,9 @@ def main() -> None:
             k: round(lo[k] / hi[k] / 4.0, 3)
             for k in (
                 "t_index", "t_assign", "t_stencil", "t_stencil_bucketed", "t_stencil_blocked", "t_cpu_kernel",
+                "t_jp2tile",
             )
+            if lo.get(k) and hi.get(k)
         }
         native_eff = round(native["8"] / native["32"] / 4.0, 3)
         out = {
