@@ -2839,18 +2839,21 @@ def q_jfif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 j = int(j)
                 h, w = (64, 64) if j % 2 == 0 else (128, 64)
                 img = _c.make_image(j, h, w, planes=3)
-                # odd ids carry DRI/RSTn restart intervals — decoded pixels
-                # are identical (pinned by test_jfif), so the same replay
-                # oracle covers both wire layouts on the driver gate
-                data = (
-                    _jc.encode_jfif(img, 95, restart_interval=8)
-                    if j % 2
-                    else _c.encode(img, "jfif")
-                )
+                # odd ids carry DRI/RSTn restart intervals; ids >= 6 are
+                # PROGRESSIVE (SOF2 spectral selection + successive
+                # approximation, round 5).  Decoded pixels are identical to
+                # the plain baseline encode in all three wire layouts
+                # (pinned by test_jfif), so one replay oracle covers all
+                if j >= 6:
+                    data = _jc.encode_jfif(img, 95, progressive=True)
+                elif j % 2:
+                    data = _jc.encode_jfif(img, 95, restart_interval=8)
+                else:
+                    data = _c.encode(img, "jfif")
                 rows.append((f"jfif{j:03d}", data, w, h, "jfif"))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
-    images = spark.range(6, numPartitions=2).mapInPandas(
+    images = spark.range(8, numPartitions=2).mapInPandas(
         gen, schema="image_id string, bytes binary, w int, h int, fmt string"
     )
     tiles = raster.tiles_from_images(images, plane=0)
@@ -3086,9 +3089,12 @@ def _jfif_oracle() -> str:
     from eoreader_spark import codecs as _c
 
     rows = []
-    for j in range(6):
+    for j in range(8):
         h, w = (64, 64) if j % 2 == 0 else (128, 64)
         img = _c.make_image(j, h, w, planes=3)
+        # ids >= 6 are progressive on the Spark side; decoded pixels are
+        # bit-identical to baseline (same quantized coefficients), so the
+        # baseline replay is the honest expected value for all layouts
         dec = _c.decode(_c.encode(img, "jfif"), "jfif", h, w)[0].astype(np.int64)
         orig = img[0].astype(np.int64)
         rows.append(

@@ -18,11 +18,19 @@ Scope (all of baseline sequential DCT, 8-bit):
   component (spec-legal baseline; a scan with Ns=1 needs no MCU assembly),
   so the same container carries 1-plane DEM tiles, 3-plane RGB, or a
   14-plane multispectral stack.  Sampling factors are all 1x1 (4:4:4).
-- Markers: SOI, APP0 (JFIF 1.1), DQT, SOF0, DHT, DRI, SOS*, RSTn, EOI.
-  Restart intervals (round 5) are emitted on request and decoded in both
-  scan layouts: RSTm byte-aligns the stream and resets DC predictors every
-  Ri MCUs, the real-encoder resync layout.  Progressive modes are not
-  emitted and rejected loudly on decode.
+- Markers: SOI, APP0 (JFIF 1.1), DQT, SOF0/SOF1/SOF2, DHT, DRI, SOS*,
+  RSTn, EOI.  Restart intervals (round 5) are emitted on request and
+  decoded in both sequential scan layouts: RSTm byte-aligns the stream and
+  resets DC predictors every Ri MCUs, the real-encoder resync layout.
+- Progressive DCT (SOF2, round 5): full spectral-selection + successive-
+  approximation decode per T.81 Annex G — interleaved or single-component
+  DC first/refinement scans, non-interleaved AC first/refinement scans
+  with EOB-run codes — plus an encoder scan script that exercises all four
+  scan types (encode_jfif(progressive=True)).  SOF1 (extended sequential,
+  8-bit) decodes through the baseline path (identical scan format).
+  Arithmetic coding, hierarchical and lossless SOFs are rejected loudly;
+  restart intervals inside progressive scans are not supported (named
+  NotImplementedError).
 
 Encode and decode are both deterministic numpy, so distributed decode is
 bit-for-bit reproducible across partitionings — the property every gate
@@ -206,9 +214,307 @@ def _emit_block(bw: "_BitWriter", zz: np.ndarray, pred: int) -> int:
     return dc
 
 
+# --------------------------------------------------- progressive (SOF2)
+
+
+class _ScanBits:
+    """MSB-first bit cursor over destuffed scan bytes.  Progressive scans
+    interleave Huffman codes with raw refinement bits, so the stateless
+    40-bit-peek pattern of the sequential decoders is wrapped in a
+    stateful cursor here (correctness-grade speed is fine: progressive
+    scans revisit coefficients, not pixels)."""
+
+    __slots__ = ("buf", "pos", "limit")
+
+    def __init__(self, data: bytes) -> None:
+        self.buf = data + b"\x00\x00\x00\x00\x00"
+        self.pos = 0
+        self.limit = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        sh = self.pos & 7
+        w = int.from_bytes(self.buf[self.pos >> 3 : (self.pos >> 3) + 5], "big")
+        v = (w >> (40 - sh - n)) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def huff(self, lut) -> int:
+        if self.pos > self.limit:
+            raise ValueError("scan data exhausted mid-block")
+        sym_t, len_t = lut
+        sh = self.pos & 7
+        w = int.from_bytes(self.buf[self.pos >> 3 : (self.pos >> 3) + 3], "big")
+        code = (w >> (8 - sh)) & 0xFFFF
+        s = sym_t[code]
+        if s < 0:
+            raise ValueError("invalid Huffman code in scan")
+        self.pos += len_t[code]
+        return s
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: magnitude bits -> signed value."""
+    return v + 1 - (1 << t) if (t and v >> (t - 1) == 0) else v
+
+
+def _prog_dc_scan(bits, scan_comps, coefs, widths, Ah, Al, mcu_y, mcu_x):
+    """One progressive DC scan — first (Ah==0: Huffman diffs at point
+    transform Al) or refinement (one raw bit per block) — over the
+    interleaved MCU walk.  For Ns==1 the caller passes the component's own
+    block grid as (mcu_y, mcu_x) with hi=vi=1; ``widths`` keeps the PADDED
+    row stride so subsampled components index correctly."""
+    preds = {cid: 0 for cid, *_ in scan_comps}
+    for mi in range(mcu_y * mcu_x):
+        my, mx = divmod(mi, mcu_x)
+        for cid, hi, vi, dc_lut in scan_comps:
+            row = coefs[cid]
+            stride = widths[cid]
+            for by in range(vi):
+                for bx in range(hi):
+                    base = ((vi * my + by) * stride + (hi * mx + bx)) << 6
+                    if Ah == 0:
+                        cat = bits.huff(dc_lut)
+                        diff = _extend(bits.read(cat), cat) if cat else 0
+                        preds[cid] += diff
+                        row[base] = preds[cid] << Al
+                    elif bits.read(1):
+                        row[base] |= 1 << Al
+
+
+def _prog_ac_first(bits, row, base, ac_lut, Ss, Se, Al, eobrun):
+    """Progressive AC first scan, one block (T.81 G.1.2.2): RRRRSSSS codes
+    with EOBn run-length escapes.  Returns the updated EOB-run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = bits.huff(ac_lut)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += bits.read(r)
+            return eobrun
+        k += r
+        if k > Se:
+            raise ValueError("AC run past band end")
+        row[base + k] = _extend(bits.read(s), s) << Al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(bits, row, base, ac_lut, Ss, Se, Al, eobrun):
+    """Progressive AC refinement scan, one block (T.81 G.1.2.3): newly
+    significant coefficients arrive as (run, 1) codes; correction bits for
+    already-significant coefficients are interleaved in positional order."""
+    p1, m1 = 1 << Al, -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = bits.huff(ac_lut)
+            r, s = sym >> 4, sym & 15
+            sval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude category")
+                sval = p1 if bits.read(1) else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += bits.read(r)
+                break
+            while k <= Se:
+                c = base + k
+                if row[c] != 0:
+                    if bits.read(1) and (row[c] & p1) == 0:
+                        row[c] += p1 if row[c] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if sval and k <= Se:
+                row[base + k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            c = base + k
+            if row[c] != 0:
+                if bits.read(1) and (row[c] & p1) == 0:
+                    row[c] += p1 if row[c] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _emit_ac_first_prog(bw: "_BitWriter", zz: np.ndarray, Ss: int, Se: int, Al: int) -> None:
+    """Encode one block of a progressive AC first scan (point transform
+    sign(v)*(|v|>>Al)); EOB runs capped at 1 (spec-legal EOB0 per block)."""
+    t = np.sign(zz[Ss : Se + 1]) * (np.abs(zz[Ss : Se + 1]) >> Al)
+    nz = np.nonzero(t)[0]
+    if len(nz) == 0:
+        code, ln = _AC_ENC[0x00]
+        bw.write(code, ln)
+        return
+    run = 0
+    last = int(nz[-1])
+    for i in range(last + 1):
+        v = int(t[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c0, l0 = _AC_ENC[0xF0]
+            bw.write(c0, l0)
+            run -= 16
+        cat, extra = _magnitude(v)
+        code, ln = _AC_ENC[(run << 4) | cat]
+        bw.write((code << cat) | extra, ln + cat)
+        run = 0
+    if last < Se - Ss:
+        code, ln = _AC_ENC[0x00]
+        bw.write(code, ln)
+
+
+def _emit_ac_refine_prog(bw: "_BitWriter", zz: np.ndarray, Ss: int, Se: int, Al: int) -> None:
+    """Encode one block of a progressive AC refinement scan.
+
+    Mirrors _prog_ac_refine's walk EXACTLY: after each emitted symbol the
+    decoder advances position-by-position, consuming one correction bit per
+    already-significant coefficient and counting zero-history positions; a
+    ZRL walk stops at the 16th zero-history position, so only correction
+    bits lying BEFORE that point may follow a ZRL (flushing the rest early
+    desyncs the stream — a straight 'flush all buffered bits' translation
+    breaks when a significant coefficient sits past the 16th zero)."""
+    absv = np.abs(zz[Ss : Se + 1]) >> Al
+    n = Se - Ss + 1
+    k = 0  # walk cursor, relative to Ss
+    for i in range(n):
+        if int(absv[i]) != 1:  # not newly significant
+            continue
+        # zero-history run length between the cursor and this coefficient
+        r = sum(1 for j in range(k, i) if int(absv[j]) == 0)
+        while r > 15:
+            c0, l0 = _AC_ENC[0xF0]
+            bw.write(c0, l0)
+            # decoder walk: correction bits up to (not past) the 16th zero
+            zeros = 0
+            while k < i:
+                a = int(absv[k])
+                if a == 0:
+                    zeros += 1
+                    if zeros == 16:
+                        k += 1
+                        break
+                elif a > 1:
+                    bw.write(a & 1, 1)
+                k += 1
+            r -= 16
+        code, ln = _AC_ENC[(r << 4) | 1]
+        sign_bit = 1 if zz[Ss + i] > 0 else 0
+        bw.write((code << 1) | sign_bit, ln + 1)
+        for j in range(k, i):  # correction bits consumed en route
+            a = int(absv[j])
+            if a > 1:
+                bw.write(a & 1, 1)
+        k = i + 1
+    # tail: remaining zero-history positions and/or pending correction bits
+    tail_zeros = sum(1 for j in range(k, n) if int(absv[j]) == 0)
+    tail_bits = [int(absv[j]) & 1 for j in range(k, n) if int(absv[j]) > 1]
+    if tail_zeros or tail_bits:
+        code, ln = _AC_ENC[0x00]
+        bw.write(code, ln)
+        for b in tail_bits:
+            bw.write(b, 1)
+
+
+def _encode_jfif_progressive(img: np.ndarray, quality: int) -> bytes:
+    """(planes, h, w) uint8 -> progressive JFIF (SOF2), 4:4:4.
+
+    Scan script (exercises all four progressive scan types):
+      1. interleaved DC first  (Ss=0 Se=0 Ah=0 Al=1), component groups <=4
+      2. interleaved DC refine (Ah=1 Al=0), raw bits
+      3. per-component AC first  (Ss=1 Se=63 Ah=0 Al=1)
+      4. per-component AC refine (Ss=1 Se=63 Ah=1 Al=0)
+    The quantized coefficients are identical to a baseline encode at the
+    same quality, so progressive and baseline decodes are bit-identical.
+    """
+    p, h, w = img.shape
+    assert h < 65536 and w < 65536 and 1 <= p <= 255
+    qtbl = _quality_table(quality)
+    coeffs = [_plane_coeffs(img[c], qtbl) for c in range(p)]
+    nb = coeffs[0].shape[0]
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0x00) + bytes(
+        int(v) for v in qtbl.reshape(-1)[ZIG]
+    )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * p, 8, h, w, p)  # SOF2
+    for c in range(p):
+        out += struct.pack(">BBB", c + 1, 0x11, 0)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(DC_VALS), 0x00)
+    out += bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(AC_VALS), 0x10)
+    out += bytes(AC_BITS) + bytes(AC_VALS)
+
+    groups = [list(range(p))[i : i + 4] for i in range(0, p, 4)]
+
+    def sos_header(comp_ids, Ss, Se, Ah, Al):
+        seg = bytearray()
+        seg += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for c in comp_ids:
+            seg += struct.pack(">BB", c + 1, 0x00)
+        seg += struct.pack(">BBB", Ss, Se, (Ah << 4) | Al)
+        return b"\xff\xda" + bytes(seg)
+
+    for g in groups:  # 1. DC first, interleaved, point transform Al=1
+        out += sos_header(g, 0, 0, 0, 1)
+        bw = _BitWriter()
+        preds = {c: 0 for c in g}
+        for bi in range(nb):
+            for c in g:
+                dc = int(coeffs[c][bi, 0]) >> 1  # arithmetic shift (G.1.2.1)
+                cat, extra = _magnitude(dc - preds[c])
+                preds[c] = dc
+                code, ln = _DC_ENC[cat]
+                bw.write((code << cat) | extra, ln + cat)
+        bw.flush()
+        out += bw.buf
+    for g in groups:  # 2. DC refine: one raw bit per block
+        out += sos_header(g, 0, 0, 1, 0)
+        bw = _BitWriter()
+        for bi in range(nb):
+            for c in g:
+                bw.write(int(coeffs[c][bi, 0]) & 1, 1)
+        bw.flush()
+        out += bw.buf
+    for c in range(p):  # 3. AC first
+        out += sos_header([c], 1, 63, 0, 1)
+        bw = _BitWriter()
+        for bi in range(nb):
+            _emit_ac_first_prog(bw, coeffs[c][bi], 1, 63, 1)
+        bw.flush()
+        out += bw.buf
+    for c in range(p):  # 4. AC refine
+        out += sos_header([c], 1, 63, 1, 0)
+        bw = _BitWriter()
+        for bi in range(nb):
+            _emit_ac_refine_prog(bw, coeffs[c][bi], 1, 63, 0)
+        bw.flush()
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jfif(
     img: np.ndarray, quality: int = 95, subsampling: str = "444",
-    restart_interval: int = 0,
+    restart_interval: int = 0, progressive: bool = False,
 ) -> bytes:
     """(planes, h, w) uint8 -> baseline JFIF bytes.
 
@@ -230,7 +536,18 @@ def encode_jfif(
     Default quality 95 clears the PSNR>=40dB invariant with ~2 dB margin
     even on the worst-case synthetic pattern (the (x*y)%29 term is near
     white noise — the hardest content for a DCT codec; measured 42.4 dB at
-    q95 vs 38.5 dB at q92)."""
+    q95 vs 38.5 dB at q92).
+
+    ``progressive=True`` (round 5) writes an SOF2 stream with the four-type
+    scan script of _encode_jfif_progressive (4:4:4 only, no restarts); the
+    decoded pixels are bit-identical to the baseline encode at the same
+    quality."""
+    if progressive:
+        if subsampling != "444" or restart_interval:
+            raise ValueError(
+                "progressive encode supports 4:4:4 without restart intervals"
+            )
+        return _encode_jfif_progressive(img, quality)
     if subsampling == "420":
         return _encode_jfif_420(img, quality, restart_interval)
     if subsampling != "444":
@@ -541,6 +858,14 @@ def decode_jfif(data: bytes) -> np.ndarray:
     ri = 0  # restart interval (DRI), MCUs between RSTm markers
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     planes: dict[int, np.ndarray] = {}
+    progressive = False
+    # progressive coefficient stores: cid -> flat (nblocks*64,) zigzag
+    # int64 accumulated across scans, padded to the MCU grid; pgrids keeps
+    # the component's own (unpadded) block grid for non-interleaved scans
+    pcoefs: dict[int, np.ndarray] = {}
+    pwidths: dict[int, int] = {}
+    pheights: dict[int, int] = {}
+    pgrids: dict[int, tuple[int, int]] = {}
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -562,14 +887,35 @@ def decode_jfif(data: bytes) -> np.ndarray:
                 t = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8).astype(np.int64)
                 qtables[tq] = t[_UNZIG].reshape(8, 8)
                 off += 65
-        elif marker == 0xC0:  # SOF0 baseline
-            _prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (identical scan
+            # format at 8-bit) / SOF2 progressive
+            prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit sample precision not supported")
+            progressive = marker == 0xC2
             comps = []
             for c in range(nf):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, tq, samp >> 4, samp & 0x0F))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential DCT (SOF0) supported")
+            if progressive:
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                mcu_y = -(-h // (8 * vmax))
+                mcu_x = -(-w // (8 * hmax))
+                for cid, _tq, hi, vi in comps:
+                    nby, nbx = vi * mcu_y, hi * mcu_x
+                    pcoefs[cid] = np.zeros(nby * nbx * 64, dtype=np.int64)
+                    pwidths[cid], pheights[cid] = nbx, nby
+                    pgrids[cid] = (
+                        -(-(h * vi) // (8 * vmax)),
+                        -(-(w * hi) // (8 * hmax)),
+                    )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline/extended sequential (SOF0/SOF1) and "
+                "progressive (SOF2) Huffman DCT supported"
+            )
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(seg):
@@ -623,6 +969,49 @@ def decode_jfif(data: bytes) -> np.ndarray:
             byid = {c[0]: c for c in comps}
             hmax = max(c[2] for c in comps)
             vmax = max(c[3] for c in comps)
+
+            if progressive:
+                if ri or len(segments) > 1:
+                    raise NotImplementedError(
+                        "restart intervals in progressive scans not supported"
+                    )
+                Ss, Se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                Ah, Al = ahal >> 4, ahal & 15
+                if not ((Ss == 0 and Se == 0) or (1 <= Ss <= Se <= 63)):
+                    raise ValueError(f"bad progressive spectral band {Ss}..{Se}")
+                bits = _ScanBits(scan)
+                if Ss == 0:  # DC scan (interleaved or single-component)
+                    if ns == 1:
+                        cid, tda = scan_hdr[0]
+                        sc = [(cid, 1, 1, huff_dc.get(tda >> 4))]
+                        my, mx = pgrids[cid]
+                    else:
+                        sc = [
+                            (cid, byid[cid][2], byid[cid][3], huff_dc.get(tda >> 4))
+                            for cid, tda in scan_hdr
+                        ]
+                        my = -(-h // (8 * vmax))
+                        mx = -(-w // (8 * hmax))
+                    _prog_dc_scan(bits, sc, pcoefs, pwidths, Ah, Al, my, mx)
+                else:  # AC scans are non-interleaved by spec
+                    if ns != 1:
+                        raise ValueError("progressive AC scan with Ns > 1")
+                    cid, tda = scan_hdr[0]
+                    row = pcoefs[cid]
+                    lut = huff_ac[tda & 0x0F]
+                    stride = pwidths[cid]
+                    ch, cw = pgrids[cid]
+                    eob = 0
+                    fn = _prog_ac_first if Ah == 0 else _prog_ac_refine
+                    for by in range(ch):
+                        for bx in range(cw):
+                            eob = fn(
+                                bits, row, (by * stride + bx) << 6,
+                                lut, Ss, Se, Al, eob,
+                            )
+                pos = cursor
+                continue
 
             def idct_plane(zz: np.ndarray, tq: int, nby: int, nbx: int) -> np.ndarray:
                 nb = nby * nbx
@@ -683,7 +1072,23 @@ def decode_jfif(data: bytes) -> np.ndarray:
         pos += 2 + seglen
 
     if not comps:
-        raise ValueError("no SOF0 frame found")
+        raise ValueError("no SOF frame found")
+    if progressive:
+        # all scans accumulated into pcoefs: dequantize + IDCT once
+        for cid, tq, _hi, _vi in comps:
+            nby, nbx = pheights[cid], pwidths[cid]
+            nb = nby * nbx
+            zz = pcoefs[cid].reshape(nb, 64)
+            co = np.zeros((nb, 64), dtype=np.float64)
+            co[:, ZIG] = zz.astype(np.float64)
+            co = co.reshape(nb, 8, 8) * qtables[tq]
+            spatial = np.einsum("ji,bjk,kl->bil", _D, co, _D, optimize=True)
+            full = (
+                spatial.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+            planes[cid] = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)
     missing = [c[0] for c in comps if c[0] not in planes]
     if missing:
         raise ValueError(f"missing scans for components {missing}")

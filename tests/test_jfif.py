@@ -54,13 +54,35 @@ def test_quality_tradeoff_monotone():
     assert codecs.psnr(smooth, jpegc.decode_jfif(jpegc.encode_jfif(smooth))) >= 50.0
 
 
-def test_progressive_and_interleaved_rejected():
+def test_sof2_with_baseline_scan_rejected():
+    # a SOF2 marker followed by baseline full-band scans is malformed
+    # (progressive DC scans must have Se=0): rejected, not mis-decoded
     img = codecs.make_image(1, 64, 64, planes=3)
     data = bytearray(jpegc.encode_jfif(img))
     i = data.find(b"\xff\xc0")
     data[i + 1] = 0xC2  # pretend progressive
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="spectral band"):
         jpegc.decode_jfif(bytes(data))
+
+
+def test_arithmetic_and_lossless_sofs_rejected():
+    img = codecs.make_image(1, 32, 32, planes=1)
+    data = bytearray(jpegc.encode_jfif(img))
+    i = data.find(b"\xff\xc0")
+    for m in (0xC3, 0xC9, 0xCA):
+        data[i + 1] = m
+        with pytest.raises(NotImplementedError):
+            jpegc.decode_jfif(bytes(data))
+
+
+def test_sof1_extended_sequential_decodes_as_baseline():
+    img = codecs.make_image(6, 48, 56, planes=3)
+    data = bytearray(jpegc.encode_jfif(img))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC1  # extended sequential: identical scan format at 8-bit
+    assert np.array_equal(
+        jpegc.decode_jfif(bytes(data)), jpegc.decode_jfif(jpegc.encode_jfif(img))
+    )
 
 
 def test_codec_table_dispatch_and_qjpg_coexistence():
@@ -190,3 +212,88 @@ def test_restart_marker_resync_recovers_tail():
     # blocks before the corrupted interval and after the NEXT marker match
     assert np.array_equal(hurt[:, :16, :], clean[:, :16, :])
     assert np.array_equal(hurt[:, 40:, :], clean[:, 40:, :])
+
+
+# ------------------------------------------------- progressive (round 5)
+
+
+def test_progressive_decode_equals_baseline():
+    """SOF2 spectral-selection + successive-approximation scans carry the
+    SAME quantized coefficients as a baseline encode at equal quality, so
+    the two decodes must be bit-identical."""
+    for seed, h, w, p in [(0, 64, 64, 3), (4, 40, 56, 1), (9, 33, 47, 5)]:
+        img = codecs.make_image(seed, h, w, planes=p)
+        prog = jpegc.encode_jfif(img, progressive=True)
+        base = jpegc.encode_jfif(img)
+        assert np.array_equal(jpegc.decode_jfif(prog), jpegc.decode_jfif(base))
+
+
+def test_progressive_noise_stress():
+    """Random near-noise content exercises the hard AC-refinement corners
+    (long zero-history runs with significant coefficients interleaved past
+    the 16th zero — the ZRL correction-bit ordering case)."""
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        hh, ww, pp = rng.randint(16, 100), rng.randint(16, 100), rng.randint(1, 5)
+        img = rng.randint(0, 256, size=(pp, hh, ww)).astype(np.uint8)
+        assert np.array_equal(
+            jpegc.decode_jfif(jpegc.encode_jfif(img, progressive=True)),
+            jpegc.decode_jfif(jpegc.encode_jfif(img)),
+        )
+
+
+def test_progressive_marker_structure_and_scan_script():
+    img = codecs.make_image(2, 64, 64, planes=3)
+    a = jpegc.encode_jfif(img, progressive=True)
+    assert a == jpegc.encode_jfif(img, progressive=True)  # deterministic
+    i = a.find(b"\xff\xc2")
+    assert i > 0 and a.find(b"\xff\xc0") == -1  # SOF2, no SOF0
+    prec, hh, ww, nf = struct.unpack(">BHHB", a[i + 4 : i + 10])
+    assert (prec, hh, ww, nf) == (8, 64, 64, 3)
+    # scan script: 1 interleaved DC first + 1 DC refine + 3 AC first +
+    # 3 AC refine = 8 SOS segments
+    assert a.count(b"\xff\xda") == 8
+
+
+def test_progressive_psnr_and_size():
+    img = codecs.make_image(5, 96, 80, planes=3)
+    prog = jpegc.encode_jfif(img, progressive=True)
+    back = jpegc.decode_jfif(prog)
+    assert codecs.psnr(img, back) >= 40.0
+    # progressive entropy coding should not balloon the payload
+    assert len(prog) < len(jpegc.encode_jfif(img)) * 1.1
+
+
+def test_progressive_many_components_groups():
+    # >4 components forces multiple interleaved DC scan groups (Ns<=4)
+    img = codecs.make_image(8, 48, 40, planes=9)
+    prog = jpegc.encode_jfif(img, progressive=True)
+    base = jpegc.encode_jfif(img)
+    assert np.array_equal(jpegc.decode_jfif(prog), jpegc.decode_jfif(base))
+
+
+def test_progressive_flat_image_eob_runs():
+    # flat content: AC bands are all zero -> pure EOB path in every scan
+    img = np.full((1, 64, 64), 200, dtype=np.uint8)
+    prog = jpegc.encode_jfif(img, progressive=True)
+    assert np.array_equal(
+        jpegc.decode_jfif(prog), jpegc.decode_jfif(jpegc.encode_jfif(img))
+    )
+
+
+def test_progressive_restart_markers_rejected_loudly():
+    img = codecs.make_image(1, 32, 32, planes=1)
+    data = bytearray(jpegc.encode_jfif(img, progressive=True))
+    # splice a DRI segment before the first quantization table
+    i = data.find(b"\xff\xdb")
+    data[i:i] = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpegc.decode_jfif(bytes(data))
+
+
+def test_progressive_encode_rejects_420_and_restarts():
+    img = codecs.make_image(1, 32, 32, planes=3)
+    with pytest.raises(ValueError, match="4:4:4"):
+        jpegc.encode_jfif(img, progressive=True, subsampling="420")
+    with pytest.raises(ValueError, match="4:4:4"):
+        jpegc.encode_jfif(img, progressive=True, restart_interval=4)
