@@ -2975,7 +2975,20 @@ def _jp2_lossy_oracle() -> str:
 def _jp2_tiled_images() -> list[tuple[str, "np.ndarray"]]:
     from eoreader_spark import codecs as _c
 
-    return [(f"ts_{j}", _c.make_image(j, 96, 128, planes=2)) for j in range(2)]
+    return [(f"ts_{j}", _c.make_image(j, 96, 128, planes=2)) for j in range(3)]
+
+
+def _jp2_tiled_enc_kwargs(image_id: str) -> dict:
+    """ts_2 uses the real-Sentinel-2 Kakadu wire shape (round 5): RPCL
+    progression + user precincts + two quality layers + EPH markers.
+    Decoded pixels are identical (lossless), so the same replay oracle
+    covers both layouts."""
+    if image_id == "ts_2":
+        return dict(
+            levels=2, tile=48, precinct=5, progression="RPCL",
+            n_layers=2, use_eph=True,
+        )
+    return dict(levels=2, tile=48)
 
 
 def _jp2_tiled_replay() -> list[tuple]:
@@ -2988,7 +3001,7 @@ def _jp2_tiled_replay() -> list[tuple]:
     rows = []
     grid = _jp2._tile_grid(96, 128, 48, 48)
     for image_id, img in _jp2_tiled_images():
-        data = _jp2.encode_jp2(img, levels=2, tile=48)
+        data = _jp2.encode_jp2(img, **_jp2_tiled_enc_kwargs(image_id))
         for t, (ty, tx, y0, x0, th, tw) in enumerate(grid):
             px_sum = int(img[1, y0 : y0 + th, x0 : x0 + tw].astype(np.int64).sum())
             ov = _jp2.decode_jp2(data, max_res=0, tile_idx=t)
@@ -3016,7 +3029,7 @@ def q_jp2_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
     for image_id, img in _jp2_tiled_images():
         p = f"{root}/{image_id}.jp2"
         with open(p, "wb") as f:
-            f.write(_jp2.encode_jp2(img, levels=2, tile=48))
+            f.write(_jp2.encode_jp2(img, **_jp2_tiled_enc_kwargs(image_id)))
         files.append((image_id, p))
     fdf = spark.createDataFrame(files, "image_id string, path string")
 

@@ -446,3 +446,132 @@ def test_jp2_scene_tiles_decode_stage_stays_parallel(spark, tmp_path):
         out.select(F.spark_partition_id().alias("p")).distinct().count()
     )
     assert nparts > 1
+
+
+# ----------------------- round 5: precincts / layers / progressions / EPH
+
+
+class TestPrecinctsLayersProgressions:
+    """The real-Sentinel-2 Kakadu wire options: user-defined precincts,
+    multiple quality layers, RLCP/RPCL progressions, SOP/EPH markers."""
+
+    IMG = None
+
+    @classmethod
+    def _img(cls):
+        if cls.IMG is None:
+            rng = np.random.RandomState(31)
+            yy, xx = np.mgrid[0:200, 0:170]
+            smooth = (120 + 60 * np.sin(yy / 13.0) + 50 * np.cos(xx / 9.0))
+            cls.IMG = np.stack([
+                smooth.astype(np.uint8),
+                rng.randint(0, 256, (200, 170)).astype(np.uint8),
+            ])
+        return cls.IMG
+
+    def test_precincts_lossless_roundtrip(self):
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2, precinct=6)  # 64-cell precincts
+        m = jp2.parse_jp2(d)
+        assert m["precincts"] == [(6, 6)] * 3
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_precinct_clamps_codeblock_size(self):
+        # precinct 5 -> 32 resolution cells -> 16 on subbands < cb 64:
+        # effective block grid must clamp (decode still exact)
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2, cb=64, precinct=5)
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    @pytest.mark.parametrize("nl", [2, 3])
+    def test_multi_layer_roundtrip(self, nl):
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2, n_layers=nl)
+        assert jp2.parse_jp2(d)["n_layers"] == nl
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    @pytest.mark.parametrize("prog", ["RLCP", "RPCL"])
+    def test_progression_orders_roundtrip(self, prog):
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2, progression=prog)
+        assert jp2.parse_jp2(d)["progression"] == prog
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_kakadu_s2_like_combo(self):
+        """RPCL + precincts + EPH + multi-tile — the Sentinel-2 band-file
+        wire shape — decodes bit-exact, incl. per-tile reads."""
+        img = self._img()
+        d = jp2.encode_jp2(
+            img, levels=2, tile=96, precinct=6, progression="RPCL",
+            use_eph=True,
+        )
+        m = jp2.parse_jp2(d)
+        assert m["use_eph"] and m["progression"] == "RPCL"
+        assert np.array_equal(jp2.decode_jp2(d), img)
+        # independent tile read still works through the byte index
+        t0 = jp2.decode_jp2(d, tile_idx=0)
+        assert np.array_equal(t0, img[:, :96, :96])
+
+    def test_sop_eph_markers_present_and_verified(self):
+        img = self._img()[:1, :64, :64]
+        d = jp2.encode_jp2(
+            img, levels=1, precinct=6, use_sop=True, use_eph=True,
+            container=False,
+        )
+        assert b"\xff\x91" in d and b"\xff\x92" in d
+        assert np.array_equal(jp2.decode_jp2(d), img)
+        # corrupting an SOP marker is caught loudly
+        bad = bytearray(d)
+        i = bad.find(b"\xff\x91")
+        bad[i + 1] = 0x90
+        with pytest.raises(ValueError):
+            jp2.decode_jp2(bytes(bad))
+
+    def test_multilayer_lossy_and_precincts(self):
+        img = self._img()[:1]
+        d = jp2.encode_jp2(
+            img, levels=2, wavelet="9/7", qstep=1.0, precinct=6, n_layers=2,
+        )
+        dec = jp2.decode_jp2(d)
+        err = np.abs(dec.astype(np.float64) - img.astype(np.float64))
+        mse = float((err ** 2).mean())
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        assert psnr >= 40.0
+
+    def test_overview_reads_all_layouts_agree(self):
+        """max_res overview must give the SAME coarse LL for LRCP, RLCP,
+        RPCL, precincts, and multi-layer encodes of one image."""
+        img = self._img()[:1]
+        want = jp2.decode_jp2(jp2.encode_jp2(img, levels=2), max_res=1)
+        for kw in (
+            {"progression": "RLCP"},
+            {"progression": "RPCL", "precinct": 6},
+            {"n_layers": 2},
+            {"precinct": 5},
+            {"n_layers": 3, "progression": "RLCP", "use_eph": True},
+        ):
+            got = jp2.decode_jp2(jp2.encode_jp2(img, levels=2, **kw), max_res=1)
+            assert np.array_equal(got, want), kw
+
+    def test_pcrl_cprl_rejected_loudly(self):
+        img = self._img()[:1, :32, :32]
+        with pytest.raises(NotImplementedError, match="PCRL"):
+            jp2.encode_jp2(img, progression="PCRL")
+        d = bytearray(jp2.encode_jp2(img, levels=1, container=False))
+        i = d.find(b"\xff\x52")  # COD: Scod(1) at +4, prog at +5
+        d[i + 5] = 4  # CPRL
+        with pytest.raises(NotImplementedError, match="CPRL"):
+            jp2.decode_jp2(bytes(d))
+
+    def test_single_layer_default_bytes_unchanged(self):
+        """The generic packet writer must be byte-identical to the legacy
+        single-layer LRCP layout — golden fixtures and gate oracles replay
+        encode_jp2 output."""
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2)
+        m = jp2.parse_jp2(d)
+        assert m["n_layers"] == 1 and m["progression"] == "LRCP"
+        assert m["precincts"] is None
+        # deterministic and decodes exactly (byte pin lives in test_golden)
+        assert d == jp2.encode_jp2(img, levels=2)
+        assert np.array_equal(jp2.decode_jp2(d), img)

@@ -56,8 +56,11 @@ datagen.gen_tiles(spark, n).write.mode("overwrite").parquet(out + "/tiles.parque
 datagen.gen_aoi(spark, n).write.mode("overwrite").parquet(out + "/aoi.parquet")
 datagen.gen_dem(spark, n // 4).write.mode("overwrite").parquet(out + "/dem.parquet")
 
-# 8 tiled JP2 scenes (512x512, 64px tiles -> 64 tile-parts each) for the
-# round-5 tile-parallel scene-decode stage; encoded in parallel once
+# 16 tiled JP2 scenes (512x512, 64px tiles -> 64 tile-parts each) for the
+# round-5 tile-parallel scene-decode stage; encoded in parallel once.
+# 16 scenes (~88 s of decode work) keep the fixed per-action floor (index
+# stage + scheduling, ~1 s) under ~5% of the small leg — at 8 scenes that
+# floor alone cost ~0.1 of measured efficiency
 import os
 jd = out + "/jp2scenes"
 os.makedirs(jd, exist_ok=True)
@@ -76,7 +79,7 @@ def _genj(it):
             with open(f"{jd}/scene{j:02d}.jp2", "wb") as f:
                 f.write(_jp2.encode_jp2(img, levels=2, tile=64))
         yield pd.DataFrame({"n": [len(pdf)]})
-spark.range(8, numPartitions=8).mapInPandas(_genj, schema="n long").count()
+spark.range(16, numPartitions=16).mapInPandas(_genj, schema="n long").count()
 print("SETUP done")
 """
 
