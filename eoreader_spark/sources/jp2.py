@@ -22,11 +22,11 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
   (B.6 resolution-grid cells, per-precinct tag-trees, precinct-clamped
   effective code-block sizes), MULTIPLE QUALITY LAYERS (general layered
   decode — contributions accumulate per code-block across packets; the
-  encoder first-includes each block in one layer), LRCP / RLCP / RPCL
-  progression orders, and SOP / EPH packet markers
+  encoder first-includes each block in one layer), ALL FIVE progression
+  orders (LRCP / RLCP / RPCL plus the PCRL / CPRL cross-resolution
+  precinct-position walk, B.12.1.4/5), and SOP / EPH packet markers
 
-Scope note (honest): remaining third-party JP2 features (PCRL/CPRL
-progressions' cross-resolution position walk, ROI shifts,
+Scope note (honest): remaining third-party JP2 features (ROI shifts,
 vertically-causal contexts, bypass/termination modes, mid-codeword layer
 truncation from rate control) raise NotImplementedError with the feature
 named — parse_jp2 still returns their metadata.  Precinct/block partitions
@@ -952,11 +952,14 @@ def _prec_block_range(
 
 
 def _packet_sequence(
-    prog: str, n_layers: int, levels: int, n_comps: int, nprec
+    prog: str, n_layers: int, levels: int, n_comps: int, nprec,
+    prec=None, tile_hw=None,
 ) -> list[tuple[int, int, int, int]]:
     """Packet order [(layer, res, comp, precinct)] for the progression.
-    ``nprec[r]`` = (npy, npx).  PCRL/CPRL need the cross-resolution spatial
-    walk and are rejected with the order named."""
+    ``nprec[r]`` = (npy, npx).  PCRL/CPRL iterate precinct positions
+    ACROSS resolutions (B.12.1.4/5) and need ``prec`` (per-resolution
+    (PPx, PPy) exponents, or None for whole-tile precincts) and
+    ``tile_hw`` = (th, tw) in full-resolution tile-local coordinates."""
     seq = []
     if prog == "LRCP":
         for l in range(n_layers):
@@ -976,8 +979,44 @@ def _packet_sequence(
                 for c in range(n_comps):
                     for l in range(n_layers):
                         seq.append((l, r, c, pi))
+    elif prog in ("PCRL", "CPRL"):
+        th, tw = tile_hw
+        # projected precinct span at r in full-res coords (origin-0 tiles,
+        # dx=dy=1); no-precinct flag => one whole-tile precinct: only the
+        # (0, 0) position emits
+        span = []
+        for r in range(levels + 1):
+            if prec is None:
+                span.append((1 << 62, 1 << 62))
+            else:
+                ppx, ppy = prec[r]
+                span.append((1 << (ppx + levels - r), 1 << (ppy + levels - r)))
+        step_x = min(s[0] for s in span)
+        step_y = min(s[1] for s in span)
+
+        def emits(y, x):
+            for r in range(levels + 1):
+                sx, sy = span[r]
+                if x % sx == 0 and y % sy == 0:
+                    pi = (y // sy) * nprec[r][1] + (x // sx)
+                    yield r, pi
+
+        if prog == "PCRL":
+            for y in range(0, max(th, 1), step_y):
+                for x in range(0, max(tw, 1), step_x):
+                    for c in range(n_comps):
+                        for r, pi in emits(y, x):
+                            for l in range(n_layers):
+                                seq.append((l, r, c, pi))
+        else:  # CPRL
+            for c in range(n_comps):
+                for y in range(0, max(th, 1), step_y):
+                    for x in range(0, max(tw, 1), step_x):
+                        for r, pi in emits(y, x):
+                            for l in range(n_layers):
+                                seq.append((l, r, c, pi))
     else:
-        raise NotImplementedError(f"{prog} progression not supported")
+        raise ValueError(f"unknown progression {prog!r}")
     return seq
 
 
@@ -1229,8 +1268,8 @@ def encode_jp2(
     ):
         raise ValueError("precinct exponents must be >= 1 for r > 0")
     prog_names = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
-    if progression not in ("LRCP", "RLCP", "RPCL"):
-        raise NotImplementedError(f"{progression} progression not supported")
+    if progression not in prog_names:
+        raise ValueError(f"unknown progression {progression!r}")
     cb_exp = cb.bit_length() - 1
     lossy = wavelet == "9/7"
     if img.ndim == 2:
@@ -1341,7 +1380,9 @@ def encode_jp2(
         }
         packets = []
         nsop = 0
-        for l, r, c, pi in _packet_sequence(progression, n_layers, levels, p, nprec):
+        for l, r, c, pi in _packet_sequence(
+            progression, n_layers, levels, p, nprec, prec, (th_t, tw_t)
+        ):
             bits = _HeaderBits()
             body = bytearray()
             contribs = []
@@ -1516,8 +1557,6 @@ def decode_jp2(
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
     lossy = m["wavelet"] == "9/7"
-    if m["progression"] not in ("LRCP", "RLCP", "RPCL"):
-        raise NotImplementedError(f"{m['progression']} progression not supported")
     if m["cb_style"] != 0:
         raise NotImplementedError("code-block style flags (bypass/termall/...) not supported")
     if m["cb_w"] != m["cb_h"]:
@@ -1682,10 +1721,16 @@ def decode_jp2(
 
         spos = 0
         # resolutions above stop_res are a stream SUFFIX exactly when the
-        # layer loop does not wrap around resolutions (single layer, or an
-        # r-outer progression): then the coarse read never touches them.
-        prefix_break = n_layers == 1 or prog != "LRCP"
-        for l, r, c, pi in _packet_sequence(prog, n_layers, levels, p, nprec):
+        # sequence is sorted by resolution: r-outer progressions
+        # (RLCP/RPCL) always, LRCP only with one layer.  PCRL/CPRL
+        # interleave resolutions at every position — parse everything,
+        # decode only r <= stop_res.
+        prefix_break = prog in ("RLCP", "RPCL") or (
+            prog == "LRCP" and n_layers == 1
+        )
+        for l, r, c, pi in _packet_sequence(
+            prog, n_layers, levels, p, nprec, prec, (th, tw)
+        ):
             if r > stop_res and prefix_break:
                 break
             if use_sop:

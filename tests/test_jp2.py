@@ -490,12 +490,26 @@ class TestPrecinctsLayersProgressions:
         assert jp2.parse_jp2(d)["n_layers"] == nl
         assert np.array_equal(jp2.decode_jp2(d), img)
 
-    @pytest.mark.parametrize("prog", ["RLCP", "RPCL"])
+    @pytest.mark.parametrize("prog", ["RLCP", "RPCL", "PCRL", "CPRL"])
     def test_progression_orders_roundtrip(self, prog):
         img = self._img()
         d = jp2.encode_jp2(img, levels=2, progression=prog)
         assert jp2.parse_jp2(d)["progression"] == prog
         assert np.array_equal(jp2.decode_jp2(d), img)
+
+    @pytest.mark.parametrize("prog", ["PCRL", "CPRL"])
+    def test_position_first_orders_with_precincts(self, prog):
+        """PCRL/CPRL interleave resolutions along the cross-resolution
+        precinct-position walk (B.12.1.4/5); round-trip with precincts,
+        layers, EPH, and tiling."""
+        img = self._img()
+        d = jp2.encode_jp2(
+            img, levels=2, progression=prog, precinct=6, n_layers=2,
+            use_eph=True,
+        )
+        assert np.array_equal(jp2.decode_jp2(d), img)
+        dt = jp2.encode_jp2(img, levels=2, progression=prog, precinct=5, tile=96)
+        assert np.array_equal(jp2.decode_jp2(dt), img)
 
     def test_kakadu_s2_like_combo(self):
         """RPCL + precincts + EPH + multi-tile — the Sentinel-2 band-file
@@ -546,6 +560,8 @@ class TestPrecinctsLayersProgressions:
         for kw in (
             {"progression": "RLCP"},
             {"progression": "RPCL", "precinct": 6},
+            {"progression": "PCRL", "precinct": 6},
+            {"progression": "CPRL", "precinct": 5},
             {"n_layers": 2},
             {"precinct": 5},
             {"n_layers": 3, "progression": "RLCP", "use_eph": True},
@@ -553,15 +569,10 @@ class TestPrecinctsLayersProgressions:
             got = jp2.decode_jp2(jp2.encode_jp2(img, levels=2, **kw), max_res=1)
             assert np.array_equal(got, want), kw
 
-    def test_pcrl_cprl_rejected_loudly(self):
+    def test_unknown_progression_rejected(self):
         img = self._img()[:1, :32, :32]
-        with pytest.raises(NotImplementedError, match="PCRL"):
-            jp2.encode_jp2(img, progression="PCRL")
-        d = bytearray(jp2.encode_jp2(img, levels=1, container=False))
-        i = d.find(b"\xff\x52")  # COD: Scod(1) at +4, prog at +5
-        d[i + 5] = 4  # CPRL
-        with pytest.raises(NotImplementedError, match="CPRL"):
-            jp2.decode_jp2(bytes(d))
+        with pytest.raises(ValueError, match="progression"):
+            jp2.encode_jp2(img, progression="LRCP2")
 
     def test_single_layer_default_bytes_unchanged(self):
         """The generic packet writer must be byte-identical to the legacy
