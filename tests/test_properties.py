@@ -153,3 +153,98 @@ def test_winnow_guarantee_any_strings(seed, n1, n2, shared_len):
     f1 = set(_winnow_doc(np.array([ord(c) for c in d1]), 5, 4)[1].tolist())
     f2 = set(_winnow_doc(np.array([ord(c) for c in d2]), 5, 4)[1].tolist())
     assert f1 & f2, (d1, d2)
+
+
+# ------------------------------------------------ round-5 codec properties
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    h=st.integers(min_value=1, max_value=80),
+    w=st.integers(min_value=1, max_value=80),
+    p=st.sampled_from([1, 2, 3]),
+    levels=st.integers(min_value=1, max_value=3),
+    u16=st.booleans(),
+)
+def test_jp2_lossless_roundtrip_any_shape(seed, h, w, p, levels, u16):
+    """encode_jp2/decode_jp2 must be the identity for ARBITRARY shapes
+    (odd dims, 1-pixel edges, subband degeneracy) and both dtypes."""
+    from eoreader_spark.sources import jp2
+
+    rng = np.random.RandomState(seed % 2**31)
+    hi, dt = (65536, np.uint16) if u16 else (256, np.uint8)
+    img = rng.randint(0, hi, size=(p, h, w)).astype(dt)
+    back = jp2.decode_jp2(jp2.encode_jp2(img, levels=levels))
+    assert back.dtype == dt and np.array_equal(back, img)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    h=st.integers(min_value=16, max_value=96),
+    w=st.integers(min_value=16, max_value=96),
+    prog=st.sampled_from(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]),
+    prec=st.sampled_from([None, 5, 6]),
+    nl=st.integers(min_value=1, max_value=3),
+)
+def test_jp2_wire_options_roundtrip_any(seed, h, w, prog, prec, nl):
+    """Any combination of progression order / precincts / layers is still
+    the identity on arbitrary noise content."""
+    from eoreader_spark.sources import jp2
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, size=(1, h, w)).astype(np.uint8)
+    d = jp2.encode_jp2(
+        img, levels=2, progression=prog, precinct=prec, n_layers=nl
+    )
+    assert np.array_equal(jp2.decode_jp2(d), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    h=st.integers(min_value=8, max_value=72),
+    w=st.integers(min_value=8, max_value=72),
+    p=st.sampled_from([1, 3, 5]),
+)
+def test_progressive_jfif_equals_baseline_any(seed, h, w, p):
+    """Progressive and baseline JPEG carry identical quantized
+    coefficients, so their decodes are bit-identical for ANY content —
+    incl. the AC-refinement ZRL correction-bit ordering corner."""
+    from eoreader_spark.sources import jpegc
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, size=(p, h, w)).astype(np.uint8)
+    assert np.array_equal(
+        jpegc.decode_jfif(jpegc.encode_jfif(img, progressive=True)),
+        jpegc.decode_jfif(jpegc.encode_jfif(img)),
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    n=st.integers(min_value=0, max_value=6000),
+    stereo=st.booleans(),
+    lpc=st.sampled_from([None, 2, 8]),
+    smooth=st.booleans(),
+)
+def test_flac_lossless_any_signal(seed, n, stereo, lpc, smooth):
+    """FLAC subset encode/decode is the identity for arbitrary 16-bit
+    signals across stereo modes and predictor choices."""
+    from eoreader_spark.sources import flacc
+
+    rng = np.random.RandomState(seed % 2**31)
+    if smooth:  # predictor-friendly content (exercises FIXED/LPC paths)
+        t = np.arange(n)
+        sig = np.round(
+            9000 * np.sin(t * 0.01) + rng.randint(-40, 41, size=n)
+        ).astype(np.int64)
+    else:  # noise (exercises VERBATIM/escape paths)
+        sig = rng.randint(-32768, 32768, size=n).astype(np.int64)
+    if stereo:
+        sig = np.stack([sig, sig[::-1].copy()])
+    back, sr = flacc.decode_flac(flacc.encode_flac(sig, 16000, lpc_order=lpc))
+    assert sr == 16000
+    assert np.array_equal(back, sig)
