@@ -3634,7 +3634,19 @@ def q_s2_product_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in pdf["id"].astype("int64"):
                 j = int(j)
                 img = _c.make_image(j, 32, 32, planes=14).astype(_np.uint16) * 257
-                rows.append((f"jp2s2_{j:03d}", _jp2.encode_jp2(img, levels=2), 32, 32, "jp2"))
+                # scene 2 carries the real Kakadu wire shape (round 5):
+                # RPCL progression + user precincts + EPH markers.  Decoded
+                # DNs are identical (lossless), so one closed-form oracle
+                # covers both layouts on the driver gate.
+                kw = (
+                    dict(precinct=5, progression="RPCL", use_eph=True)
+                    if j == 2
+                    else {}
+                )
+                rows.append(
+                    (f"jp2s2_{j:03d}", _jp2.encode_jp2(img, levels=2, **kw),
+                     32, 32, "jp2")
+                )
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     images = spark.range(3, numPartitions=3).mapInPandas(

@@ -24,12 +24,15 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
   decode — contributions accumulate per code-block across packets; the
   encoder first-includes each block in one layer), ALL FIVE progression
   orders (LRCP / RLCP / RPCL plus the PCRL / CPRL cross-resolution
-  precinct-position walk, B.12.1.4/5), and SOP / EPH packet markers
+  precinct-position walk, B.12.1.4/5), SOP / EPH packet markers, and the
+  single-segment code-block style flags — reset-context-per-pass (0x02),
+  vertically-causal contexts (0x08), segmentation symbols (0x20, verified
+  on decode as an error-resilience check)
 
 Scope note (honest): remaining third-party JP2 features (ROI shifts,
-vertically-causal contexts, bypass/termination modes, mid-codeword layer
-truncation from rate control) raise NotImplementedError with the feature
-named — parse_jp2 still returns their metadata.  Precinct/block partitions
+bypass/termall/predictable-termination — the multi-codeword-segment
+styles — and mid-codeword layer truncation from rate control) raise
+NotImplementedError with the feature named — parse_jp2 still returns their metadata.  Precinct/block partitions
 use tile-local origin-0 arithmetic (the engine's profile, matching its
 per-tile wavelet replay).
 """
@@ -553,8 +556,9 @@ class _BlockCoder:
     """Shared scan/neighbourhood machinery for encode/decode of one
     code-block (sign-magnitude plane coding, three passes per plane)."""
 
-    def __init__(self, h: int, w: int, band: str) -> None:
+    def __init__(self, h: int, w: int, band: str, causal: bool = False) -> None:
         self.h, self.w, self.band = h, w, band
+        self.causal = causal  # vertically-causal contexts (style bit 0x08)
         # 1-padded state grids: significance and sign (0 pos / 1 neg)
         self.sig = np.zeros((h + 2, w + 2), dtype=np.uint8)
         self.sgn = np.zeros((h + 2, w + 2), dtype=np.uint8)
@@ -564,17 +568,21 @@ class _BlockCoder:
     def _counts(self, y: int, x: int) -> tuple[int, int, int]:
         s = self.sig
         yy, xx = y + 1, x + 1
+        # vertically-causal mode: the row below the current 4-row stripe is
+        # treated as insignificant (D.6 / cb_style 0x08)
+        below = 0 if (self.causal and (y & 3) == 3) else 1
         H = int(s[yy, xx - 1]) + int(s[yy, xx + 1])
-        V = int(s[yy - 1, xx]) + int(s[yy + 1, xx])
+        V = int(s[yy - 1, xx]) + below * int(s[yy + 1, xx])
         D = (
             int(s[yy - 1, xx - 1]) + int(s[yy - 1, xx + 1])
-            + int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1])
+            + below * (int(s[yy + 1, xx - 1]) + int(s[yy + 1, xx + 1]))
         )
         return H, V, D
 
     def _sign_ctx(self, y: int, x: int) -> tuple[int, int]:
         s, g = self.sig, self.sgn
         yy, xx = y + 1, x + 1
+        below = 0 if (self.causal and (y & 3) == 3) else 1
 
         def contrib(sy, sx):
             if not s[sy, sx]:
@@ -582,7 +590,7 @@ class _BlockCoder:
             return -1 if g[sy, sx] else 1
 
         Hc = max(-1, min(1, contrib(yy, xx - 1) + contrib(yy, xx + 1)))
-        Vc = max(-1, min(1, contrib(yy - 1, xx) + contrib(yy + 1, xx)))
+        Vc = max(-1, min(1, contrib(yy - 1, xx) + below * contrib(yy + 1, xx)))
         return _SC[(Hc, Vc)]
 
     def _mr_ctx(self, y: int, x: int) -> int:
@@ -592,13 +600,23 @@ class _BlockCoder:
         return 15 if H + V + D > 0 else 14
 
 
-def encode_codeblock(coeffs: np.ndarray, band: str) -> tuple[bytes, int, int]:
+def encode_codeblock(
+    coeffs: np.ndarray, band: str, cb_style: int = 0
+) -> tuple[bytes, int, int]:
     """Code-block int coefficients -> (mq bytes, numbps, n_passes).
-    All-zero blocks are coded with numbps=1 (one cleanup pass of zeros)."""
+    All-zero blocks are coded with numbps=1 (one cleanup pass of zeros).
+
+    ``cb_style`` (COD code-block style flags, round 5): 0x02 reset context
+    states at each pass, 0x08 vertically-causal contexts, 0x20
+    segmentation symbols after each cleanup pass.  Bypass (0x01), termall
+    (0x04) and predictable termination (0x10) change the codeword-segment
+    structure and stay out of profile (named errors at the COD guard)."""
     h, w = coeffs.shape
     mag = np.abs(coeffs).astype(np.int64)
     numbps = max(int(mag.max()).bit_length(), 1)
-    st = _BlockCoder(h, w, band)
+    reset = bool(cb_style & 0x02)
+    segsym = bool(cb_style & 0x20)
+    st = _BlockCoder(h, w, band, causal=bool(cb_style & 0x08))
     enc = MQEncoder(N_CTX)
     _init_states(enc)
     sgn_in = (coeffs < 0).astype(np.uint8)
@@ -610,6 +628,8 @@ def encode_codeblock(coeffs: np.ndarray, band: str) -> tuple[bytes, int, int]:
         st.in_spp[:] = False
         if not first:
             # pass 1: significance propagation
+            if reset:
+                _init_states(enc)
             for y0 in range(0, h, 4):
                 for x in range(w):
                     for y in range(y0, min(y0 + 4, h)):
@@ -627,6 +647,8 @@ def encode_codeblock(coeffs: np.ndarray, band: str) -> tuple[bytes, int, int]:
                             st.sig[y + 1, x + 1] = 1
                             st.sgn[y + 1, x + 1] = sgn_in[y, x]
             # pass 2: magnitude refinement (significant BEFORE this plane)
+            if reset:
+                _init_states(enc)
             for y0 in range(0, h, 4):
                 for x in range(w):
                     for y in range(y0, min(y0 + 4, h)):
@@ -638,6 +660,8 @@ def encode_codeblock(coeffs: np.ndarray, band: str) -> tuple[bytes, int, int]:
                         enc.encode(st._mr_ctx(y, x), int(bit[y, x]))
                         st.refined[y, x] = True
         # pass 3: cleanup
+        if reset and not first:
+            _init_states(enc)
         for y0 in range(0, h, 4):
             for x in range(w):
                 y = y0
@@ -674,12 +698,19 @@ def encode_codeblock(coeffs: np.ndarray, band: str) -> tuple[bytes, int, int]:
                         enc.encode(ctx, int(sgn_in[yy, x]) ^ xor)
                         st.sig[yy + 1, x + 1] = 1
                         st.sgn[yy + 1, x + 1] = sgn_in[yy, x]
+        if segsym:  # '1010' in the UNIFORM context after each cleanup pass
+            for s in (1, 0, 1, 0):
+                enc.encode(_CTX_UNI, s)
     return enc.flush(), numbps, n_passes
 
 
-def decode_codeblock(data: bytes, h: int, w: int, band: str, numbps: int) -> np.ndarray:
+def decode_codeblock(
+    data: bytes, h: int, w: int, band: str, numbps: int, cb_style: int = 0
+) -> np.ndarray:
     """Inverse of encode_codeblock -> int64 coefficients."""
-    st = _BlockCoder(h, w, band)
+    reset = bool(cb_style & 0x02)
+    segsym = bool(cb_style & 0x20)
+    st = _BlockCoder(h, w, band, causal=bool(cb_style & 0x08))
     dec = MQDecoder(data, N_CTX)
     _init_states(dec)
     mag = np.zeros((h, w), dtype=np.int64)
@@ -689,6 +720,8 @@ def decode_codeblock(data: bytes, h: int, w: int, band: str, numbps: int) -> np.
         first = plane == numbps - 1
         st.in_spp[:] = False
         if not first:
+            if reset:
+                _init_states(dec)
             for y0 in range(0, h, 4):
                 for x in range(w):
                     for y in range(y0, min(y0 + 4, h)):
@@ -705,6 +738,8 @@ def decode_codeblock(data: bytes, h: int, w: int, band: str, numbps: int) -> np.
                             became[y, x] = plane
                             st.sig[y + 1, x + 1] = 1
                             st.sgn[y + 1, x + 1] = s
+            if reset:
+                _init_states(dec)
             for y0 in range(0, h, 4):
                 for x in range(w):
                     for y in range(y0, min(y0 + 4, h)):
@@ -716,6 +751,8 @@ def decode_codeblock(data: bytes, h: int, w: int, band: str, numbps: int) -> np.
                         if dec.decode(ctx):
                             mag[y, x] |= 1 << plane
                         st.refined[y, x] = True
+        if reset and not first:
+            _init_states(dec)
         for y0 in range(0, h, 4):
             for x in range(w):
                 y = y0
@@ -747,6 +784,10 @@ def decode_codeblock(data: bytes, h: int, w: int, band: str, numbps: int) -> np.
                         became[yy, x] = plane
                         st.sig[yy + 1, x + 1] = 1
                         st.sgn[yy + 1, x + 1] = s
+        if segsym:  # error-resilience marker: must read back as '1010'
+            got = tuple(dec.decode(_CTX_UNI) for _ in range(4))
+            if got != (1, 0, 1, 0):
+                raise ValueError("segmentation symbol mismatch (corrupt scan)")
         # refined flags update like the encoder (after each plane they
         # persist; handled incrementally above)
     out = mag.copy()
@@ -1233,7 +1274,7 @@ def encode_jp2(
     wavelet: str = "5/3", qstep: float = 0.5, tile: int | None = None,
     qcd_style: int = 2, precinct: int | list | None = None,
     n_layers: int = 1, progression: str = "LRCP",
-    use_sop: bool = False, use_eph: bool = False,
+    use_sop: bool = False, use_eph: bool = False, cb_style: int = 0,
 ) -> bytes:
     """(planes, h, w) uint8/uint16 -> JPEG 2000 (JP2 container or raw
     codestream): single layer, LRCP, MQ-coded EBCOT code-blocks, tag-tree
@@ -1270,6 +1311,11 @@ def encode_jp2(
     prog_names = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
     if progression not in prog_names:
         raise ValueError(f"unknown progression {progression!r}")
+    if cb_style & ~0x2A:  # supported: 0x02 reset, 0x08 causal, 0x20 segsym
+        raise NotImplementedError(
+            "code-block style bypass/termall/predictable-termination "
+            "not supported"
+        )
     cb_exp = cb.bit_length() - 1
     lossy = wavelet == "9/7"
     if img.ndim == 2:
@@ -1323,7 +1369,9 @@ def encode_jp2(
                     blocks = []
                     mx = 1
                     for by0, bx0, blk in _band_blocks(arr, 1 << cbx_e, 1 << cby_e):
-                        data, numbps, n_passes = encode_codeblock(blk, bname)
+                        data, numbps, n_passes = encode_codeblock(
+                            blk, bname, cb_style
+                        )
                         blocks.append((data, numbps, n_passes))
                         mx = max(mx, numbps)
                     enc_blocks[(c, r, bname)] = blocks
@@ -1491,7 +1539,7 @@ def encode_jp2(
     cod = struct.pack(
         ">HBBHBBBBBB", 12 + len(prec_bytes), scod,
         prog_names.index(progression), n_layers, 0, levels,
-        (cb.bit_length() - 3), (cb.bit_length() - 3), 0,
+        (cb.bit_length() - 3), (cb.bit_length() - 3), cb_style,
         0 if lossy else 1,
     ) + prec_bytes
     n_sub = 3 * levels + 1
@@ -1557,8 +1605,11 @@ def decode_jp2(
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
     lossy = m["wavelet"] == "9/7"
-    if m["cb_style"] != 0:
-        raise NotImplementedError("code-block style flags (bypass/termall/...) not supported")
+    if m["cb_style"] & ~0x2A:  # 0x02 reset / 0x08 causal / 0x20 segsym ok
+        raise NotImplementedError(
+            "code-block style bypass/termall/predictable-termination "
+            "not supported"
+        )
     if m["cb_w"] != m["cb_h"]:
         raise NotImplementedError("rectangular code-blocks not supported")
     if any(c["dx"] != 1 or c["dy"] != 1 for c in m["components"]):
@@ -1809,7 +1860,7 @@ def decode_jp2(
                         bw = min(cbw_, arr.shape[1] - x0)
                         arr[y0 : y0 + bh, x0 : x0 + bw] = decode_codeblock(
                             b"".join(pieces), bh, bw, bname,
-                            int(numbps_of[key][by, bx]),
+                            int(numbps_of[key][by, bx]), m["cb_style"],
                         )
 
         # partial reconstruction inverts only the decoded resolutions: the

@@ -586,3 +586,57 @@ class TestPrecinctsLayersProgressions:
         # deterministic and decodes exactly (byte pin lives in test_golden)
         assert d == jp2.encode_jp2(img, levels=2)
         assert np.array_equal(jp2.decode_jp2(d), img)
+
+
+class TestCodeBlockStyles:
+    """COD code-block style flags (round 5): 0x02 reset-context-per-pass,
+    0x08 vertically-causal contexts, 0x20 segmentation symbols."""
+
+    def _img(self):
+        rng = np.random.RandomState(5)
+        return np.stack([
+            (120 + 60 * np.sin(np.mgrid[0:100, 0:90][0] / 13.0)).astype(np.uint8),
+            rng.randint(0, 256, (100, 90)).astype(np.uint8),
+        ])
+
+    @pytest.mark.parametrize("style", [0x02, 0x08, 0x20, 0x2A])
+    def test_styles_roundtrip(self, style):
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2, cb_style=style)
+        assert jp2.parse_jp2(d)["cb_style"] == style
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_styles_compose_with_wire_options(self):
+        img = self._img()
+        d = jp2.encode_jp2(
+            img, levels=2, cb_style=0x2A, precinct=5, progression="RPCL",
+            n_layers=2, use_eph=True,
+        )
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_segmentation_symbols_catch_corruption(self):
+        img = self._img()
+        d = bytearray(jp2.encode_jp2(img, levels=2, cb_style=0x20, container=False))
+        d[-40] ^= 0x10  # flip a bit deep in the last tile body
+        with pytest.raises(ValueError, match="segmentation symbol"):
+            jp2.decode_jp2(bytes(d))
+
+    def test_unsupported_style_bits_named(self):
+        img = self._img()[:1, :32, :32]
+        for bit in (0x01, 0x04, 0x10):
+            with pytest.raises(NotImplementedError, match="bypass"):
+                jp2.encode_jp2(img, cb_style=bit)
+        d = bytearray(jp2.encode_jp2(img, levels=1, container=False))
+        i = d.find(b"\xff\x52")
+        d[i + 12] = 0x01  # SPcod code-block style byte -> bypass
+        with pytest.raises(NotImplementedError, match="bypass"):
+            jp2.decode_jp2(bytes(d))
+
+    def test_causal_changes_the_bits_but_not_the_pixels(self):
+        # vertically-causal mode must actually alter context formation
+        # (different codestream) while staying lossless
+        img = self._img()
+        d0 = jp2.encode_jp2(img, levels=2)
+        d8 = jp2.encode_jp2(img, levels=2, cb_style=0x08)
+        assert d0[100:] != d8[100:]
+        assert np.array_equal(jp2.decode_jp2(d8), jp2.decode_jp2(d0))
