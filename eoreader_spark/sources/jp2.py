@@ -25,14 +25,15 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
   encoder first-includes each block in one layer), ALL FIVE progression
   orders (LRCP / RLCP / RPCL plus the PCRL / CPRL cross-resolution
   precinct-position walk, B.12.1.4/5), SOP / EPH packet markers, and the
-  single-segment code-block style flags — reset-context-per-pass (0x02),
-  vertically-causal contexts (0x08), segmentation symbols (0x20, verified
-  on decode as an error-resilience check)
+  code-block style flags — selective arithmetic-coding BYPASS (0x01, raw
+  SPP/MRP from the 5th bit-plane with multi-codeword-segment packet
+  lengths), reset-context-per-pass (0x02), TERMALL (0x04, one terminated
+  segment per pass), vertically-causal contexts (0x08), segmentation
+  symbols (0x20, verified on decode as an error-resilience check)
 
 Scope note (honest): remaining third-party JP2 features (ROI shifts,
-bypass/termall/predictable-termination — the multi-codeword-segment
-styles — and mid-codeword layer truncation from rate control) raise
-NotImplementedError with the feature named — parse_jp2 still returns their metadata.  Precinct/block partitions
+predictable termination, and mid-codeword layer truncation from rate
+control) raise NotImplementedError with the feature named — parse_jp2 still returns their metadata.  Precinct/block partitions
 use tile-local origin-0 arithmetic (the engine's profile, matching its
 per-tile wavelet replay).
 """
@@ -600,20 +601,54 @@ class _BlockCoder:
         return 15 if H + V + D > 0 else 14
 
 
-def encode_codeblock(
-    coeffs: np.ndarray, band: str, cb_style: int = 0
-) -> tuple[bytes, int, int]:
-    """Code-block int coefficients -> (mq bytes, numbps, n_passes).
-    All-zero blocks are coded with numbps=1 (one cleanup pass of zeros).
+def _pass_kind(i: int) -> str:
+    """Global pass index -> 'spp' | 'mrp' | 'clean' (pass 0 is the MSB
+    plane's cleanup; thereafter planes contribute spp, mrp, clean)."""
+    return "clean" if i == 0 else ("spp", "mrp", "clean")[(i - 1) % 3]
 
-    ``cb_style`` (COD code-block style flags, round 5): 0x02 reset context
-    states at each pass, 0x08 vertically-causal contexts, 0x20
-    segmentation symbols after each cleanup pass.  Bypass (0x01), termall
-    (0x04) and predictable termination (0x10) change the codeword-segment
-    structure and stay out of profile (named errors at the COD guard)."""
+
+def _segments_for(start: int, n: int, cb_style: int) -> list[int]:
+    """Split passes [start, start+n) into codeword segments -> pass counts
+    per segment (B.10.7.5).  termall (0x04): every pass terminates.
+    bypass (0x01): SPP/MRP of the 5th and later bit-planes (global pass
+    index >= 10) are raw; the MQ codeword terminates around each raw
+    SPP+MRP pair.  Neither: one continuous segment."""
+    if cb_style & 0x04:
+        return [1] * n
+    if not (cb_style & 0x01):
+        return [n]
+    out: list[int] = []
+    cur = 0
+    cur_raw = None
+    for i in range(start, start + n):
+        raw = _pass_kind(i) != "clean" and i >= 10
+        if cur and raw != cur_raw:
+            out.append(cur)
+            cur = 0
+        cur += 1
+        cur_raw = raw
+    if cur:
+        out.append(cur)
+    return out
+
+
+def encode_codeblock_segments(
+    coeffs: np.ndarray, band: str, cb_style: int = 0
+) -> tuple[list[tuple[bytes, int]], int]:
+    """Code-block int coefficients -> ([(codeword-segment bytes, passes)],
+    numbps).  All-zero blocks are coded with numbps=1 (one cleanup pass of
+    zeros).
+
+    ``cb_style`` (COD code-block style flags, round 5): 0x01 selective
+    arithmetic-coding BYPASS (raw SPP/MRP from the 5th bit-plane on, raw
+    segments use the packet-header FF-stuffing rule), 0x02 reset context
+    states at each pass, 0x04 TERMALL (every pass terminates its segment),
+    0x08 vertically-causal contexts, 0x20 segmentation symbols after each
+    cleanup pass.  Predictable termination (0x10) stays out of profile."""
     h, w = coeffs.shape
     mag = np.abs(coeffs).astype(np.int64)
     numbps = max(int(mag.max()).bit_length(), 1)
+    bypass = bool(cb_style & 0x01)
     reset = bool(cb_style & 0x02)
     segsym = bool(cb_style & 0x20)
     st = _BlockCoder(h, w, band, causal=bool(cb_style & 0x08))
@@ -622,13 +657,43 @@ def encode_codeblock(
     sgn_in = (coeffs < 0).astype(np.uint8)
     n_passes = 3 * numbps - 2
 
+    plan = _segments_for(0, n_passes, cb_style)
+    seg_iter = iter(plan)
+    seg_target = next(seg_iter)
+    segs: list[tuple[bytes, int]] = []
+    passes_in_seg = 0
+    raw: _HeaderBits | None = None
+
+    def end_pass() -> None:
+        """Advance the pass counter; close the codeword segment at a plan
+        boundary."""
+        nonlocal enc, raw, passes_in_seg, seg_target, pass_idx
+        pass_idx += 1
+        passes_in_seg += 1
+        if passes_in_seg != seg_target:
+            return
+        if raw is not None:
+            segs.append((raw.flush(), passes_in_seg))
+            raw = None
+        else:
+            states = (enc.I[:], enc.MPS[:])
+            segs.append((enc.flush(), passes_in_seg))
+            enc = MQEncoder(N_CTX)
+            enc.I, enc.MPS = states  # contexts persist across terminations
+        passes_in_seg = 0
+        seg_target = next(seg_iter, None)
+
+    pass_idx = 0
     for plane in range(numbps - 1, -1, -1):
         bit = ((mag >> plane) & 1).astype(np.uint8)
         first = plane == numbps - 1
         st.in_spp[:] = False
         if not first:
+            raw_now = bypass and pass_idx >= 10
+            if raw_now and raw is None:
+                raw = _HeaderBits()
             # pass 1: significance propagation
-            if reset:
+            if reset and not raw_now:
                 _init_states(enc)
             for y0 in range(0, h, 4):
                 for x in range(w):
@@ -640,14 +705,24 @@ def encode_codeblock(
                             continue
                         st.in_spp[y, x] = True
                         b = int(bit[y, x])
+                        if raw_now:
+                            raw.put(b)
+                            if b:  # raw sign: no neighbourhood prediction
+                                raw.put(int(sgn_in[y, x]))
+                                st.sig[y + 1, x + 1] = 1
+                                st.sgn[y + 1, x + 1] = sgn_in[y, x]
+                            continue
                         enc.encode(_zc_context(band, H, V, D), b)
                         if b:
                             ctx, xor = st._sign_ctx(y, x)
                             enc.encode(ctx, int(sgn_in[y, x]) ^ xor)
                             st.sig[y + 1, x + 1] = 1
                             st.sgn[y + 1, x + 1] = sgn_in[y, x]
+            end_pass()
             # pass 2: magnitude refinement (significant BEFORE this plane)
-            if reset:
+            if raw_now and raw is None:  # termall closed the SPP segment
+                raw = _HeaderBits()
+            if reset and not raw_now:
                 _init_states(enc)
             for y0 in range(0, h, 4):
                 for x in range(w):
@@ -657,9 +732,13 @@ def encode_codeblock(
                         # significant from an earlier plane?
                         if (mag[y, x] >> (plane + 1)) == 0:
                             continue  # became significant this plane (SPP)
-                        enc.encode(st._mr_ctx(y, x), int(bit[y, x]))
+                        if raw_now:
+                            raw.put(int(bit[y, x]))
+                        else:
+                            enc.encode(st._mr_ctx(y, x), int(bit[y, x]))
                         st.refined[y, x] = True
-        # pass 3: cleanup
+            end_pass()
+        # pass 3: cleanup (always MQ)
         if reset and not first:
             _init_states(enc)
         for y0 in range(0, h, 4):
@@ -701,26 +780,79 @@ def encode_codeblock(
         if segsym:  # '1010' in the UNIFORM context after each cleanup pass
             for s in (1, 0, 1, 0):
                 enc.encode(_CTX_UNI, s)
-    return enc.flush(), numbps, n_passes
+        end_pass()
+    return segs, numbps
 
 
-def decode_codeblock(
-    data: bytes, h: int, w: int, band: str, numbps: int, cb_style: int = 0
+def encode_codeblock(
+    coeffs: np.ndarray, band: str, cb_style: int = 0
+) -> tuple[bytes, int, int]:
+    """Code-block int coefficients -> (codeword bytes, numbps, n_passes) —
+    the concatenation of all codeword segments (exactly one for styles
+    without termall/bypass).  See encode_codeblock_segments."""
+    segs, numbps = encode_codeblock_segments(coeffs, band, cb_style)
+    return (
+        b"".join(b for b, _p in segs),
+        numbps,
+        sum(p for _b, p in segs),
+    )
+
+
+def decode_codeblock_segments(
+    segs: list[tuple[bytes, int]], h: int, w: int, band: str, numbps: int,
+    cb_style: int = 0,
 ) -> np.ndarray:
-    """Inverse of encode_codeblock -> int64 coefficients."""
+    """Inverse of encode_codeblock_segments -> int64 coefficients.
+    ``segs`` = [(codeword-segment bytes, passes)] in coding order; MQ
+    context states persist across terminated segments, raw segments use
+    the FF-stuffing bit reader."""
+    bypass = bool(cb_style & 0x01)
     reset = bool(cb_style & 0x02)
     segsym = bool(cb_style & 0x20)
     st = _BlockCoder(h, w, band, causal=bool(cb_style & 0x08))
-    dec = MQDecoder(data, N_CTX)
-    _init_states(dec)
     mag = np.zeros((h, w), dtype=np.int64)
     became = np.zeros((h, w), dtype=np.int64)  # plane at which became significant
+    n_passes = sum(p for _b, p in segs)
 
+    # walk segments in step with the pass plan
+    seg_list = list(segs)
+    seg_pos = 0
+    passes_left_in_seg = 0
+    dec: MQDecoder | None = None
+    raw: _HeaderBits | None = None
+    states = None  # MQ context carry-over across terminated segments
+
+    def begin_pass(raw_now: bool) -> None:
+        nonlocal seg_pos, passes_left_in_seg, dec, raw, states
+        if passes_left_in_seg == 0:
+            if dec is not None:
+                states = (dec.I[:], dec.MPS[:])
+            data, p = seg_list[seg_pos]
+            seg_pos += 1
+            passes_left_in_seg = p
+            if raw_now:
+                raw = _HeaderBits(data)
+                dec = None
+            else:
+                raw = None
+                dec = MQDecoder(data, N_CTX)
+                if states is None:
+                    _init_states(dec)
+                else:
+                    dec.I, dec.MPS = states[0][:], states[1][:]
+        passes_left_in_seg -= 1
+
+    pass_idx = 0
     for plane in range(numbps - 1, -1, -1):
         first = plane == numbps - 1
         st.in_spp[:] = False
+        if pass_idx >= n_passes:
+            break  # truncated (layered) stream: remaining passes absent
         if not first:
-            if reset:
+            raw_now = bypass and pass_idx >= 10
+            begin_pass(raw_now)
+            pass_idx += 1
+            if reset and not raw_now:
                 _init_states(dec)
             for y0 in range(0, h, 4):
                 for x in range(w):
@@ -731,6 +863,14 @@ def decode_codeblock(
                         if H + V + D == 0:
                             continue
                         st.in_spp[y, x] = True
+                        if raw_now:
+                            if raw.get():
+                                s = raw.get()
+                                mag[y, x] |= 1 << plane
+                                became[y, x] = plane
+                                st.sig[y + 1, x + 1] = 1
+                                st.sgn[y + 1, x + 1] = s
+                            continue
                         if dec.decode(_zc_context(band, H, V, D)):
                             ctx, xor = st._sign_ctx(y, x)
                             s = dec.decode(ctx) ^ xor
@@ -738,7 +878,11 @@ def decode_codeblock(
                             became[y, x] = plane
                             st.sig[y + 1, x + 1] = 1
                             st.sgn[y + 1, x + 1] = s
-            if reset:
+            if pass_idx >= n_passes:
+                break
+            begin_pass(raw_now)
+            pass_idx += 1
+            if reset and not raw_now:
                 _init_states(dec)
             for y0 in range(0, h, 4):
                 for x in range(w):
@@ -747,10 +891,16 @@ def decode_codeblock(
                             continue
                         if became[y, x] == plane:
                             continue
-                        ctx = st._mr_ctx(y, x)
-                        if dec.decode(ctx):
+                        if raw_now:
+                            if raw.get():
+                                mag[y, x] |= 1 << plane
+                        elif dec.decode(st._mr_ctx(y, x)):
                             mag[y, x] |= 1 << plane
                         st.refined[y, x] = True
+            if pass_idx >= n_passes:
+                break
+        begin_pass(False)
+        pass_idx += 1
         if reset and not first:
             _init_states(dec)
         for y0 in range(0, h, 4):
@@ -788,12 +938,20 @@ def decode_codeblock(
             got = tuple(dec.decode(_CTX_UNI) for _ in range(4))
             if got != (1, 0, 1, 0):
                 raise ValueError("segmentation symbol mismatch (corrupt scan)")
-        # refined flags update like the encoder (after each plane they
-        # persist; handled incrementally above)
     out = mag.copy()
     neg = (st.sgn[1 : h + 1, 1 : w + 1] == 1) & (mag > 0)
     out[neg] = -out[neg]
     return out
+
+
+def decode_codeblock(
+    data: bytes, h: int, w: int, band: str, numbps: int, cb_style: int = 0
+) -> np.ndarray:
+    """Inverse of encode_codeblock for a SINGLE continuous codeword
+    (styles without termall/bypass) -> int64 coefficients."""
+    return decode_codeblock_segments(
+        [(data, 3 * numbps - 2)], h, w, band, numbps, cb_style
+    )
 
 
 # ---------------------------------------------------------------- Tier-2
@@ -1311,11 +1469,10 @@ def encode_jp2(
     prog_names = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
     if progression not in prog_names:
         raise ValueError(f"unknown progression {progression!r}")
-    if cb_style & ~0x2A:  # supported: 0x02 reset, 0x08 causal, 0x20 segsym
-        raise NotImplementedError(
-            "code-block style bypass/termall/predictable-termination "
-            "not supported"
-        )
+    if cb_style & ~0x2F:  # 0x01 bypass / 0x02 reset / 0x04 termall /
+        # 0x08 causal / 0x20 segsym supported; 0x10 predictable termination
+        # would change the MQ flush sequence itself
+        raise NotImplementedError("predictable termination not supported")
     cb_exp = cb.bit_length() - 1
     lossy = wavelet == "9/7"
     if img.ndim == 2:
@@ -1369,10 +1526,13 @@ def encode_jp2(
                     blocks = []
                     mx = 1
                     for by0, bx0, blk in _band_blocks(arr, 1 << cbx_e, 1 << cby_e):
-                        data, numbps, n_passes = encode_codeblock(
+                        seg_list, numbps = encode_codeblock_segments(
                             blk, bname, cb_style
                         )
-                        blocks.append((data, numbps, n_passes))
+                        data = b"".join(b for b, _p in seg_list)
+                        n_passes = sum(p for _b, p in seg_list)
+                        seg_lens = [(len(b), p) for b, p in seg_list]
+                        blocks.append((data, numbps, n_passes, seg_lens))
                         mx = max(mx, numbps)
                     enc_blocks[(c, r, bname)] = blocks
                     band_mb[(c, r, bname)] = mx
@@ -1492,7 +1652,9 @@ def encode_jp2(
                     for by in range(by0, by1):
                         for bx in range(bx0, bx1):
                             lbx, lby = bx - bx0, by - by0
-                            data, numbps, n_passes = blocks[by * nbw + bx]
+                            data, numbps, n_passes, seg_lens = blocks[
+                                by * nbw + bx
+                            ]
                             if em[by, bx]:
                                 bits.put(0)  # included earlier, no new passes
                                 continue
@@ -1502,17 +1664,27 @@ def encode_jp2(
                             em[by, bx] = True
                             zbp.encode(bits, lbx, lby, 1 << 30)  # resolve
                             _put_npasses(bits, n_passes)
-                            nbits_len = int(lb[by, bx]) + int(
-                                np.floor(np.log2(n_passes))
-                            )
-                            need = max(len(data).bit_length(), 1)
-                            k = max(0, need - nbits_len)
+                            # one lblock comma code covers ALL codeword
+                            # segments of this contribution (B.10.7.5);
+                            # each segment's length then uses
+                            # lblock + floor(log2(segment passes)) bits
+                            k = 0
+                            for ln_i, p_i in seg_lens:
+                                need = max(ln_i.bit_length(), 1)
+                                have = int(lb[by, bx]) + int(
+                                    np.floor(np.log2(p_i))
+                                )
+                                k = max(k, need - have)
                             for _ in range(k):
                                 bits.put(1)
                             bits.put(0)
                             lb[by, bx] += k
-                            nbits_len += k
-                            bits.put_bits(len(data), nbits_len)
+                            for ln_i, p_i in seg_lens:
+                                bits.put_bits(
+                                    ln_i,
+                                    int(lb[by, bx])
+                                    + int(np.floor(np.log2(p_i))),
+                                )
                             body += data
             pk = bits.flush()
             if use_eph:
@@ -1605,11 +1777,8 @@ def decode_jp2(
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
     lossy = m["wavelet"] == "9/7"
-    if m["cb_style"] & ~0x2A:  # 0x02 reset / 0x08 causal / 0x20 segsym ok
-        raise NotImplementedError(
-            "code-block style bypass/termall/predictable-termination "
-            "not supported"
-        )
+    if m["cb_style"] & ~0x2F:  # all styles except predictable termination
+        raise NotImplementedError("predictable termination not supported")
     if m["cb_w"] != m["cb_h"]:
         raise NotImplementedError("rectangular code-blocks not supported")
     if any(c["dx"] != 1 or c["dy"] != 1 for c in m["components"]):
@@ -1768,6 +1937,9 @@ def decode_jp2(
         numbps_of = {
             k: np.zeros((g[1], g[0]), dtype=np.int64) for k, g in grids.items()
         }
+        pgots = {  # passes received so far (segment plan offset, B.10.7.5)
+            k: np.zeros((g[1], g[0]), dtype=np.int64) for k, g in grids.items()
+        }
         segs: dict = {k: {} for k in grids}
 
         spos = 0
@@ -1810,6 +1982,7 @@ def decode_jp2(
                     lb = lblocks[(c, r, bname)]
                     inc = included[(c, r, bname)]
                     nbp = numbps_of[(c, r, bname)]
+                    pgot = pgots[(c, r, bname)]
                     for by in range(by0, by1):
                         for bx in range(bx0, bx1):
                             lbx, lby = bx - bx0, by - by0
@@ -1824,26 +1997,34 @@ def decode_jp2(
                                 nbp[by, bx] = mb_of[(r, bname)] - pmiss
                                 inc[by, bx] = True
                             n_passes = _get_npasses(bits)
-                            nbits_len = int(lb[by, bx]) + int(
-                                np.floor(np.log2(n_passes))
-                            )
                             k = 0
                             while bits.get():
                                 k += 1
                             lb[by, bx] += k
-                            nbits_len += k
-                            ln2 = bits.get_bits(nbits_len)
-                            todo.append(((c, r, bname), bx, by, ln2))
+                            # one length per codeword segment (B.10.7.5)
+                            seg_ps = _segments_for(
+                                int(pgot[by, bx]), n_passes, m["cb_style"]
+                            )
+                            lens = [
+                                bits.get_bits(
+                                    int(lb[by, bx])
+                                    + int(np.floor(np.log2(p)))
+                                )
+                                for p in seg_ps
+                            ]
+                            pgot[by, bx] += n_passes
+                            todo.append(((c, r, bname), bx, by, lens, seg_ps))
             spos += bits.align()
             if use_eph:
                 if stream[spos : spos + 2] != b"\xff\x92":
                     raise ValueError("missing EPH marker")
                 spos += 2
-            for key, bx, by, ln2 in todo:
-                segs[key].setdefault((by, bx), []).append(
-                    stream[spos : spos + ln2]
-                )
-                spos += ln2
+            for key, bx, by, lens, seg_ps in todo:
+                for ln2, sp in zip(lens, seg_ps):
+                    segs[key].setdefault((by, bx), []).append(
+                        (stream[spos : spos + ln2], sp)
+                    )
+                    spos += ln2
 
         # entropy-decode: every included block of the requested resolutions
         # (later-layer segments concatenate — the MQ coder never terminated
@@ -1858,9 +2039,18 @@ def decode_jp2(
                         y0, x0 = by * cbh_, bx * cbw_
                         bh = min(cbh_, arr.shape[0] - y0)
                         bw = min(cbw_, arr.shape[1] - x0)
-                        arr[y0 : y0 + bh, x0 : x0 + bw] = decode_codeblock(
-                            b"".join(pieces), bh, bw, bname,
-                            int(numbps_of[key][by, bx]), m["cb_style"],
+                        if m["cb_style"] & 0x05:  # terminated segments
+                            entries = pieces
+                        else:  # one continuous MQ codeword across layers
+                            entries = [(
+                                b"".join(b for b, _p in pieces),
+                                sum(p for _b, p in pieces),
+                            )]
+                        arr[y0 : y0 + bh, x0 : x0 + bw] = (
+                            decode_codeblock_segments(
+                                entries, bh, bw, bname,
+                                int(numbps_of[key][by, bx]), m["cb_style"],
+                            )
                         )
 
         # partial reconstruction inverts only the decoded resolutions: the

@@ -589,8 +589,11 @@ class TestPrecinctsLayersProgressions:
 
 
 class TestCodeBlockStyles:
-    """COD code-block style flags (round 5): 0x02 reset-context-per-pass,
-    0x08 vertically-causal contexts, 0x20 segmentation symbols."""
+    """COD code-block style flags (round 5): 0x01 arithmetic-coding bypass
+    (raw SPP/MRP from the 5th bit-plane, multi-codeword-segment lengths in
+    the packet header), 0x02 reset-context-per-pass, 0x04 termall (one
+    terminated segment per pass), 0x08 vertically-causal contexts, 0x20
+    segmentation symbols."""
 
     def _img(self):
         rng = np.random.RandomState(5)
@@ -599,7 +602,9 @@ class TestCodeBlockStyles:
             rng.randint(0, 256, (100, 90)).astype(np.uint8),
         ])
 
-    @pytest.mark.parametrize("style", [0x02, 0x08, 0x20, 0x2A])
+    @pytest.mark.parametrize(
+        "style", [0x01, 0x02, 0x04, 0x05, 0x08, 0x20, 0x2A, 0x2B, 0x2E]
+    )
     def test_styles_roundtrip(self, style):
         img = self._img()
         d = jp2.encode_jp2(img, levels=2, cb_style=style)
@@ -613,6 +618,32 @@ class TestCodeBlockStyles:
             n_layers=2, use_eph=True,
         )
         assert np.array_equal(jp2.decode_jp2(d), img)
+        # bypass's multi-segment lengths through precincts, layers, tiling
+        d = jp2.encode_jp2(
+            img, levels=2, cb_style=0x01, precinct=5, progression="RPCL",
+            n_layers=2, use_eph=True, tile=96,
+        )
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_bypass_segment_plan(self):
+        # pass plan: 10 MQ passes for the first 4 bit-planes, then
+        # alternating raw SPP+MRP pairs and MQ cleanups
+        assert jp2._segments_for(0, 10, 0x01) == [10]
+        assert jp2._segments_for(0, 16, 0x01) == [10, 2, 1, 2, 1]
+        assert jp2._segments_for(0, 5, 0x04) == [1] * 5
+        assert jp2._segments_for(0, 13, 0x00) == [13]
+
+    def test_bypass_raw_segments_roundtrip_codeblock(self):
+        rng = np.random.RandomState(7)
+        c = np.zeros((37, 29), dtype=np.int64)
+        c[rng.rand(37, 29) < 0.35] = rng.randint(-9000, 9000)  # numbps > 10
+        for style in (0x01, 0x05, 0x2B):
+            segs, numbps = jp2.encode_codeblock_segments(c, "HH", style)
+            assert [p for _b, p in segs] == jp2._segments_for(
+                0, 3 * numbps - 2, style
+            )
+            back = jp2.decode_codeblock_segments(segs, 37, 29, "HH", numbps, style)
+            assert np.array_equal(back, c), hex(style)
 
     def test_segmentation_symbols_catch_corruption(self):
         img = self._img()
@@ -623,13 +654,12 @@ class TestCodeBlockStyles:
 
     def test_unsupported_style_bits_named(self):
         img = self._img()[:1, :32, :32]
-        for bit in (0x01, 0x04, 0x10):
-            with pytest.raises(NotImplementedError, match="bypass"):
-                jp2.encode_jp2(img, cb_style=bit)
+        with pytest.raises(NotImplementedError, match="predictable"):
+            jp2.encode_jp2(img, cb_style=0x10)
         d = bytearray(jp2.encode_jp2(img, levels=1, container=False))
         i = d.find(b"\xff\x52")
-        d[i + 12] = 0x01  # SPcod code-block style byte -> bypass
-        with pytest.raises(NotImplementedError, match="bypass"):
+        d[i + 12] = 0x10  # SPcod style byte -> predictable termination
+        with pytest.raises(NotImplementedError, match="predictable"):
             jp2.decode_jp2(bytes(d))
 
     def test_causal_changes_the_bits_but_not_the_pixels(self):
