@@ -187,16 +187,19 @@ def test_jp2_lossless_roundtrip_any_shape(seed, h, w, p, levels, u16):
     prog=st.sampled_from(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]),
     prec=st.sampled_from([None, 5, 6]),
     nl=st.integers(min_value=1, max_value=3),
+    style=st.sampled_from([0x00, 0x01, 0x04, 0x05, 0x2A, 0x2B, 0x2F & ~0x10]),
 )
-def test_jp2_wire_options_roundtrip_any(seed, h, w, prog, prec, nl):
-    """Any combination of progression order / precincts / layers is still
-    the identity on arbitrary noise content."""
+def test_jp2_wire_options_roundtrip_any(seed, h, w, prog, prec, nl, style):
+    """Any combination of progression order / precincts / layers /
+    code-block styles (incl. bypass and termall multi-segment codewords)
+    is still the identity on arbitrary noise content."""
     from eoreader_spark.sources import jp2
 
     rng = np.random.RandomState(seed % 2**31)
     img = rng.randint(0, 256, size=(1, h, w)).astype(np.uint8)
     d = jp2.encode_jp2(
-        img, levels=2, progression=prog, precinct=prec, n_layers=nl
+        img, levels=2, progression=prog, precinct=prec, n_layers=nl,
+        cb_style=style,
     )
     assert np.array_equal(jp2.decode_jp2(d), img)
 
