@@ -31,9 +31,14 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
   segment per pass), vertically-causal contexts (0x08), segmentation
   symbols (0x20, verified on decode as an error-resilience check)
 
-Scope note (honest): remaining third-party JP2 features (ROI shifts,
-predictable termination, and mid-codeword layer truncation from rate
-control) raise NotImplementedError with the feature named — parse_jp2 still returns their metadata.  Precinct/block partitions
+- ROI (RGN marker, Srgn=0 max-shift method): the encoder scales the ROI's
+  wavelet coefficients above every background magnitude, the decoder
+  separates them by magnitude alone — lossless on the reversible path
+  (lossy ROI would need guard-bit escalation and raises)
+
+Scope note (honest): remaining third-party JP2 features (predictable
+termination, non-max-shift ROI styles, and mid-codeword layer truncation
+from rate control) raise NotImplementedError with the feature named — parse_jp2 still returns their metadata.  Precinct/block partitions
 use tile-local origin-0 arithmetic (the engine's profile, matching its
 per-tile wavelet replay).
 """
@@ -1433,6 +1438,7 @@ def encode_jp2(
     qcd_style: int = 2, precinct: int | list | None = None,
     n_layers: int = 1, progression: str = "LRCP",
     use_sop: bool = False, use_eph: bool = False, cb_style: int = 0,
+    roi: tuple[int, int, int, int] | None = None,
 ) -> bytes:
     """(planes, h, w) uint8/uint16 -> JPEG 2000 (JP2 container or raw
     codestream): single layer, LRCP, MQ-coded EBCOT code-blocks, tag-tree
@@ -1473,6 +1479,10 @@ def encode_jp2(
         # 0x08 causal / 0x20 segsym supported; 0x10 predictable termination
         # would change the MQ flush sequence itself
         raise NotImplementedError("predictable termination not supported")
+    if roi is not None and wavelet != "5/3":
+        raise NotImplementedError(
+            "ROI max-shift needs guard-bit escalation on the lossy path"
+        )
     cb_exp = cb.bit_length() - 1
     lossy = wavelet == "9/7"
     if img.ndim == 2:
@@ -1492,9 +1502,8 @@ def encode_jp2(
         else None
     )
 
-    # pass 1 — per tile: wavelet transform (+ quantize) and EBCOT-encode
-    # every code-block; record per-(tile, comp, band) max bit-depth
-    tiles_cb = []
+    # pass 1a — per tile: wavelet transform (+ quantize)
+    tiles_bands = []
     for _ty, _tx, y0, x0, th, tw in grid:
         sub = img[:, y0 : y0 + th, x0 : x0 + tw]
         if lossy:
@@ -1517,6 +1526,55 @@ def encode_jp2(
                 fwd_dwt53(sub[c].astype(np.int64) - shift, levels)
                 for c in range(p)
             ]
+        tiles_bands.append((comp_bands, y0, x0))
+
+    # pass 1b — ROI max-shift (RGN, Srgn=0): scale the ROI coefficients so
+    # every non-zero ROI magnitude clears the largest background magnitude;
+    # the decoder separates them by magnitude alone (no mask on the wire)
+    roi_shift = 0
+    if roi is not None:
+        ry0, rx0, rh, rw = roi
+
+        def _band_mask(arr_shape, r, bname, ty0, tx0):
+            """ROI rect -> subband mask (coeff coords, tile-local), dilated
+            by the 5/3 lifting support at each level."""
+            lev = levels - r if r == 0 else levels - r + 1
+            sc = 1 << lev
+            m = 2 * lev + 2  # lifting support dilation, conservative
+            yy0 = max((ry0 - ty0) // sc - m, 0)
+            xx0 = max((rx0 - tx0) // sc - m, 0)
+            yy1 = min(-(-(ry0 + rh - ty0) // sc) + m, arr_shape[0])
+            xx1 = min(-(-(rx0 + rw - tx0) // sc) + m, arr_shape[1])
+            msk = np.zeros(arr_shape, dtype=bool)
+            if yy1 > yy0 and xx1 > xx0:
+                msk[yy0:yy1, xx0:xx1] = True
+            return msk
+
+        bg_max = 1
+        masks = []
+        for comp_bands, ty0, tx0 in tiles_bands:
+            tile_masks = {}
+            for c in range(p):
+                for r in range(levels + 1):
+                    for bname, arr in _res_bands(comp_bands[c], r):
+                        msk = _band_mask(arr.shape, r, bname, ty0, tx0)
+                        tile_masks[(c, r, bname)] = msk
+                        if (~msk).any():
+                            bg_max = max(
+                                bg_max, int(np.abs(arr[~msk]).max(initial=0))
+                            )
+            masks.append(tile_masks)
+        roi_shift = bg_max.bit_length()
+        for (comp_bands, _y, _x), tile_masks in zip(tiles_bands, masks):
+            for c in range(p):
+                for r in range(levels + 1):
+                    for bname, arr in _res_bands(comp_bands[c], r):
+                        arr[tile_masks[(c, r, bname)]] <<= roi_shift
+
+    # pass 1c — EBCOT-encode every code-block; record per-(tile, comp,
+    # band) max bit-depth
+    tiles_cb = []
+    for comp_bands, _y0, _x0 in tiles_bands:
         enc_blocks: dict = {}
         band_mb: dict = {}
         for c in range(p):
@@ -1731,14 +1789,26 @@ def encode_jp2(
         for r in range(1, levels + 1):
             for bname in ("HL", "LH", "HH"):
                 eps.append(mb_of[(r, bname)] - _GUARD + 1)
+        if max(eps) > 31:  # 5-bit exponent field; reachable with deep
+            # ROI shifts on 16-bit data
+            raise NotImplementedError(
+                "subband dynamic range exceeds the 5-bit QCD exponent "
+                "(reduce the ROI extent or bit depth)"
+            )
         qcd = struct.pack(">HB", 3 + n_sub, (_GUARD << 5) | 0) + bytes(
             max(e, 0) << 3 & 0xFF for e in eps
         )
+    rgn = b""
+    if roi is not None:
+        # RGN per component: Srgn=0 (implicit max-shift), SPrgn = shift
+        for c in range(p):
+            rgn += b"\xff\x5e" + struct.pack(">HBBB", 5, c, 0, roi_shift)
     cs = (
         b"\xff\x4f"
         + b"\xff\x51" + siz
         + b"\xff\x52" + cod
         + b"\xff\x5c" + qcd
+        + rgn
         + b"".join(tile_parts)
         + b"\xff\xd9"
     )
@@ -1796,13 +1866,15 @@ def decode_jp2(
     depth = m["components"][0]["depth"]
     shift = 1 << (depth - 1)
 
-    # one main-header walk captures QCD exponents AND guard bits
+    # one main-header walk captures QCD exponents, guard bits, and any
+    # RGN (ROI) markers
     pos = 2
     eps: list[int] = []
     mus: list[int] = []
     guard = None
     qstyle = None
     sot_pos = None
+    roi_shifts: dict[int, int] = {}
     while pos + 4 <= len(cs):
         (marker,) = struct.unpack(">H", cs[pos : pos + 2])
         if marker == _SOT:
@@ -1831,6 +1903,15 @@ def decode_jp2(
                 raise NotImplementedError(
                     f"Sqcd quantization style {qstyle} not supported"
                 )
+        elif marker == 0xFF5E:  # RGN: ROI shift per component
+            seg = cs[pos + 4 : pos + 2 + seglen]
+            crgn = seg[0] if p < 257 else struct.unpack(">H", seg[:2])[0]
+            off = 1 if p < 257 else 2
+            if seg[off] != 0:
+                raise NotImplementedError(
+                    f"RGN style {seg[off]} not supported (max-shift only)"
+                )
+            roi_shifts[crgn] = seg[off + 1]
         pos += 2 + seglen
     if sot_pos is None:
         raise ValueError("no tile-part (SOT) in codestream")
@@ -2046,12 +2127,21 @@ def decode_jp2(
                                 b"".join(b for b, _p in pieces),
                                 sum(p for _b, p in pieces),
                             )]
-                        arr[y0 : y0 + bh, x0 : x0 + bw] = (
-                            decode_codeblock_segments(
-                                entries, bh, bw, bname,
-                                int(numbps_of[key][by, bx]), m["cb_style"],
-                            )
+                        vals = decode_codeblock_segments(
+                            entries, bh, bw, bname,
+                            int(numbps_of[key][by, bx]), m["cb_style"],
                         )
+                        rs = roi_shifts.get(c, 0)
+                        if rs:
+                            # ROI max-shift: magnitudes clearing 2^s are
+                            # ROI coefficients scaled up by the encoder
+                            hi_m = np.abs(vals) >= (1 << rs)
+                            vals = np.where(
+                                hi_m,
+                                np.sign(vals) * (np.abs(vals) >> rs),
+                                vals,
+                            )
+                        arr[y0 : y0 + bh, x0 : x0 + bw] = vals
 
         # partial reconstruction inverts only the decoded resolutions: the
         # exact (5/3) / dequantized (9/7) level-(levels - stop_res) LL —

@@ -670,3 +670,58 @@ class TestCodeBlockStyles:
         d8 = jp2.encode_jp2(img, levels=2, cb_style=0x08)
         assert d0[100:] != d8[100:]
         assert np.array_equal(jp2.decode_jp2(d8), jp2.decode_jp2(d0))
+
+
+class TestRoiMaxShift:
+    """RGN marker, max-shift ROI (round 5): the encoder scales ROI
+    coefficients above every background magnitude; the decoder separates
+    them by magnitude alone and shifts back — lossless end to end on the
+    reversible path."""
+
+    def _img(self):
+        rng = np.random.RandomState(5)
+        return np.stack([
+            (120 + 60 * np.sin(np.mgrid[0:200, 0:170][0] / 13.0)).astype(np.uint8),
+            rng.randint(0, 256, (200, 170)).astype(np.uint8),
+        ])
+
+    def test_roi_roundtrip_and_marker(self):
+        img = self._img()
+        d = jp2.encode_jp2(img, levels=2, roi=(40, 30, 60, 80))
+        assert d.count(b"\xff\x5e") >= 2  # one RGN per component
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_roi_composes_with_tiles_wire_options_and_bypass(self):
+        img = self._img()
+        d = jp2.encode_jp2(
+            img, levels=2, roi=(40, 30, 60, 80), tile=96, precinct=5,
+            progression="RPCL", cb_style=0x01,
+        )
+        assert np.array_equal(jp2.decode_jp2(d), img)
+
+    def test_roi_overview_read_unchanged(self):
+        img = self._img()
+        ov0 = jp2.decode_jp2(jp2.encode_jp2(img, levels=2), max_res=1)
+        ov1 = jp2.decode_jp2(
+            jp2.encode_jp2(img, levels=2, roi=(40, 30, 60, 80)), max_res=1
+        )
+        assert np.array_equal(ov0, ov1)
+
+    def test_roi_actually_rides_higher_bitplanes(self):
+        # stripping the RGN markers must yield scaled (wrong) ROI pixels —
+        # proving the shift is real, not a no-op
+        img = self._img()[:1]
+        d = bytearray(jp2.encode_jp2(img, levels=2, roi=(40, 30, 60, 80),
+                                     container=False))
+        i = d.find(b"\xff\x5e")
+        stripped = bytes(d[:i]) + bytes(d[i + 7:])  # drop the one RGN
+        got = jp2.decode_jp2(stripped)
+        assert not np.array_equal(got, img)
+
+    def test_roi_guards(self):
+        img = self._img()
+        with pytest.raises(NotImplementedError, match="lossy"):
+            jp2.encode_jp2(img, wavelet="9/7", roi=(0, 0, 8, 8))
+        big = np.random.RandomState(0).randint(0, 65536, (1, 64, 64)).astype(np.uint16)
+        with pytest.raises(NotImplementedError, match="QCD exponent"):
+            jp2.encode_jp2(big, levels=3, roi=(8, 8, 16, 16))
