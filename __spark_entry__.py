@@ -3956,12 +3956,20 @@ def q_olci_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     constellation-TAG dispatch (band_map='S3_OLCI'): NDVI from planes
     NIR=16 / RED=7, the unnamed Oa21 channel (plane 20, kept under its Oa
     id like the reference, s3_olci_product.py:424-435), and NARROW_NIR
-    aliasing the NIR plane.  Oracle replays the closed form."""
+    aliasing the NIR plane.  Oracle replays the closed form.
+
+    Round 6: the pixels now travel through the engine's REAL HDF5/netCDF
+    container (fmt='nc', sources/hdf5.py — the reference's actual S3 band
+    format, s3_product.py:788-886) instead of the raw8 stand-in; the
+    closed-form oracle is unchanged because the container is lossless."""
     from eoreader_spark import datagen
     from eoreader_spark.plans import loader
 
-    images = datagen.gen_images(spark, 12, layout="S3_OLCI").filter(
-        F.col("fmt") == "raw8"
+    images = datagen.transcode_images(
+        datagen.gen_images(spark, 12, layout="S3_OLCI").filter(
+            F.col("fmt") == "raw8"
+        ),
+        "nc",
     )
     eng = loader.ImageEngine(images, band_map="S3_OLCI")
     wide = eng.load(["NDVI", "Oa21", "NARROW_NIR"], clean="raw")
@@ -3980,6 +3988,85 @@ def q_olci_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("image_id")
     )
+
+
+def q_nc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6, the reference's LAST real container: netCDF4-on-HDF5, the
+    actual Sentinel-3 band format (s3_product.py:788-886 reads it via
+    h5netcdf with mask_and_scale=True; :445-478 applies scale_factor).  The
+    engine's own from-scratch HDF5 reader (sources/hdf5.py: superblock v0,
+    v1 object headers, symbol-table group, chunked layout + deflate,
+    attribute messages) decodes OLCI-shaped containers on executors:
+    RED=Oa08 / NIR=Oa17 radiance datasets, int16 DN with
+    scale_factor=0.25 / add_offset=1.5 / _FillValue applied on read
+    (DN==0 is written as fill).  All arithmetic is exact in binary
+    (0.25/1.5 dyadic), so floor-scaled integer sums replay the closed form:
+    floor((v*0.25 + 1.5)*100) = 25*v + 150."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as _np
+
+        from eoreader_spark import codecs as _c
+        from eoreader_spark.sources import hdf5 as _h5
+
+        dims = [(64, 64), (128, 64), (96, 80)]
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = dims[j % 3]
+                dsets = {}
+                for p in range(21):
+                    dn = _c.pixel_plane(j, p, h, w).astype(_np.int16)
+                    dn[dn == 0] = -32768  # fill sentinel at closed-form zeros
+                    dsets[f"Oa{p + 1:02d}_radiance"] = (
+                        dn,
+                        {
+                            "scale_factor": _np.float64(0.25),
+                            "add_offset": _np.float64(1.5),
+                            "_FillValue": _np.int16(-32768),
+                            "units": "mW.m-2.sr-1.nm-1",
+                        },
+                    )
+                rows.append((f"nc_{j:03d}", _h5.write_hdf5(dsets), w, h))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h"])
+
+    files = spark.range(6, numPartitions=2).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int"
+    )
+
+    def rd(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import numpy as _np
+
+        from eoreader_spark.sources import hdf5 as _h5
+
+        for pdf in it:
+            rows = []
+            for iid, b in zip(pdf["image_id"], pdf["bytes"]):
+                red = _h5.read_dataset(bytes(b), "Oa08_radiance")  # mask+scale
+                nir = _h5.read_dataset(bytes(b), "Oa17_radiance")
+                rows.append((
+                    str(iid),
+                    int(red.size),
+                    int(_np.isnan(red).sum()),
+                    int(_np.isnan(nir).sum()),
+                    int(_np.floor(red[~_np.isnan(red)] * 100.0).sum()),
+                    int(_np.floor(nir[~_np.isnan(nir)] * 100.0).sum()),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "red_fill", "nir_fill",
+                    "red_ssum", "nir_ssum",
+                ],
+            )
+
+    return files.mapInPandas(
+        rd,
+        schema="image_id string, n_px long, red_fill long, nir_fill long,"
+        " red_ssum long, nir_ssum long",
+    ).orderBy("image_id")
 
 
 def q_maxar_load(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4038,17 +4125,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SQL-family queries (which pin Spark itself, not this repo) sit at the
     # tail and are covered by tools/check_oracle.py's full-dict rerun.
     qs = {
-        # -- product pipeline + from-scratch codecs (highest risk) --
-        "s2_product_e2e": q_s2_product_e2e,
+        # ---- ROUND-6 WINDOW: the 41 queries without a current-generation
+        # driver row (2 never checked, 39 stale since r2-r4), then code
+        # touched this round.  The r5 window (codecs/product/geocode) rotates
+        # out — proven green in CORRECTNESS_r05 + today's local 91/91. ----
+        # -- never driver-checked --
+        "fingerprint": q_fingerprint,
+        "sessionize_batch": q_sessionize_batch,
+        # -- drifted-since-last-driver-row families --
+        "knn": q_knn,
+        "ivf_topk": q_ivf_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "banded_near_dup": q_banded_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "pip_window": q_pip_window,
+        "cell_assign": q_cell_assign,
+        "join_revenue": q_join_revenue,
+        "bit_union": q_bit_union,
+        "sensor_masks": q_sensor_masks,
+        "hull_dissolve": q_hull_dissolve,
+        "extent": q_extent,
+        "centroid": q_centroid,
+        "percentile": q_percentile,
+        "db_conversion": q_db_conversion,
+        "gap_fill": q_gap_fill,
+        # -- stale since r2-r4 (local-gate green today) --
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "pricing_summary": q_pricing_summary,
+        "string_funcs": q_string_funcs,
+        "date_buckets": q_date_buckets,
+        "rollup": q_rollup,
+        "subwords": q_subwords,
+        "hamming_pairs": q_hamming_pairs,
+        "asof_join": q_asof_join,
+        "anti_semi": q_anti_semi,
+        "late_orders": q_late_orders,
+        "set_ops": q_set_ops,
+        "phash_distinct": q_phash_distinct,
+        "tumbling_window": q_tumbling_window,
+        "topk_window": q_topk_window,
+        "xml_mtd": q_xml_mtd,
+        "lee_despeckle": q_lee_despeckle,
+        "scl_hist": q_scl_hist,
+        # -- round-6 code: new HDF5/netCDF container + ADVICE fixes (SAR
+        #    border trim, FLAC total==0, JP2 box-walk index, MJPEG bounds) --
+        "nc_read": q_nc_read,
+        "sar_noise_chain": q_sar_noise_chain,
+        "audio_feats": q_audio_feats,
+        "audio_info": q_audio_info,
+        "video_feats": q_video_feats,
         "jp2_decode": q_jp2_decode,
+        "jp2_tiled": q_jp2_tiled,
+        "s2_product_e2e": q_s2_product_e2e,
+        "sar_chain": q_sar_chain,
+        # ---- driver 50-key window ends here (keys above are snapshot) ----
+        # -- rotated out: driver-green in CORRECTNESS_r05 (risk-ordered
+        #    codec/product window), stable code --
         "jp2_overview": q_jp2_overview,
         "jp2_lossy": q_jp2_lossy,
-        "jp2_tiled": q_jp2_tiled,
         "geotiff_read": q_geotiff_read,
         "jfif_decode": q_jfif_decode,
         "jfif420_decode": q_jfif420_decode,
         "refined_lee": q_refined_lee,
         "geocode_bilinear": q_geocode_bilinear,
+        "geocode_lut": q_geocode_lut,
         "lineage_resume": q_lineage_resume,
         "clean_levels": q_clean_levels,
         "clean_vector": q_clean_vector,
@@ -4062,7 +4208,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stack_sink": q_stack_sink,
         "winnow": q_winnow,
         "dedup_clusters": q_dedup_clusters,
-        # -- raster read / scan / metadata --
         "raster_load": q_raster_load,
         "nbr_stats": q_nbr_stats,
         "quicklook": q_quicklook,
@@ -4071,9 +4216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_dispatch": q_reader_dispatch,
         "reader_dispatch_mtd": q_reader_dispatch_mtd,
         "stac_catalog": q_stac_catalog,
-        # -- SAR / stencil / warp --
-        "sar_chain": q_sar_chain,
-        "sar_noise_chain": q_sar_noise_chain,
         "slope_ramp": q_slope_ramp,
         "hillshade_ramp": q_hillshade_ramp,
         "stencil_custom": q_stencil_custom,
@@ -4086,58 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_band_mask": q_per_band_mask,
         "custom_index": q_custom_index,
         "band_presence": q_band_presence,
-        # -- multimodal --
         "image_feats": q_image_feats,
-        "audio_feats": q_audio_feats,
-        "audio_info": q_audio_info,
-        "video_feats": q_video_feats,
-        "geocode_lut": q_geocode_lut,
-        "sensor_masks": q_sensor_masks,
-        "bit_union": q_bit_union,
-        # ---- driver 50-key window ends here (keys above are snapshot) ----
-        # -- spatial / vector --
-        "cell_assign": q_cell_assign,
-        "pip_window": q_pip_window,
-        "knn": q_knn,
-        "extent": q_extent,
-        "centroid": q_centroid,
-        "hull_dissolve": q_hull_dissolve,
-        "db_conversion": q_db_conversion,
-        "gap_fill": q_gap_fill,
-        # -- dedup / similarity / text --
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "banded_near_dup": q_banded_near_dup,
-        "cosine_topk": q_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "fingerprint": q_fingerprint,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        # -- native-Spark SQL family (lowest risk) --
-        "pricing_summary": q_pricing_summary,
-        "percentile": q_percentile,
-        "join_revenue": q_join_revenue,
-        "sessionize_batch": q_sessionize_batch,
-        "string_funcs": q_string_funcs,
-        "date_buckets": q_date_buckets,
-        "rollup": q_rollup,
-        "subwords": q_subwords,
-        "hamming_pairs": q_hamming_pairs,
-        "asof_join": q_asof_join,
-        "anti_semi": q_anti_semi,
-        "late_orders": q_late_orders,
-        "set_ops": q_set_ops,
-        "phash_distinct": q_phash_distinct,
-        "tumbling_window": q_tumbling_window,
-        "topk_window": q_topk_window,
-        # rotated out of the window (driver-green in r4, stable since r2)
-        "xml_mtd": q_xml_mtd,
-        "lee_despeckle": q_lee_despeckle,
-        "scl_hist": q_scl_hist,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
@@ -5048,6 +5139,34 @@ def oracle_sql() -> dict[str, str]:
                 END AS available
             FROM tags t, probes p
             ORDER BY layout, band
+        """,
+        # nc_read: closed-form replay of the HDF5/netCDF mask_and_scale read
+        # (RED=Oa08 plane 7, NIR=Oa17 plane 16; DN==0 written as _FillValue;
+        # floor((v*0.25+1.5)*100) = 25*v+150, exact in binary)
+        "nc_read": """
+            WITH imgs(image_id, seed, h, w) AS (VALUES
+                ('nc_000', 0, 64, 64),
+                ('nc_001', 1, 128, 64),
+                ('nc_002', 2, 96, 80),
+                ('nc_003', 3, 64, 64),
+                ('nc_004', 4, 128, 64),
+                ('nc_005', 5, 96, 80)),
+            px AS (
+                SELECT image_id,
+                       (seed*7 + 7*31 + x*13 + y*17 + (x*y) % 29) % 256 AS rd,
+                       (seed*7 + 16*31 + x*13 + y*17 + (x*y) % 29) % 256 AS nr
+                FROM imgs,
+                     generate_series(0, 255) AS gy(y),
+                     generate_series(0, 255) AS gx(x)
+                WHERE y < h AND x < w
+            )
+            SELECT image_id,
+                   count(*) AS n_px,
+                   cast(sum(CASE WHEN rd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS red_fill,
+                   cast(sum(CASE WHEN nr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nir_fill,
+                   cast(sum(CASE WHEN rd > 0 THEN 25*rd + 150 ELSE 0 END) AS BIGINT) AS red_ssum,
+                   cast(sum(CASE WHEN nr > 0 THEN 25*nr + 150 ELSE 0 END) AS BIGINT) AS nir_ssum
+            FROM px GROUP BY image_id ORDER BY image_id
         """,
         # olci_load: closed-form replay over OLCI plane ids (RED=Oa08 plane
         # 7, NIR=Oa17 plane 16, Oa21 plane 20); reflectance = v/255

@@ -242,10 +242,26 @@ def decode_jp2(data: bytes, h: int | None = None, w: int | None = None) -> np.nd
     return jp2.decode_jp2(data)
 
 
+def encode_nc(img: np.ndarray) -> bytes:
+    """REAL HDF5 container (sources/hdf5.py, the netCDF4 substrate) — the
+    reference's Sentinel-3 OLCI/SLSTR band format is netCDF4 read via
+    h5netcdf (s3_product.py:788-886): one ``OaNN_radiance`` dataset per
+    plane, int16 DN, chunked + deflate, netCDF scale/offset/fill attrs."""
+    from eoreader_spark.sources import hdf5
+
+    return hdf5.encode_nc(img)
+
+
+def decode_nc(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
+    from eoreader_spark.sources import hdf5
+
+    return hdf5.decode_nc(data, h, w)
+
+
 _ENCODERS = {"raw8": encode_raw8, "png": encode_png, "jpeg": encode_jpeg, "tiff": encode_tiff,
-             "jfif": encode_jfif, "jp2": encode_jp2}
+             "jfif": encode_jfif, "jp2": encode_jp2, "nc": encode_nc}
 _DECODERS = {"raw8": decode_raw8, "png": decode_png, "jpeg": decode_jpeg, "tiff": decode_tiff,
-             "jfif": decode_jfif, "jp2": decode_jp2}
+             "jfif": decode_jfif, "jp2": decode_jp2, "nc": decode_nc}
 
 
 def register_codec(fmt: str, encoder, decoder) -> None:

@@ -153,6 +153,28 @@ def gen_images(
     return rng.mapInPandas(batch, schema=schema)
 
 
+def transcode_images(images: DataFrame, to_fmt: str) -> DataFrame:
+    """Re-encode an images table into another registered container format
+    (decode via the row's fmt, encode to ``to_fmt``), preserving every other
+    column.  Arrow-batched; used to put the SAME closed-form pixels behind a
+    different real container (e.g. raw8 -> 'nc' HDF5) so value-exact oracles
+    carry across codecs unchanged."""
+    cols = images.columns
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_bytes = []
+            for b, fmt, h, w in zip(pdf["bytes"], pdf["fmt"], pdf["h"], pdf["w"]):
+                img = codecs.decode(bytes(b), str(fmt), int(h), int(w))
+                out_bytes.append(codecs.encode(img, to_fmt))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["fmt"] = to_fmt
+            yield pdf[cols]
+
+    return images.mapInPandas(batch, schema=images.schema)
+
+
 def gen_scenes(spark: SparkSession, n: int) -> DataFrame:
     """T2 `scenes` — per-image metadata (Product analog,
     /root/reference/eoreader/products/product.py:135-332)."""

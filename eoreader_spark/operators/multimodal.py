@@ -451,6 +451,8 @@ def split_mjpeg(data: bytes) -> list[bytes]:
                 if data[pos] != 0xFF:
                     pos += 1
                     continue
+                if pos + 1 >= n:  # trailing lone FF: fall to the no-EOI raise
+                    raise ValueError("MJPEG: truncated stream (no EOI)")
                 nxt = data[pos + 1]
                 if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffed / RST
                     pos += 2
@@ -462,6 +464,8 @@ def split_mjpeg(data: bytes) -> list[bytes]:
                 continue
             if data[pos] != 0xFF:
                 raise ValueError(f"MJPEG: expected marker at byte {pos}")
+            if pos + 1 >= n:
+                raise ValueError("MJPEG: truncated stream (no EOI)")
             marker = data[pos + 1]
             if marker == 0xD9:  # EOI -> frame complete
                 pos += 2

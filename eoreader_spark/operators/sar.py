@@ -101,8 +101,9 @@ def _trim_strip(
     amplitudes) before either mask is applied — the scan ranges overlap on
     images narrower than 2*scan."""
     scan_n = min(scan, length)
+    n_tiles = (length + tile - 1) // tile  # ceil: last tile may be partial
     left_t = list(range((scan_n + tile - 1) // tile))
-    right_t = list(range((length - scan_n) // tile, length // tile))
+    right_t = list(range((length - scan_n) // tile, n_tiles))
     missing = [t for t in set(left_t + right_t) if t not in arrs]
     if missing:
         raise ValueError(f"border trim: missing edge tiles {sorted(missing)}")

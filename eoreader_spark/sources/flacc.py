@@ -518,6 +518,8 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
                 raise NotImplementedError("decode subset: mono/stereo only")
             bps = (((si[12] & 0x01) << 4) | (si[13] >> 4)) + 1
             total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+            if total == 0:  # RFC 9639 §8.2: 0 means UNKNOWN, not empty —
+                total = -1  # decode frames to EOF like the absent-total path
             md5_want = si[18:34]
         pos += 4 + blen
     out: list[np.ndarray] = []

@@ -145,6 +145,7 @@ def parse_jp2(data: bytes) -> dict:
                 ipos += max(isz, 8)
         elif btype == b"jp2c":
             cs = data[body : pos + size]
+            meta["cs_offset"] = body  # from the box walk, not substring search
         pos += size
     if cs is None:
         raise ValueError("no jp2c codestream box in JP2 container")
@@ -1335,7 +1336,9 @@ def jp2_tile_index(data: bytes) -> list[tuple[int, int, int]]:
     if data[:2] != b"\xff\x4f":
         meta = parse_jp2(data)
         cs = meta["codestream"]
-        base = data.index(cs[:64])
+        # box-walk offset (ADVICE r5: substring search could match the same
+        # bytes inside an earlier XML/UUID box)
+        base = meta["cs_offset"]
     pos = 2
     out = []
     while pos + 4 <= len(cs):
@@ -1363,8 +1366,12 @@ def jp2_file_index(path: str) -> dict:
     header + ONE part (object-store GETs at cluster scale) and decodes
     independently via decode_jp2_part."""
     with open(path, "rb") as f:
+        f.seek(0, 2)
+        file_end = f.tell()
+        f.seek(0)
         head = f.read(16)
         cs_base = 0
+        cs_end = file_end
         if head[:2] != b"\xff\x4f":
             if head[4:8] != b"jP  " or head[:4] != b"\x00\x00\x00\x0c":
                 raise ValueError("not a JP2 file (missing signature box)")
@@ -1383,6 +1390,9 @@ def jp2_file_index(path: str) -> dict:
                     body = pos + 16
                 if btype == b"jp2c":
                     cs_base = body
+                    # Psot==0 must be bounded by the BOX end, not the file
+                    # end — trailing boxes (XML/UUID) may follow jp2c
+                    cs_end = file_end if size == 0 else pos + size
                     break
                 if size == 0:
                     raise ValueError("no jp2c codestream box")
@@ -1391,7 +1401,7 @@ def jp2_file_index(path: str) -> dict:
         pos = cs_base + 2
         parts = []
         header_end = None
-        while True:
+        while pos + 4 <= cs_end:
             f.seek(pos)
             mk = f.read(12)
             if len(mk) < 4:
@@ -1404,8 +1414,7 @@ def jp2_file_index(path: str) -> dict:
                     header_end = pos
                 isot, psot = struct.unpack(">HI", mk[4:10])
                 if psot == 0:
-                    f.seek(0, 2)
-                    psot = f.tell() - 2 - pos
+                    psot = cs_end - 2 - pos
                 parts.append((isot, pos, psot))
                 pos += psot
                 continue

@@ -1,8 +1,18 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from eoreader_spark.session import get_spark
+
+
+def pytest_configure(config):
+    # `-m property` (the nightly lane) runs the Hypothesis sweeps at full
+    # example counts; the default gate runs them at reduced counts.  Must
+    # happen before test modules import (@settings evaluates at import).
+    if "property" in (config.getoption("-m") or ""):
+        os.environ.setdefault("EOREADER_PROPERTY_FULL", "1")
 
 
 @pytest.fixture(scope="session")

@@ -81,6 +81,19 @@ class TestWireFormat:
         with pytest.raises(ValueError, match="not a FLAC"):
             flacc.decode_flac(b"RIFFxxxx")
 
+    def test_total_samples_zero_means_unknown(self):
+        """Regression (ADVICE r5): RFC 9639 defines STREAMINFO total == 0 as
+        UNKNOWN length — decode must walk frames to EOF, not return empty."""
+        sig = _sine(5000)
+        data = bytearray(flacc.encode_flac(sig, 16000))
+        # STREAMINFO payload starts at byte 8; total lives in si[13] low
+        # nibble (bits 32-35) + si[14:18]
+        data[8 + 13] &= 0xF0
+        data[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+        back, sr = flacc.decode_flac(bytes(data), verify_md5=True)
+        assert sr == 16000
+        assert np.array_equal(back, sig)
+
 
 class TestSparkPath:
     def test_audio_stats_decodes_flac_and_wav_equal(self, spark):

@@ -725,3 +725,49 @@ class TestRoiMaxShift:
         big = np.random.RandomState(0).randint(0, 65536, (1, 64, 64)).astype(np.uint16)
         with pytest.raises(NotImplementedError, match="QCD exponent"):
             jp2.encode_jp2(big, levels=3, roi=(8, 8, 16, 16))
+
+
+def test_jp2_index_decoy_xml_box_and_psot0_bounded(tmp_path):
+    """Regression (ADVICE r5): (a) the codestream base offset must come from
+    the box walk — an XML box that happens to CONTAIN the codestream's first
+    bytes must not shift tile-part offsets; (b) Psot==0 (to-EOC) must be
+    bounded by the jp2c BOX end, not the file end, when boxes follow jp2c."""
+    import struct
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(1, 100, 96)).astype(np.uint8)
+    plain = jp2.encode_jp2(img, levels=2, tile=48, container=True)
+    cs = jp2.parse_jp2(plain)["codestream"]
+
+    # (a) decoy: an xml box before jp2h whose payload embeds cs[:64]
+    sig_end = 12 + 20  # jP signature + ftyp
+    decoy = struct.pack(">I", 8 + 64) + b"xml " + cs[:64]
+    doctored = plain[:sig_end] + decoy + plain[sig_end:]
+    idx = jp2.jp2_tile_index(doctored)
+    assert [i for i, _o, _l in idx] == list(range(6))
+    for _i, off, _l in idx:
+        assert doctored[off : off + 2] == b"\xff\x90"
+    assert np.array_equal(jp2.decode_jp2(doctored), img)
+
+    # (b) rewrite the LAST tile-part's Psot to 0 and append a trailing box
+    last_off = jp2.jp2_tile_index(cs)[-1][1]
+    cs0 = bytearray(cs)
+    cs0[last_off + 6 : last_off + 10] = b"\x00\x00\x00\x00"
+    jp2_sig = plain[:sig_end]
+    jp2h_etc = plain[sig_end : plain.index(struct.pack(">I", 8 + len(cs)) + b"jp2c")]
+    jp2c = struct.pack(">I", 8 + len(cs0)) + b"jp2c" + bytes(cs0)
+    trailer = struct.pack(">I", 8 + 24) + b"uuid" + b"\xff\x90" * 12  # fake SOTs
+    path = str(tmp_path / "psot0.jp2")
+    with open(path, "wb") as f:
+        f.write(jp2_sig + jp2h_etc + jp2c + trailer)
+    fidx = jp2.jp2_file_index(path)
+    want = jp2.jp2_tile_index(cs)
+    assert [(i, ln) for i, _o, ln in fidx["parts"]] == [
+        (i, ln) for i, _o, ln in want
+    ]
+    with open(path, "rb") as f:
+        raw = f.read()
+    grid = jp2._tile_grid(100, 96, 48, 48)
+    for (isot, off, ln), (_ty, _tx, y0, x0, th, tw) in zip(fidx["parts"], grid):
+        sub = jp2.decode_jp2_part(fidx["header"], raw[off : off + ln], isot)
+        assert np.array_equal(sub, img[:, y0 : y0 + th, x0 : x0 + tw])

@@ -1,19 +1,36 @@
 """Property-based tests (hypothesis) for the deterministic core — the
 bit-for-bit claims must hold for ARBITRARY inputs, not just the seeded
-fixtures."""
+fixtures.
+
+The default gate runs each sweep at ~1/6 the tuned example count (keeps
+`pytest -q` under the ~6 min bar); the nightly lane (`-m property`, or
+EOREADER_PROPERTY_FULL=1) runs the full counts — same tests, no coverage
+lost, just deeper sampling."""
+
+import os
 
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from eoreader_spark import cells, codecs
 from eoreader_spark.spatial import pip
 
+pytestmark = pytest.mark.property
+
+_FULL = os.environ.get("EOREADER_PROPERTY_FULL", "") == "1"
+
+
+def _ex(n: int) -> int:
+    """Tuned example count in the nightly lane, reduced in the default gate."""
+    return n if _FULL else max(8, n // 6)
+
 finite_lon = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
 finite_lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_ex(200), deadline=None)
 @given(lon=finite_lon, lat=finite_lat, res=st.integers(min_value=0, max_value=15))
 def test_cell_contains_its_point(lon, lat, res):
     c = cells.encode(np.array([lon]), np.array([lat]), res)
@@ -22,7 +39,7 @@ def test_cell_contains_its_point(lon, lat, res):
     assert la0[0] - 1e-9 <= lat <= la1[0] + 1e-9
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=_ex(200), deadline=None)
 @given(lon=finite_lon, lat=finite_lat,
        r1=st.integers(min_value=2, max_value=12), dr=st.integers(min_value=1, max_value=6))
 def test_parent_commutes_with_encode(lon, lat, r1, dr):
@@ -31,7 +48,7 @@ def test_parent_commutes_with_encode(lon, lat, r1, dr):
     assert cells.parent(fine, r1)[0] == coarse[0]
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_ex(100), deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10**9),
        h=st.sampled_from([8, 16, 64]), w=st.sampled_from([8, 32, 64]))
 def test_png_roundtrip_any_image(seed, h, w):
@@ -39,7 +56,7 @@ def test_png_roundtrip_any_image(seed, h, w):
     assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_ex(100), deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10**9))
 def test_lossy_always_within_psnr_gate(seed):
     img = codecs.make_image(seed, 32, 32)
@@ -47,7 +64,7 @@ def test_lossy_always_within_psnr_gate(seed):
     assert codecs.psnr(img, dec) >= 40.0
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=_ex(150), deadline=None)
 @given(data=st.data())
 def test_pip_matches_scalar_reference(data):
     n = data.draw(st.integers(min_value=3, max_value=8))
@@ -86,7 +103,7 @@ def test_pip_matches_scalar_reference(data):
     assert np.array_equal(got, want)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_ex(100), deadline=None)
 @given(
     lon0=st.floats(min_value=-170, max_value=160, allow_nan=False),
     lat0=st.floats(min_value=-80, max_value=70, allow_nan=False),
@@ -109,7 +126,7 @@ def test_cover_bbox_is_a_cover(lon0, lat0, dlon, dlat, res):
             assert p[0] in cover
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 @given(
     data=st.data(),
     h=st.integers(min_value=8, max_value=48),
@@ -132,7 +149,7 @@ def test_jfif_roundtrip_any_content(data, h, w, p):
     assert codecs.psnr(img, back) >= 40.0
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_ex(60), deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=2**31),
     n1=st.integers(min_value=20, max_value=120),
@@ -158,7 +175,7 @@ def test_winnow_guarantee_any_strings(seed, n1, n2, shared_len):
 # ------------------------------------------------ round-5 codec properties
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=10**9),
     h=st.integers(min_value=1, max_value=80),
@@ -179,7 +196,7 @@ def test_jp2_lossless_roundtrip_any_shape(seed, h, w, p, levels, u16):
     assert back.dtype == dt and np.array_equal(back, img)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=_ex(12), deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=10**9),
     h=st.integers(min_value=16, max_value=96),
@@ -204,7 +221,7 @@ def test_jp2_wire_options_roundtrip_any(seed, h, w, prog, prec, nl, style):
     assert np.array_equal(jp2.decode_jp2(d), img)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=10**9),
     h=st.integers(min_value=8, max_value=72),
@@ -225,7 +242,7 @@ def test_progressive_jfif_equals_baseline_any(seed, h, w, p):
     )
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=_ex(30), deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=10**9),
     n=st.integers(min_value=0, max_value=6000),

@@ -111,6 +111,11 @@ def test_split_mjpeg_rejects_garbage():
     one = multimodal.encode_mjpeg([codecs.make_image(7, 16, 16, planes=1)])
     with pytest.raises(ValueError, match="truncated"):
         multimodal.split_mjpeg(one[:-2])  # EOI chopped off
+    # regression (ADVICE r5): stream cut so the LAST byte is a lone 0xFF
+    # inside scan data must raise ValueError, not IndexError
+    cut = one.rfind(b"\xff", 0, len(one) - 2)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.split_mjpeg(one[: cut + 1])
 
 
 def test_audio_wav_real_decode(spark):

@@ -203,3 +203,51 @@ def test_preprocess_chain_order(spark):
     ok = ~np.isnan(want)
     assert np.array_equal(np.isnan(got), ~ok)
     assert np.allclose(got[ok], want[ok], rtol=1e-6)
+
+
+def _tiles_df_padded(spark, imgs: dict[str, np.ndarray]):
+    """Tiler variant for non-tile-multiple dims: partial edge tiles are
+    zero-padded to (T, T), as the production scan does."""
+    rows = []
+    for iid, a in imgs.items():
+        h, w = a.shape
+        for ty in range(-(-h // T)):
+            for tx in range(-(-w // T)):
+                px = np.zeros((T, T), np.float64)
+                blk = a[ty * T : (ty + 1) * T, tx * T : (tx + 1) * T]
+                px[: blk.shape[0], : blk.shape[1]] = blk
+                rows.append((iid, tx, ty, px.reshape(-1).tolist()))
+    return spark.createDataFrame(
+        rows, "image_id string, tile_x int, tile_y int, px array<float>"
+    )
+
+
+def test_border_trim_partial_last_tile(spark):
+    """Regression (ADVICE r5): width not a tile multiple — the right-edge
+    scan must include the partial last tile (cols w-scan..w-1), and padding
+    cols >= w must never cross the threshold."""
+    imgs = {
+        "pt100": _img(10, 64, 100),   # 2 tiles wide, last covers cols 64-99
+        "pt70": _img(11, 128, 70),    # right scan lives almost entirely in tile 1
+        "pt130h": _img(12, 100, 64),  # partial along azimuth instead
+    }
+    tiles = _tiles_df_padded(spark, imgs)
+    dims = spark.createDataFrame(
+        [(i, a.shape[0], a.shape[1]) for i, a in imgs.items()],
+        "image_id string, h int, w int",
+    )
+    for limit in (10, 64, 500):
+        got = _collect_imgs(
+            sar.grd_border_trim(
+                tiles, dims, border_limit=limit, threshold=10.0,
+                directions=("range", "azimuth"),
+            ),
+            {i: np.zeros((-(-a.shape[0] // T) * T, -(-a.shape[1] // T) * T))
+             for i, a in imgs.items()},
+        )
+        for iid, a in imgs.items():
+            h, w = a.shape
+            want = _oracle_trim(_oracle_trim(a, limit, 10.0, axis=1), limit, 10.0, axis=0)
+            g = got[iid][:h, :w]
+            assert np.array_equal(np.isnan(g), np.isnan(want)), (iid, limit)
+            assert np.allclose(g, want, equal_nan=True), (iid, limit)
