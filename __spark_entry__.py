@@ -3404,7 +3404,10 @@ def _gen_video_media(spark: SparkSession, n_videos: int = 4):
     """Deterministic Motion-JPEG fixtures: video j has 5+j frames of
     closed-form make_image(seed=400+j*16+fi) luma content, 64x64 for even j,
     32x64 for odd j — dims chosen so resize=4 box means divide power-of-two
-    pixel counts (exact in float32)."""
+    pixel counts (exact in float32).  Round 6: odd-j videos travel inside a
+    REAL MP4 container (fmt='mp4', ISO BMFF with full sample tables,
+    multimodal.encode_mp4_mjpeg); sample bytes are the same JFIFs, so the
+    single-process oracle replay is container-independent."""
     from collections.abc import Iterator as _It
 
     def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
@@ -3420,9 +3423,12 @@ def _gen_video_media(spark: SparkSession, n_videos: int = 4):
                     _c.make_image(400 + j * 16 + fi, h, w, planes=3)
                     for fi in range(5 + j)
                 ]
+                if j % 2 == 0:
+                    payload, fmt = _m.encode_mjpeg(frames, quality=90), "mjpeg"
+                else:
+                    payload, fmt = _m.encode_mp4_mjpeg(frames, quality=90), "mp4"
                 rows.append(
-                    (f"vid{j:03d}", "video", _m.encode_mjpeg(frames, quality=90),
-                     "mjpeg", w, h, 0, len(frames))
+                    (f"vid{j:03d}", "video", payload, fmt, w, h, 0, len(frames))
                 )
             yield pd.DataFrame(
                 rows,

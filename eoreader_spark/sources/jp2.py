@@ -36,11 +36,14 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
   separates them by magnitude alone — lossless on the reversible path
   (lossy ROI would need guard-bit escalation and raises)
 
-Scope note (honest): remaining third-party JP2 features (predictable
-termination, non-max-shift ROI styles, and mid-codeword layer truncation
-from rate control) raise NotImplementedError with the feature named — parse_jp2 still returns their metadata.  Precinct/block partitions
-use tile-local origin-0 arithmetic (the engine's profile, matching its
-per-tile wavelet replay).
+Scope note (honest): remaining third-party JP2 features (non-max-shift
+ROI styles and mid-codeword layer truncation from rate control) raise
+NotImplementedError with the feature named — parse_jp2 still returns
+their metadata.  Predictable termination (0x10) is in profile as of round
+6: decode enforces the <=2-unread-bytes-per-segment error check, encode
+records the flag (its flush is already the full non-truncated C.2.9
+sequence).  Precinct/block partitions use tile-local origin-0 arithmetic
+(the engine's profile, matching its per-tile wavelet replay).
 """
 
 from __future__ import annotations
@@ -649,8 +652,11 @@ def encode_codeblock_segments(
     arithmetic-coding BYPASS (raw SPP/MRP from the 5th bit-plane on, raw
     segments use the packet-header FF-stuffing rule), 0x02 reset context
     states at each pass, 0x04 TERMALL (every pass terminates its segment),
-    0x08 vertically-causal contexts, 0x20 segmentation symbols after each
-    cleanup pass.  Predictable termination (0x10) stays out of profile."""
+    0x08 vertically-causal contexts, 0x10 predictable termination (round
+    6: this encoder's flush IS the full non-truncated C.2.9 sequence —
+    the flag records that no length truncation was applied, and the
+    decoder enforces the <=2-unread-bytes-per-segment property as an
+    error check), 0x20 segmentation symbols after each cleanup pass."""
     h, w = coeffs.shape
     mag = np.abs(coeffs).astype(np.int64)
     numbps = max(int(mag.max()).bit_length(), 1)
@@ -815,6 +821,7 @@ def decode_codeblock_segments(
     bypass = bool(cb_style & 0x01)
     reset = bool(cb_style & 0x02)
     segsym = bool(cb_style & 0x20)
+    erterm = bool(cb_style & 0x10)
     st = _BlockCoder(h, w, band, causal=bool(cb_style & 0x08))
     mag = np.zeros((h, w), dtype=np.int64)
     became = np.zeros((h, w), dtype=np.int64)  # plane at which became significant
@@ -828,11 +835,28 @@ def decode_codeblock_segments(
     raw: _HeaderBits | None = None
     states = None  # MQ context carry-over across terminated segments
 
+    def check_erterm() -> None:
+        """Predictable termination (0x10, Kakadu ERTERM): the encoder ends
+        every codeword segment with the full non-truncated C.2.9 flush, so
+        a correctly received MQ segment leaves at most 2 unconsumed bytes
+        (the flush's own tail) in the decoder.  More bytes unread means the
+        length in the packet header and the coded data disagree — the
+        error-detection signal this style exists for (T.800 A.6.1/J.7)."""
+        if not erterm or dec is None:
+            return
+        lag = len(dec.data) - dec.BP
+        if lag > 2:
+            raise ValueError(
+                f"predictable-termination check failed: {lag} unread bytes "
+                "in a terminated segment (corrupt or mis-lengthed scan)"
+            )
+
     def begin_pass(raw_now: bool) -> None:
         nonlocal seg_pos, passes_left_in_seg, dec, raw, states
         if passes_left_in_seg == 0:
             if dec is not None:
                 states = (dec.I[:], dec.MPS[:])
+                check_erterm()
             data, p = seg_list[seg_pos]
             seg_pos += 1
             passes_left_in_seg = p
@@ -944,6 +968,7 @@ def decode_codeblock_segments(
             got = tuple(dec.decode(_CTX_UNI) for _ in range(4))
             if got != (1, 0, 1, 0):
                 raise ValueError("segmentation symbol mismatch (corrupt scan)")
+    check_erterm()  # final segment's length must also agree
     out = mag.copy()
     neg = (st.sgn[1 : h + 1, 1 : w + 1] == 1) & (mag > 0)
     out[neg] = -out[neg]
@@ -1484,10 +1509,10 @@ def encode_jp2(
     prog_names = ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")
     if progression not in prog_names:
         raise ValueError(f"unknown progression {progression!r}")
-    if cb_style & ~0x2F:  # 0x01 bypass / 0x02 reset / 0x04 termall /
-        # 0x08 causal / 0x20 segsym supported; 0x10 predictable termination
-        # would change the MQ flush sequence itself
-        raise NotImplementedError("predictable termination not supported")
+    if cb_style & ~0x3F:  # 0x01 bypass / 0x02 reset / 0x04 termall /
+        # 0x08 causal / 0x10 predictable termination / 0x20 segsym — the
+        # full Table A-19 style vocabulary
+        raise NotImplementedError(f"unknown code-block style bits 0x{cb_style:02x}")
     if roi is not None and wavelet != "5/3":
         raise NotImplementedError(
             "ROI max-shift needs guard-bit escalation on the lossy path"
@@ -1856,8 +1881,10 @@ def decode_jp2(
     cs = meta["codestream"] if meta else data
     m = parse_codestream_header(cs)
     lossy = m["wavelet"] == "9/7"
-    if m["cb_style"] & ~0x2F:  # all styles except predictable termination
-        raise NotImplementedError("predictable termination not supported")
+    if m["cb_style"] & ~0x3F:
+        raise NotImplementedError(
+            f"unknown code-block style bits 0x{m['cb_style']:02x}"
+        )
     if m["cb_w"] != m["cb_h"]:
         raise NotImplementedError("rectangular code-blocks not supported")
     if any(c["dx"] != 1 or c["dy"] != 1 for c in m["components"]):

@@ -603,7 +603,8 @@ class TestCodeBlockStyles:
         ])
 
     @pytest.mark.parametrize(
-        "style", [0x01, 0x02, 0x04, 0x05, 0x08, 0x20, 0x2A, 0x2B, 0x2E]
+        "style", [0x01, 0x02, 0x04, 0x05, 0x08, 0x20, 0x2A, 0x2B, 0x2E,
+                  0x10, 0x14, 0x15, 0x3F]
     )
     def test_styles_roundtrip(self, style):
         img = self._img()
@@ -654,13 +655,38 @@ class TestCodeBlockStyles:
 
     def test_unsupported_style_bits_named(self):
         img = self._img()[:1, :32, :32]
-        with pytest.raises(NotImplementedError, match="predictable"):
-            jp2.encode_jp2(img, cb_style=0x10)
+        with pytest.raises(NotImplementedError, match="style"):
+            jp2.encode_jp2(img, cb_style=0x40)
         d = bytearray(jp2.encode_jp2(img, levels=1, container=False))
         i = d.find(b"\xff\x52")
-        d[i + 12] = 0x10  # SPcod style byte -> predictable termination
-        with pytest.raises(NotImplementedError, match="predictable"):
+        d[i + 12] = 0x40  # SPcod style byte -> a reserved bit
+        with pytest.raises(NotImplementedError, match="style"):
             jp2.decode_jp2(bytes(d))
+
+    def test_predictable_termination_detects_length_lies(self):
+        """Round 6 (0x10, Kakadu ERTERM): every segment ends with the full
+        non-truncated C.2.9 flush, so a terminated MQ segment leaves <=2
+        unread bytes.  A segment whose header length overstates the coded
+        data (corruption / truncation-splice) must raise; the same splice
+        without 0x10 is undetectable at this layer."""
+        rng = np.random.RandomState(11)
+        c = (rng.randint(-200, 200, size=(24, 24))
+             * (rng.rand(24, 24) < 0.5)).astype(np.int64)
+        segs, numbps = jp2.encode_codeblock_segments(c, "HL", 0x14)
+        back = jp2.decode_codeblock_segments(segs, 24, 24, "HL", numbps, 0x14)
+        assert np.array_equal(back, c)
+        bad = [(b + b"\x00\x11\x22\x33\x44", p) for b, p in segs]
+        with pytest.raises(ValueError, match="predictable-termination"):
+            jp2.decode_codeblock_segments(bad, 24, 24, "HL", numbps, 0x14)
+
+    def test_predictable_termination_composes_with_wire_options(self):
+        img = self._img()
+        d = jp2.encode_jp2(
+            img, levels=2, cb_style=0x15, precinct=5, progression="RPCL",
+            n_layers=2, use_eph=True, tile=96,
+        )
+        assert jp2.parse_jp2(d)["cb_style"] == 0x15
+        assert np.array_equal(jp2.decode_jp2(d), img)
 
     def test_causal_changes_the_bits_but_not_the_pixels(self):
         # vertically-causal mode must actually alter context formation

@@ -204,7 +204,8 @@ def test_jp2_lossless_roundtrip_any_shape(seed, h, w, p, levels, u16):
     prog=st.sampled_from(["LRCP", "RLCP", "RPCL", "PCRL", "CPRL"]),
     prec=st.sampled_from([None, 5, 6]),
     nl=st.integers(min_value=1, max_value=3),
-    style=st.sampled_from([0x00, 0x01, 0x04, 0x05, 0x2A, 0x2B, 0x2F & ~0x10]),
+    style=st.sampled_from([0x00, 0x01, 0x04, 0x05, 0x2A, 0x2B, 0x2F, 0x10,
+                           0x15, 0x3F]),
 )
 def test_jp2_wire_options_roundtrip_any(seed, h, w, prog, prec, nl, style):
     """Any combination of progression order / precincts / layers /

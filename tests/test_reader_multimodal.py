@@ -239,3 +239,99 @@ def test_audio_container_info_dispatch(spark):
     assert got["b"].container == "flac" and got["b"].duration_ms == 1000
     assert got["c"].container == "wav" and got["c"].duration_ms == 1000
     assert got["d"].container == "mp4" and got["d"].duration_ms == 5000
+
+
+class TestMp4Mjpeg:
+    """Round 6: MJPEG inside a REAL ISO BMFF container — mux with full
+    sample tables, demux by walking them (stsd/stsz/stsc/stco)."""
+
+    def _frames(self, n=6, h=32, w=32):
+        return [codecs.make_image(500 + i, h, w, planes=3) for i in range(n)]
+
+    def test_mux_demux_matches_elementary_stream(self):
+        frames = self._frames()
+        mp4 = multimodal.encode_mp4_mjpeg(frames, quality=90)
+        es = multimodal.encode_mjpeg(frames, quality=90)
+        assert multimodal.split_mp4_mjpeg(mp4) == multimodal.split_mjpeg(es)
+
+    def test_parse_mp4_reads_the_muxed_file(self):
+        mp4 = multimodal.encode_mp4_mjpeg(self._frames(10), fps=25, timescale=600)
+        info = multimodal.parse_mp4(mp4)
+        assert info["n_tracks"] == 1
+        assert info["duration_ms"] == 10 * (600 // 25) * 1000 // 600
+
+    def test_multi_chunk_stsc_runs(self):
+        """Demux honors stsc chunk runs: rebuild the one-chunk container
+        into two chunks (3+3 samples) with a 2-run stsc and 2-entry stco."""
+        frames = self._frames(6)
+        from eoreader_spark.sources import jpegc
+
+        samples = [jpegc.encode_jfif(f, quality=90) for f in frames]
+        one = multimodal.encode_mp4_mjpeg(frames, quality=90)
+        # locate moov and rewrite stsc/stco inside it
+        moov_at = one.index(b"moov") - 4
+        head = bytearray(one[:moov_at])
+        # two mdat-like chunks: chunk1 = samples 0-2 at old offset, chunk2
+        # appended after moov
+        chunk2 = b"".join(samples[3:])
+        stsc_new = multimodal._full(
+            b"stsc", 0, 0,
+            (2).to_bytes(4, "big")
+            + (1).to_bytes(4, "big") + (3).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + (2).to_bytes(4, "big") + (3).to_bytes(4, "big") + (1).to_bytes(4, "big"),
+        )
+        off1 = one.index(b"mdat") + 4  # mdat body starts after the fourcc
+        off2 = len(one) + 16  # moov grows by 16 (stsc +12, stco +4) below
+        stco_new = multimodal._full(
+            b"stco", 0, 0,
+            (2).to_bytes(4, "big")
+            + off1.to_bytes(4, "big") + off2.to_bytes(4, "big"),
+        )
+        moov = one[moov_at:]
+        old_stsc = moov.index(b"stsc") - 4
+        old_stsc_end = old_stsc + int.from_bytes(moov[old_stsc : old_stsc + 4], "big")
+        old_stco = moov.index(b"stco") - 4
+        old_stco_end = old_stco + int.from_bytes(moov[old_stco : old_stco + 4], "big")
+        new_moov = bytearray(
+            moov[:old_stsc] + stsc_new + moov[old_stsc_end:old_stco]
+            + stco_new + moov[old_stco_end:]
+        )
+        # fix up ancestor box sizes (moov/trak/mdia/minf/stbl chain): sizes
+        # unchanged here because stsc/stco byte lengths grew by 12+4
+        grow = (len(stsc_new) - (old_stsc_end - old_stsc)) + (
+            len(stco_new) - (old_stco_end - old_stco)
+        )
+        assert grow == 16  # keep in sync with off2 above
+        for sig in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            at = new_moov.index(sig) - 4
+            sz = int.from_bytes(new_moov[at : at + 4], "big")
+            new_moov[at : at + 4] = (sz + grow).to_bytes(4, "big")
+        data = bytes(head) + bytes(new_moov) + chunk2
+        assert multimodal.split_mp4_mjpeg(data) == samples
+
+    def test_inter_coded_raises_named(self):
+        mp4 = bytearray(multimodal.encode_mp4_mjpeg(self._frames(2)))
+        i = mp4.index(b"jpeg", mp4.index(b"stsd"))
+        mp4[i : i + 4] = b"avc1"
+        with pytest.raises(NotImplementedError, match="avc1.*ffmpeg"):
+            multimodal.split_mp4_mjpeg(bytes(mp4))
+
+    def test_no_video_track_raises(self):
+        skel = multimodal.encode_mp4_skeleton(1000)
+        with pytest.raises(ValueError, match="no video track"):
+            multimodal.split_mp4_mjpeg(skel)
+
+    def test_distributed_mp4_equals_mjpeg_features(self, spark):
+        frames = self._frames(8, h=64, w=32)
+        rows = [
+            ("es", "video", multimodal.encode_mjpeg(frames, quality=90),
+             "mjpeg", 32, 64, 0, 8),
+            ("mp4", "video", multimodal.encode_mp4_mjpeg(frames, quality=90),
+             "mp4", 32, 64, 0, 8),
+        ]
+        media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+        got = {}
+        for r in multimodal.video_frame_sample(media, every_n=3, resize=4).collect():
+            got.setdefault(r.media_id, {})[r.frame_idx] = tuple(r.features)
+        assert got["es"] == got["mp4"]
+        assert set(got["es"]) == {0, 3, 6}
