@@ -467,6 +467,59 @@ def gen_band_qa_masks(
     return spark.range(n, numPartitions=max(8, n // 1024)).mapInPandas(batch, schema=schema)
 
 
+_DOC_VOCAB = (
+    "batch part spark line column order small sort fast value scan hash slow "
+    "group agg filter query big key window row table stream merge data join "
+    "shuffle cache plan stage task codec tile pixel band scene index"
+).split()
+
+
+def gen_documents(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic word-salad documents in the testdata `documents` shape
+    (doc_id, text, lang, source, n_chars), generated per-partition (no
+    driver loop).  Every 10th doc is a light perturbation of the one 5
+    before it, planting near-duplicate pairs for the dedup family; the
+    perturbation keeps long shared runs so MinHash/winnowing find them.
+
+    Vocabulary shape matters for realism: tokens are stem+suffix compounds
+    (~34k distinct), so shingle document-frequency looks like natural text.
+    A tiny vocab makes EVERY shingle a stop-shingle and turns the
+    inverted-index self-join quadratic — a fixture artifact, not an engine
+    property (measured: the round-6 sf1 leg ground >20 min on a 34-word
+    vocab and runs in seconds on this one)."""
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    langs = ["en", "zh", "fr", "de", "es"]
+
+    def words_of(i: int, k: int) -> list[str]:
+        v = len(_DOC_VOCAB)
+        return [
+            _DOC_VOCAB[(i * 7919 + j * 104729 + (i * j) % 31) % v]
+            + str((i * 31 + j * 7919 + (i % 13) * j * j) % 997)
+            for j in range(k)
+        ]
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"].astype("int64"):
+                i = int(i)
+                k = 40 + (i * 13) % 60
+                ws = words_of(i, k)
+                if i % 10 == 5 and i >= 10:
+                    ws = words_of(i - 5, 40 + ((i - 5) * 13) % 60)
+                    ws[0] = _DOC_VOCAB[i % len(_DOC_VOCAB)]  # 1-word edit
+                text = " ".join(ws)
+                rows.append(
+                    (i, text, langs[i % 5], f"src{i % 7}", len(text))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    rng = spark.range(n, numPartitions=partitions or max(8, n // 4096))
+    return rng.mapInPandas(batch, schema=schema)
+
+
 def gen_media(spark: SparkSession, n: int) -> DataFrame:
     """T9 `media` — multimodal payload rows (operators/multimodal.MEDIA_SCHEMA):
     even ids carry raw8 images from the closed-form pixel function, odd ids

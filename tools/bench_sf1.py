@@ -1,0 +1,136 @@
+"""sf1 scale-ratio bench (round-6 VERDICT #8): run the engine's headline
+stages at sf0.1-equivalent AND 10x (sf1: 20k images / ~110k tiles / 50k
+docs) on the SAME session and report throughput at both, plus the ratio
+large_rate / small_rate.  A healthy (linear or better-amortized) stage
+holds a ratio near 1; a hidden O(n^2) collapses it — the candidates the
+sf0.1 bench cannot see are the dedup/winnow self-joins and the JP2/scan
+descriptor paths.
+
+Usage:  python tools/bench_sf1.py [n_images] [n_docs]   (defaults 20000, 50000)
+Prints ONE JSON line.  Nightly/cluster lane — ~3-6 min; run on a QUIET box
+(kill stray JVMs first), best-of is the caller's job.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from eoreader_spark import datagen  # noqa: E402
+from eoreader_spark.operators import assign, dedup, stencil  # noqa: E402
+from eoreader_spark.session import get_spark  # noqa: E402
+from eoreader_spark.sources import pyscan  # noqa: E402
+
+
+def run_scale(spark, workdir: str, n_images: int, n_docs: int) -> dict:
+    t: dict[str, float] = {}
+    rates: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    datagen.gen_images(spark, n_images, partitions=max(32, n_images // 256)).write.mode(
+        "overwrite"
+    ).parquet(f"{workdir}/images.parquet")
+    t["gen_write_images"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pyscan.index_stats_scan(
+        spark, f"{workdir}/images.parquet", ["NDVI", "NDWI", "EVI"]
+    ).count()
+    t["index_stats"] = time.perf_counter() - t0
+    rates["images_per_sec"] = n_images / t["index_stats"]
+
+    t0 = time.perf_counter()
+    tiles = datagen.gen_tiles(spark, n_images).persist()
+    n_tiles = tiles.count()
+    n_assign = assign.assign_tiles(tiles, datagen.gen_aoi(spark, n_images)).count()
+    t["tile_assign"] = time.perf_counter() - t0
+    tiles.unpersist()
+    rates["tiles_per_sec"] = n_tiles / t["tile_assign"]
+
+    n_dem = max(50, n_images // 8)
+    datagen.gen_dem(spark, n_dem).write.mode("overwrite").parquet(
+        f"{workdir}/dem.parquet"
+    )
+    dem = spark.read.parquet(f"{workdir}/dem.parquet").withColumnRenamed("z", "px")
+    t0 = time.perf_counter()
+    n_stencil = stencil.slope(dem).count()
+    t["dem_slope"] = time.perf_counter() - t0
+    rates["stencil_tiles_per_sec"] = n_stencil / t["dem_slope"]
+
+    # --- dedup family on synthesized documents (the self-join risks) ---
+    docs = datagen.gen_documents(spark, n_docs).persist()
+    docs.count()
+
+    t0 = time.perf_counter()
+    dedup.exact_dedup(docs).count()
+    t["dedup_exact"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, n_hashes=32, bands=8).count()
+    t["minhash_lsh"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    # k=12 (plagiarism-detection regime): prints are 12-char windows, so
+    # cross-doc collisions need REAL shared substrings; k=5 on word-salad
+    # text floods the self-join with mid-df prints (measured: 12.3M pair
+    # rows at 5k docs vs 4.8k here, identical planted-dup recall)
+    dedup.winnow_pairs(docs, k=12, w=8).count()
+    t["winnow"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    dedup.ngram_jaccard(docs, max_df=int(n_docs * 0.02) + 8).count()
+    t["ngram_jaccard"] = time.perf_counter() - t0
+
+    docs.unpersist()
+    for k in ("dedup_exact", "minhash_lsh", "winnow", "ngram_jaccard"):
+        rates[f"{k}_docs_per_sec"] = n_docs / t[k]
+
+    return {
+        "sec": {k: round(v, 3) for k, v in t.items()},
+        "rates": {k: round(v, 1) for k, v in rates.items()},
+        "n_images": n_images,
+        "n_tiles": n_tiles,
+        "n_assignments": n_assign,
+        "n_docs": n_docs,
+    }
+
+
+def main() -> None:
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
+
+    spark = get_spark("bench_sf1", cpus=32, shuffle_partitions=64)
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
+    spark.range(256, numPartitions=128).mapInPandas(
+        lambda it: (p for p in it), schema="id long"
+    ).count()  # python-worker warm
+
+    out = {"metric": "sf1_scale_ratio", "unit": "ratio"}
+    legs = {}
+    for tag, ni, nd in (("small", n_images // 10, n_docs // 10),
+                        ("large", n_images, n_docs)):
+        workdir = tempfile.mkdtemp(prefix=f"eoreader_sf1_{tag}_")
+        try:
+            legs[tag] = run_scale(spark, workdir, ni, nd)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    ratios = {}
+    for k, small_rate in legs["small"]["rates"].items():
+        large_rate = legs["large"]["rates"][k]
+        ratios[k] = round(large_rate / small_rate, 3) if small_rate else None
+    out.update(
+        value=round(min(r for r in ratios.values() if r is not None), 3),
+        ratios=ratios, small=legs["small"], large=legs["large"],
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
