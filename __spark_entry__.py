@@ -1423,12 +1423,20 @@ def q_slstr_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     the S3.PN-SLSTR-L1.08 adjustment — each solar channel gets ITS view's
     coefficient inside the reflectance step while the BT channel (TIR_1)
     passes through.  Both engines compute the identical double sequence
-    (dn+0)/255*coef, so floor-scaled integer sums match bit-for-bit."""
+    (dn+0)/255*coef, so floor-scaled integer sums match bit-for-bit.
+
+    Round 6: like olci_load, the pixels travel through the engine's REAL
+    HDF5/netCDF container (fmt='nc' — SLSTR's actual band format is also
+    netCDF4, ref s3_slstr_product.py via s3_product.py:788-886); lossless,
+    so the oracle is unchanged."""
     from eoreader_spark import datagen
     from eoreader_spark.plans import loader
 
-    images = datagen.gen_images(spark, 12, layout="S3_SLSTR").filter(
-        F.col("fmt") == "raw8"
+    images = datagen.transcode_images(
+        datagen.gen_images(spark, 12, layout="S3_SLSTR").filter(
+            F.col("fmt") == "raw8"
+        ),
+        "nc",
     )
     outs = []
     for view in ("n", "o"):
@@ -4177,11 +4185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_window": q_tumbling_window,
         "topk_window": q_topk_window,
         "xml_mtd": q_xml_mtd,
-        "lee_despeckle": q_lee_despeckle,
-        "scl_hist": q_scl_hist,
-        # -- round-6 code: new HDF5/netCDF container + ADVICE fixes (SAR
-        #    border trim, FLAC total==0, JP2 box-walk index, MJPEG bounds) --
+        # -- round-6 code: new HDF5/netCDF container (nc_read + the two S3
+        #    loads now decoding THROUGH it) + ADVICE fixes (SAR border
+        #    trim, FLAC total==0, JP2 box-walk index, MJPEG bounds) --
         "nc_read": q_nc_read,
+        "olci_load": q_olci_load,
+        "slstr_view": q_slstr_view,
         "sar_noise_chain": q_sar_noise_chain,
         "audio_feats": q_audio_feats,
         "audio_info": q_audio_info,
@@ -4206,10 +4215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_vector": q_clean_vector,
         "layout_presence": q_layout_presence,
         "maxar_load": q_maxar_load,
-        "olci_load": q_olci_load,
         "radiometric_chain": q_radiometric_chain,
-        "slstr_view": q_slstr_view,
         "mean_angles": q_mean_angles,
+        "lee_despeckle": q_lee_despeckle,
+        "scl_hist": q_scl_hist,
         "collocate": q_collocate,
         "stack_sink": q_stack_sink,
         "winnow": q_winnow,

@@ -366,6 +366,28 @@ def geocode_bilinear_lut(
     from eoreader_spark.operators import knn
 
     s0 = swath.select("line", "sample", "lon", "lat")
+    # 0. EXACT grid prefilter (round 6): a point inside any quad lies inside
+    # the bbox of that quad's corners, hence inside the swath bbox — so
+    # grid points outside the (slightly eps-padded) swath bbox can never
+    # produce an in-cell (u, v) and are dropped BEFORE the kNN anchor.
+    # This is the scale win for the real shape of the problem (global tile
+    # grid x narrow swath strip): far queries otherwise drive the kNN
+    # ring-doubling toward its full-cover cap, paying many shuffle rounds
+    # for rows the in-cell filter discards anyway.  One plan-sized agg
+    # (4 doubles) -> JVM filter; result rows are identical by construction.
+    bb = [
+        float(v)  # fixture frames may carry DECIMAL lon/lat
+        for v in s0.agg(
+            F.min(F.col("lon").cast("double")), F.max(F.col("lon").cast("double")),
+            F.min(F.col("lat").cast("double")), F.max(F.col("lat").cast("double")),
+        ).first()
+    ]
+    mlon = (bb[1] - bb[0]) * max(eps, 1e-12) + 1e-12
+    mlat = (bb[3] - bb[2]) * max(eps, 1e-12) + 1e-12
+    grid = grid.filter(
+        (F.col("lon") >= bb[0] - mlon) & (F.col("lon") <= bb[1] + mlon)
+        & (F.col("lat") >= bb[2] - mlat) & (F.col("lat") <= bb[3] + mlat)
+    )
     # 1. complete quads, base-cornered at (bl, bs) — geometry only
     A = s0.selectExpr("line as bl", "sample as bs", "lon as ax", "lat as ay")
     B = s0.selectExpr("line as bl", "sample - 1 as bs", "lon as bx", "lat as by")
