@@ -10,7 +10,8 @@ File Format Specification the engine needs to write deterministic
 OLCI/SLSTR-shaped fixtures and read them back on executors:
 
 - superblock version 0,
-- version-1 object headers (no continuation blocks),
+- version-1 object headers, including continuation-block chains on read
+  (libhdf5 splits attribute-heavy headers across blocks),
 - the classic group structure (local heap + v1 B-tree + SNOD symbol nodes),
 - fixed-point / IEEE-float datatypes (classes 0 and 1), strings (class 3),
 - contiguous AND chunked data layouts (layout message v3),
@@ -270,18 +271,29 @@ def _read_oh(data: bytes, addr: int) -> list[tuple[int, bytes]]:
     version, nmsgs, refcnt, hsize = struct.unpack_from("<BxHII", data, addr)
     if version != 1:
         raise NotImplementedError("HDF5 reader: v2 object headers not in subset")
-    pos, end = addr + 16, addr + 16 + hsize
-    out = []
-    while pos + 8 <= end and len(out) < nmsgs:
-        mtype, msize, flags = struct.unpack_from("<HHB", data, pos)
-        body = data[pos + 8 : pos + 8 + msize]
-        if mtype == 0x0010:  # continuation
-            (caddr, clen) = struct.unpack_from("<QQ", body, 0)
-            raise NotImplementedError(
-                "HDF5 reader: object-header continuation blocks not in subset"
-            )
-        out.append((mtype, body))
-        pos += 8 + msize
+    out: list[tuple[int, bytes]] = []
+    # header block chain: the prefix block, then any continuation blocks
+    # (message type 0x0010: address + length) — real libhdf5 files grow
+    # attribute-heavy headers this way.  nmsgs counts EVERY header message
+    # including the continuation messages themselves.
+    blocks = [(addr + 16, addr + 16 + hsize)]
+    seen = {addr + 16}
+    n_read = 0
+    while blocks and n_read < nmsgs:
+        pos, end = blocks.pop(0)
+        while pos + 8 <= end and n_read < nmsgs:
+            mtype, msize, flags = struct.unpack_from("<HHB", data, pos)
+            body = data[pos + 8 : pos + 8 + msize]
+            n_read += 1
+            if mtype == 0x0010:  # continuation: queue the next block
+                caddr, clen = struct.unpack_from("<QQ", body, 0)
+                if caddr in seen or caddr + clen > len(data):
+                    raise ValueError("corrupt HDF5 continuation chain")
+                seen.add(caddr)
+                blocks.append((caddr, caddr + clen))
+            elif mtype != 0x0000:  # NIL messages pad blocks; skip them
+                out.append((mtype, body))
+            pos += 8 + msize
     return out
 
 
