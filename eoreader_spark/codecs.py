@@ -31,12 +31,42 @@ fine: codecs run inside mapInArrow/pandas-UDF batches, one call per image
 
 from __future__ import annotations
 
+import functools
 import struct
+import wave
 import zlib
 
 import numpy as np
 
 PLANES = 3  # legacy default plane count (RED/GREEN/NIR)
+
+
+def corrupt_guard(fmt: str):
+    """Decorator for decoder entry points: convert low-level parsing
+    crashes on malformed bytes (IndexError, struct.error, zlib.error, ...)
+    into a named ValueError, preserving the original as __cause__.
+
+    Why (round 6, found by fuzzing every from-scratch decoder with
+    truncation/bit-flips): at 100 TB of third-party payloads a corrupt row
+    must fail with a CATCHABLE, format-named error the ingest job can
+    quarantine — not kill the whole Arrow batch with a bare IndexError
+    from deep inside a marker walk.  Deliberate semantic raises
+    (ValueError / NotImplementedError / KeyError) pass through unchanged."""
+    def wrap(fn):
+        @functools.wraps(fn)
+        def inner(*a, **k):
+            try:
+                return fn(*a, **k)
+            except (ValueError, NotImplementedError, KeyError):
+                raise
+            except (IndexError, struct.error, zlib.error, wave.Error,
+                    AssertionError, OverflowError, EOFError) as e:
+                raise ValueError(
+                    f"corrupt or truncated {fmt} stream "
+                    f"({type(e).__name__}: {e})"
+                ) from e
+        return inner
+    return wrap
 _QJPG_MAGIC = b"QJPG"
 _QJPG_MAGIC_N = b"QJPN"  # n-plane variant: header carries the plane count
 _QJPG_Q = 3
@@ -281,8 +311,11 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
 
 def decode(data: bytes, fmt: str, h: int, w: int) -> np.ndarray:
     """-> (planes, h, w) in the container's native dtype (uint8, or uint16
-    for 16-bit GeoTIFF/JP2 — S2 DNs are uint16)."""
-    return _DECODERS[fmt](data, h, w)
+    for 16-bit GeoTIFF/JP2 — S2 DNs are uint16).  Malformed bytes raise a
+    named ValueError for ANY registered codec (corrupt_guard), so ingest
+    jobs can quarantine bad rows without losing the batch."""
+    dec = _DECODERS[fmt]
+    return corrupt_guard(fmt)(dec)(data, h, w)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

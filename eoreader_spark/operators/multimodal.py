@@ -21,6 +21,8 @@ import wave
 from collections.abc import Iterator
 
 import numpy as np
+
+from eoreader_spark.codecs import corrupt_guard
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -78,15 +80,20 @@ def encode_wav(sig: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+@corrupt_guard("wav")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM WAV bytes -> (float32 mono signal in [-1,1], sample_rate).
     REAL decode via the stdlib wave module (8/16-bit PCM; multi-channel
     averaged to mono)."""
-    with wave.open(io.BytesIO(data)) as w:
-        sr = w.getframerate()
-        ch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(data)) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except RuntimeError as e:  # stdlib wave raises a BARE RuntimeError on
+        # corrupt chunk sizes (wave.py Chunk.skip) — name it
+        raise ValueError("corrupt or truncated wav stream") from e
     if sw == 2:
         sig = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sw == 1:
@@ -98,6 +105,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return sig, sr
 
 
+@corrupt_guard("audio")
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Magic-byte audio decode dispatch: RIFF -> stdlib WAV, fLaC -> the
     engine's own FLAC subset codec (sources/flacc.py — REAL compressed
@@ -190,6 +198,7 @@ _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 32
 _MP3_RATES = [44100, 48000, 32000]
 
 
+@corrupt_guard("mp3")
 def parse_mp3(data: bytes) -> dict:
     """Walk MPEG-1 Layer III frames -> stream facts.
 
@@ -252,6 +261,7 @@ def parse_mp3(data: bytes) -> dict:
     }
 
 
+@corrupt_guard("flac")
 def parse_flac(data: bytes) -> dict:
     """FLAC STREAMINFO metadata block -> stream facts (xiph spec: 'fLaC'
     marker, block header, 20-bit sample rate, 3-bit channels-1, 5-bit
@@ -299,6 +309,7 @@ def _iso_boxes(buf: bytes, start: int, end: int):
         pos += size
 
 
+@corrupt_guard("mp4")
 def parse_mp4(data: bytes) -> dict:
     """ISO BMFF box walk -> movie facts (moov/mvhd timescale + duration,
     trak count).  Pure container metadata; MJPEG-in-MP4 sample decode is
@@ -544,6 +555,7 @@ def encode_mp4_mjpeg(
     return ftyp + mdat + moov
 
 
+@corrupt_guard("mp4")
 def split_mp4_mjpeg(data: bytes) -> list[bytes]:
     """Demux MJPEG samples out of an ISO BMFF container by walking the
     sample tables (stsd fourcc gate -> stsz sizes, stsc chunk runs,
@@ -585,6 +597,12 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
         elif b == b"stsz":
             fixed = int.from_bytes(body[:4], "big")
             cnt = int.from_bytes(body[4:8], "big")
+            # bound counts by the box body BEFORE materializing lists —
+            # a corrupt 32-bit count is otherwise a multi-GB allocation
+            if not fixed and 8 + 4 * cnt > len(body):
+                raise ValueError(f"MP4: stsz count {cnt} exceeds box size")
+            if fixed and cnt > len(data):
+                raise ValueError(f"MP4: stsz count {cnt} exceeds file size")
             if fixed:
                 sizes = [fixed] * cnt
             else:
@@ -594,6 +612,8 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
                 ]
         elif b == b"stsc":
             cnt = int.from_bytes(body[:4], "big")
+            if 4 + 12 * cnt > len(body):
+                raise ValueError(f"MP4: stsc count {cnt} exceeds box size")
             for i in range(cnt):
                 rec = body[4 + 12 * i : 16 + 12 * i]
                 stsc_runs.append(
@@ -602,6 +622,8 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
         elif b in (b"stco", b"co64"):
             cnt = int.from_bytes(body[:4], "big")
             width = 4 if b == b"stco" else 8
+            if 4 + width * cnt > len(body):
+                raise ValueError(f"MP4: {b.decode()} count {cnt} exceeds box size")
             offsets = [
                 int.from_bytes(body[4 + width * i : 4 + width * (i + 1)], "big")
                 for i in range(cnt)
@@ -618,6 +640,8 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
     per_chunk = []
     for i, (first, spc) in enumerate(stsc_runs):
         last = stsc_runs[i + 1][0] if i + 1 < len(stsc_runs) else len(offsets) + 1
+        if last - first > len(offsets) + 1 or last < first:
+            raise ValueError("MP4: stsc chunk runs inconsistent with stco")
         per_chunk += [spc] * (last - first)
     out, si = [], 0
     for ci, off in enumerate(offsets):
@@ -632,6 +656,7 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
     return out
 
 
+@corrupt_guard("mjpeg")
 def split_mjpeg(data: bytes) -> list[bytes]:
     """Real MJPEG demux: walk JPEG markers to find each SOI..EOI frame.
 

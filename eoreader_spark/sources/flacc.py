@@ -32,6 +32,8 @@ import hashlib
 
 import numpy as np
 
+from eoreader_spark.codecs import corrupt_guard
+
 _FIXED_COEFFS = {
     0: np.array([], dtype=np.int64),
     1: np.array([1], dtype=np.int64),
@@ -492,6 +494,7 @@ def _decode_subframe(br: _BitReader, n: int, bps: int) -> np.ndarray:
     raise ValueError(f"reserved subframe type {stype:#08b}")
 
 
+@corrupt_guard("flac")
 def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
     """FLAC bytes -> (int64 samples, sample_rate).  Mono streams return a
     1-D array, stereo a (2, n) array.  Subset decoder: CONSTANT / VERBATIM /

@@ -26,6 +26,8 @@ import zlib
 
 import numpy as np
 
+from eoreader_spark.codecs import corrupt_guard
+
 _II = b"II"
 _MAGIC = 42
 
@@ -256,7 +258,13 @@ def encode_geotiff(
 
 
 def _read_values(buf: bytes, ty: int, count: int, raw: bytes) -> list:
+    if ty not in _TY_SIZE:
+        raise ValueError(f"unsupported TIFF field type {ty}")
     size = _TY_SIZE[ty] * count
+    if size > len(buf):  # corrupt count: must bound BEFORE building the
+        # struct format string — "H"*count with a 32-bit count is a
+        # multi-GB allocation in uninterruptible C (fuzzer-found hang)
+        raise ValueError(f"TIFF field count {count} exceeds file size")
     if size <= 4:
         payload = raw[:size]
     else:
@@ -265,6 +273,7 @@ def _read_values(buf: bytes, ty: int, count: int, raw: bytes) -> list:
     return list(struct.unpack("<" + _TY_FMT[ty] * count, payload))
 
 
+@corrupt_guard("geotiff")
 def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     """GeoTIFF bytes -> ((planes, h, w) array, geo metadata dict)."""
     if data[:2] != _II or struct.unpack("<H", data[2:4])[0] != _MAGIC:

@@ -35,6 +35,8 @@ import zlib
 
 import numpy as np
 
+from eoreader_spark.codecs import corrupt_guard
+
 _UNDEF = 0xFFFFFFFFFFFFFFFF
 _SIG = b"\x89HDF\r\n\x1a\n"
 
@@ -352,6 +354,7 @@ def _root(data: bytes) -> tuple[dict[str, int], list[tuple[int, bytes]]]:
     return _walk_group(data, btree_addr, heap_addr), msgs
 
 
+@corrupt_guard("hdf5")
 def list_datasets(data: bytes) -> dict[str, dict]:
     """{name: {shape, dtype, attrs}} — the ncdump-style listing."""
     links, _ = _root(data)
@@ -370,6 +373,7 @@ def list_datasets(data: bytes) -> dict[str, dict]:
     return out
 
 
+@corrupt_guard("hdf5")
 def global_attrs(data: bytes) -> dict:
     _, msgs = _root(data)
     out = {}
@@ -380,6 +384,7 @@ def global_attrs(data: bytes) -> dict:
     return out
 
 
+@corrupt_guard("hdf5")
 def read_dataset(
     data: bytes, name: str, mask_and_scale: bool = True
 ) -> np.ndarray:
@@ -494,6 +499,7 @@ def encode_nc(img: np.ndarray) -> bytes:
     return write_hdf5(dsets, {"institution": "eoreader_spark", "source": "synthetic"})
 
 
+@corrupt_guard("hdf5")
 def decode_nc(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
     """HDF5 container -> (planes, h, w) DN array (codec-table signature).
     Planes come back in dataset-name order (Oa01..OaNN); values are raw DN

@@ -52,6 +52,8 @@ import struct
 
 import numpy as np
 
+from eoreader_spark.codecs import corrupt_guard
+
 # ------------------------------------------------------------ metadata parse
 _SOC, _SIZ, _COD, _QCD, _SOT, _SOD, _EOC = (
     0xFF4F, 0xFF51, 0xFF52, 0xFF5C, 0xFF90, 0xFF93, 0xFFD9,
@@ -118,6 +120,7 @@ def parse_codestream_header(data: bytes) -> dict:
     return meta
 
 
+@corrupt_guard("jp2")
 def parse_jp2(data: bytes) -> dict:
     """JP2 container OR raw codestream -> metadata dict (S1 detection +
     load planning read this; decode_jp2 decodes the engine's own profile)."""
@@ -1349,6 +1352,7 @@ def _tile_grid(
     return out
 
 
+@corrupt_guard("jp2")
 def jp2_tile_index(data: bytes) -> list[tuple[int, int, int]]:
     """Cheap tile-part byte index: (Isot, offset, length) of every tile-part
     (SOT marker through the end of its body), offsets into ``data`` as
@@ -1382,6 +1386,7 @@ def jp2_tile_index(data: bytes) -> list[tuple[int, int, int]]:
     return out
 
 
+@corrupt_guard("jp2")
 def jp2_file_index(path: str) -> dict:
     """Seek-based tile index of a JP2 file: O(#tiles) tiny reads, never the
     pixel payload.  Returns {"header": main-header bytes (codestream start
@@ -1456,6 +1461,7 @@ def jp2_file_index(path: str) -> dict:
     }
 
 
+@corrupt_guard("jp2")
 def decode_jp2_part(header: bytes, part: bytes, isot: int,
                     max_res: int | None = None) -> np.ndarray:
     """Decode ONE tile from its ranged-read bytes: ``header`` is the main
@@ -1857,6 +1863,7 @@ def encode_jp2(
     return jp2_sig + ftyp + jp2h + jp2c
 
 
+@corrupt_guard("jp2")
 def decode_jp2(
     data: bytes, max_res: int | None = None, tile_idx: int | None = None
 ) -> np.ndarray:

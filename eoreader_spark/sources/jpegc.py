@@ -43,6 +43,8 @@ import struct
 
 import numpy as np
 
+from eoreader_spark.codecs import corrupt_guard
+
 # ---------------------------------------------------------------- constants
 # zigzag scan order: position k in the scan reads flat raster index ZIG[k]
 ZIG = np.array([
@@ -844,6 +846,7 @@ def _decode_scan_interleaved(
     return outs
 
 
+@corrupt_guard("jfif")
 def decode_jfif(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (planes, h, w) uint8.  Handles non-interleaved
     4:4:4 scans (any plane count) and the interleaved 4:2:0 (and general
