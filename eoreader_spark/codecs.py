@@ -129,7 +129,8 @@ def encode_png(img: np.ndarray) -> bytes:
 def decode_png(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
     """Decode 8-bit RGB PNG — filters 0 None / 1 Sub / 2 Up / 3 Average /
     4 Paeth (RFC 2083 §6)."""
-    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
     pos = 8
     idat = []
     width = height = None
@@ -139,7 +140,8 @@ def decode_png(data: bytes, h: int | None = None, w: int | None = None) -> np.nd
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
             width, height, depth, ctype = struct.unpack(">IIBB", payload[:10])
-            assert depth == 8 and ctype == 2, "only 8-bit RGB supported"
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":

@@ -26,7 +26,31 @@ from pyspark.sql import DataFrame
 def _members(data: bytes, want_content: bool, pattern: str | None = None):
     """-> [(member, size, content|None)] for zip, tar, or tar.gz payloads.
     ``pattern`` is an fnmatch glob applied before any content read (tar
-    content reads are sequential and expensive — skip early)."""
+    content reads are sequential and expensive — skip early).
+
+    Corrupt archives raise a NAMED ValueError (round-6 corrupt-input
+    contract): the stdlib leaks BadZipFile / TarError / BadGzipFile /
+    zlib.error / EOFError on truncated or bit-flipped payloads, which would
+    otherwise kill a whole Arrow batch at ingest instead of failing one
+    quarantinable row."""
+    try:
+        return _members_inner(data, want_content, pattern)
+    except (ValueError, NotImplementedError, KeyError):
+        raise
+    except (zipfile.BadZipFile, tarfile.TarError, OSError, EOFError,
+            IndexError) as e:
+        raise ValueError(
+            f"corrupt or truncated archive ({type(e).__name__}: {e})"
+        ) from e
+    except Exception as e:  # zlib.error and friends from gzip internals
+        import zlib
+
+        if isinstance(e, zlib.error):
+            raise ValueError(f"corrupt or truncated archive (zlib: {e})") from e
+        raise
+
+
+def _members_inner(data: bytes, want_content: bool, pattern: str | None = None):
     import fnmatch
 
     def keep(name: str) -> bool:

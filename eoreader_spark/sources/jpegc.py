@@ -852,7 +852,8 @@ def decode_jfif(data: bytes) -> np.ndarray:
     4:4:4 scans (any plane count) and the interleaved 4:2:0 (and general
     subsampled) layout of real camera files — chroma planes are
     nearest-neighbour upsampled back to (h, w)."""
-    assert data[:2] == b"\xff\xd8", "not a JPEG (missing SOI)"
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff_dc: dict[int, tuple[list[int], list[int]]] = {}

@@ -25,8 +25,12 @@ def _strip_ns(tag: str) -> str:
 
 def xml_to_pairs(xml_text: str) -> list[tuple[str, str]]:
     """Flatten an XML doc to (slash/path, text) rows (quick_xml_to_dict
-    analog, namespaces stripped)."""
-    root = ET.fromstring(xml_text)
+    analog, namespaces stripped).  Malformed XML raises a named ValueError
+    (round-6 corrupt-input contract), not a bare ParseError."""
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed XML metadata: {e}") from e
     out: list[tuple[str, str]] = []
 
     def walk(el, path):

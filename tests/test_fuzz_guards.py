@@ -88,3 +88,52 @@ def test_corrupt_inputs_raise_named_and_promptly(fmt):
     finally:
         signal.signal(signal.SIGALRM, old)
     assert not fired["hang"]
+
+
+def test_corrupt_archives_and_xml_raise_named():
+    """Archive scan (zip/tar.gz) and XML metadata flatten obey the same
+    contract: stdlib BadZipFile/TarError/BadGzipFile/ParseError surface as
+    named ValueError."""
+    import io
+    import tarfile
+    import zipfile
+
+    from eoreader_spark.sources import archive, metadata
+
+    zb = io.BytesIO()
+    with zipfile.ZipFile(zb, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("prod/MTD.xml", "<a><b>1</b></a>" * 20)
+        z.writestr("prod/img.jp2", b"\x00" * 500)
+    tb = io.BytesIO()
+    with tarfile.open(fileobj=tb, mode="w:gz") as t:
+        d = b"hello" * 100
+        info = tarfile.TarInfo("p/metadata.xml")
+        info.size = len(d)
+        t.addfile(info, io.BytesIO(d))
+    xml = "<root xmlns='urn:x'><g a='1'><v>2.5</v></g></root>"
+    rng = np.random.RandomState(2)
+
+    for data, fn in (
+        (zb.getvalue(), lambda b: archive._members(b, True)),
+        (tb.getvalue(), lambda b: archive._members(b, True)),
+    ):
+        fn(data)  # pristine works
+        for i in range(N):
+            if i % 2 == 0:
+                b = bytes(data[: rng.randint(1, len(data))])
+            else:
+                m = bytearray(data)
+                for _ in range(rng.randint(1, 4)):
+                    m[rng.randint(0, len(m))] = rng.randint(0, 256)
+                b = bytes(m)
+            try:
+                fn(b)
+            except OK:
+                pass
+    metadata.xml_to_pairs(xml)
+    for i in range(N):
+        s = xml[: rng.randint(1, len(xml))]
+        try:
+            metadata.xml_to_pairs(s)
+        except OK:
+            pass
