@@ -12,7 +12,9 @@ OLCI/SLSTR-shaped fixtures and read them back on executors:
 - superblock version 0,
 - version-1 object headers, including continuation-block chains on read
   (libhdf5 splits attribute-heavy headers across blocks),
-- the classic group structure (local heap + v1 B-tree + SNOD symbol nodes),
+- the classic group structure (local heap + v1 B-tree + SNOD symbol
+  nodes), including NESTED groups on both write and read (slash paths,
+  the netCDF4 group convention),
 - fixed-point / IEEE-float datatypes (classes 0 and 1), strings (class 3),
 - contiguous AND chunked data layouts (layout message v3),
 - the deflate filter pipeline (gzip via zlib, filter id 1),
@@ -161,17 +163,68 @@ def _object_header(messages: list[tuple[int, bytes]]) -> bytes:
     return struct.pack("<BxHII4x", 1, len(messages), 1, len(body)) + body
 
 
-def write_hdf5(datasets: dict, global_attrs: dict | None = None) -> bytes:
-    """Serialize ``{name: (ndarray, attrs_dict)}`` (or ``{name: ndarray}``)
-    to HDF5 bytes.  2-D+ arrays of > 4096 elements are chunked (one
-    row-band per chunk) and deflate-compressed; smaller ones are stored
-    contiguous.  ``global_attrs`` land on the root group (the netCDF
-    global-attribute convention, ref s3_product.py:724-781)."""
-    w = _Writer()
-    names = sorted(datasets)
+def _write_dataset(w: _Writer, arr: np.ndarray, attrs: dict) -> int:
+    """Emit one dataset's data blocks + object header; -> OH address."""
+    arr = np.ascontiguousarray(arr)
+    msgs: list[tuple[int, bytes]] = [
+        (0x0001, _ds_message(arr.shape)),
+        (0x0003, _dt_message(arr.dtype)),
+    ]
+    chunked = arr.ndim >= 2 and arr.size > 4096
+    if chunked:
+        # one band of rows per chunk: dims (band, full trailing dims)
+        band = max(1, 4096 // max(1, int(np.prod(arr.shape[1:]))))
+        chunk_shape = (min(band, arr.shape[0]),) + arr.shape[1:]
+        n_chunks = -(-arr.shape[0] // chunk_shape[0])
+        kids, keys = [], []
+        for ci in range(n_chunks):
+            block = arr[ci * chunk_shape[0] : (ci + 1) * chunk_shape[0]]
+            if block.shape != chunk_shape:  # edge chunk: zero-pad
+                padded = np.zeros(chunk_shape, arr.dtype)
+                padded[: block.shape[0]] = block
+                block = padded
+            comp = zlib.compress(block.tobytes(), 6)
+            kids.append(w.alloc(comp))
+            keys.append((len(comp), ci * chunk_shape[0]))
+        nd = arr.ndim + 1
+        node = b"TREE" + struct.pack("<BBHQQ", 1, 0, n_chunks, _UNDEF, _UNDEF)
+        for (sz, off0), kid in zip(keys, kids):
+            node += struct.pack("<II", sz, 0)
+            node += struct.pack(f"<{nd}Q", off0, *([0] * (arr.ndim - 1)), 0)
+            node += struct.pack("<Q", kid)
+        # final key: one past the last chunk
+        node += struct.pack("<II", 0, 0)
+        node += struct.pack(
+            f"<{nd}Q", n_chunks * chunk_shape[0], *([0] * (arr.ndim - 1)), 0
+        )
+        btree_addr = w.alloc(node)
+        layout = struct.pack("<BBBQ", 3, 2, nd, btree_addr)
+        for d in chunk_shape:
+            layout += struct.pack("<I", d)
+        layout += struct.pack("<I", arr.itemsize)
+        msgs.append((0x0008, layout))
+        # deflate filter pipeline v1: id 1, one client value (level)
+        msgs.append(
+            (0x000B, struct.pack("<BB6xHHHHI4x", 1, 1, 1, 0, 0, 1, 6))
+        )
+    else:
+        data_addr = w.alloc(arr.tobytes())
+        msgs.append(
+            (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
+        )
+    for an, av in attrs.items():
+        msgs.append((0x000C, _attr_message(an, av)))
+    return w.alloc(_object_header(msgs))
 
-    # local heap: offset 0 must be the empty string (root entry links to it)
-    heap_data = bytearray(b"\x00" * 8)
+
+def _write_group(
+    w: _Writer, entries: dict[str, int], attrs: dict | None = None
+) -> tuple[int, int, int]:
+    """Emit one group's heap + SNOD + B-tree + object header.
+    ``entries``: link name -> child object-header address.
+    -> (group OH address, btree address, heap address)."""
+    names = sorted(entries)
+    heap_data = bytearray(b"\x00" * 8)  # offset 0 = the empty string
     name_off = {}
     for n in names:
         name_off[n] = len(heap_data)
@@ -180,81 +233,58 @@ def write_hdf5(datasets: dict, global_attrs: dict | None = None) -> bytes:
     heap_addr = w.alloc(
         b"HEAP" + struct.pack("<B3xQQQ", 0, len(heap_data), 1, heap_data_addr)
     )
-
-    # per-dataset object headers
-    oh_addr = {}
-    for n in names:
-        spec = datasets[n]
-        arr, attrs = spec if isinstance(spec, tuple) else (spec, {})
-        arr = np.ascontiguousarray(arr)
-        msgs: list[tuple[int, bytes]] = [
-            (0x0001, _ds_message(arr.shape)),
-            (0x0003, _dt_message(arr.dtype)),
-        ]
-        chunked = arr.ndim >= 2 and arr.size > 4096
-        if chunked:
-            # one band of rows per chunk: dims (band, full trailing dims)
-            band = max(1, 4096 // max(1, int(np.prod(arr.shape[1:]))))
-            chunk_shape = (min(band, arr.shape[0]),) + arr.shape[1:]
-            n_chunks = -(-arr.shape[0] // chunk_shape[0])
-            kids, keys = [], []
-            for ci in range(n_chunks):
-                block = arr[ci * chunk_shape[0] : (ci + 1) * chunk_shape[0]]
-                if block.shape != chunk_shape:  # edge chunk: zero-pad
-                    padded = np.zeros(chunk_shape, arr.dtype)
-                    padded[: block.shape[0]] = block
-                    block = padded
-                comp = zlib.compress(block.tobytes(), 6)
-                kids.append(w.alloc(comp))
-                keys.append((len(comp), ci * chunk_shape[0]))
-            nd = arr.ndim + 1
-            node = b"TREE" + struct.pack("<BBHQQ", 1, 0, n_chunks, _UNDEF, _UNDEF)
-            for (sz, off0), kid in zip(keys, kids):
-                node += struct.pack("<II", sz, 0)
-                node += struct.pack(f"<{nd}Q", off0, *([0] * (arr.ndim - 1)), 0)
-                node += struct.pack("<Q", kid)
-            # final key: one past the last chunk
-            node += struct.pack("<II", 0, 0)
-            node += struct.pack(
-                f"<{nd}Q", n_chunks * chunk_shape[0], *([0] * (arr.ndim - 1)), 0
-            )
-            btree_addr = w.alloc(node)
-            layout = struct.pack("<BBBQ", 3, 2, nd, btree_addr)
-            for d in chunk_shape:
-                layout += struct.pack("<I", d)
-            layout += struct.pack("<I", arr.itemsize)
-            msgs.append((0x0008, layout))
-            # deflate filter pipeline v1: id 1, one client value (level)
-            msgs.append(
-                (0x000B, struct.pack("<BB6xHHHHI4x", 1, 1, 1, 0, 0, 1, 6))
-            )
-        else:
-            data_addr = w.alloc(arr.tobytes())
-            msgs.append(
-                (0x0008, struct.pack("<BBQQ", 3, 1, data_addr, arr.nbytes))
-            )
-        for an, av in attrs.items():
-            msgs.append((0x000C, _attr_message(an, av)))
-        oh_addr[n] = w.alloc(_object_header(msgs))
-
-    # SNOD (symbol table node), entries sorted by name
     snod = b"SNOD" + struct.pack("<BxH", 1, len(names))
     for n in names:
-        snod += struct.pack("<QQI4x16x", name_off[n], oh_addr[n], 0)
+        snod += struct.pack("<QQI4x16x", name_off[n], entries[n], 0)
     snod_addr = w.alloc(snod)
-
-    # group B-tree: one child (the SNOD); keys are heap offsets
     btree = b"TREE" + struct.pack(
         "<BBHQQQQQ",
         0, 0, 1, _UNDEF, _UNDEF,
         0, snod_addr, name_off[names[-1]] if names else 0,
     )
     btree_addr = w.alloc(btree)
+    msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+    for an, av in (attrs or {}).items():
+        msgs.append((0x000C, _attr_message(an, av)))
+    return w.alloc(_object_header(msgs)), btree_addr, heap_addr
 
-    root_msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
-    for an, av in (global_attrs or {}).items():
-        root_msgs.append((0x000C, _attr_message(an, av)))
-    root_oh = w.alloc(_object_header(root_msgs))
+
+def write_hdf5(datasets: dict, global_attrs: dict | None = None) -> bytes:
+    """Serialize ``{name: (ndarray, attrs_dict)}`` (or ``{name: ndarray}``)
+    to HDF5 bytes.  Names may contain ``/`` to place datasets in nested
+    groups (the netCDF4 group convention, round 6).  2-D+ arrays of > 4096
+    elements are chunked (one row-band per chunk) and deflate-compressed;
+    smaller ones are stored contiguous.  ``global_attrs`` land on the root
+    group (the netCDF global-attribute convention, ref
+    s3_product.py:724-781)."""
+    w = _Writer()
+
+    # build the name tree: leaves = dataset specs, dicts = subgroups
+    tree: dict = {}
+    for name in sorted(datasets):
+        parts = name.strip("/").split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"dataset/group name clash at {p!r} in {name!r}")
+        if parts[-1] in node:
+            raise ValueError(f"dataset/group name clash at {name!r}")
+        node[parts[-1]] = datasets[name]
+
+    def emit(node: dict) -> dict[str, int]:
+        entries: dict[str, int] = {}
+        for n, spec in node.items():
+            if isinstance(spec, dict):  # subgroup, depth-first
+                entries[n], _bt, _hp = _write_group(w, emit(spec))
+            else:
+                arr, attrs = spec if isinstance(spec, tuple) else (spec, {})
+                entries[n] = _write_dataset(w, arr, attrs)
+        return entries
+
+    root_oh, btree_addr, heap_addr = _write_group(
+        w, emit(tree), global_attrs or {}
+    )
 
     # superblock v0 + root symbol-table entry
     sb = _SIG + struct.pack(
@@ -340,6 +370,9 @@ def _walk_group(data: bytes, btree_addr: int, heap_addr: int) -> dict[str, int]:
 
 
 def _root(data: bytes) -> tuple[dict[str, int], list[tuple[int, bytes]]]:
+    """-> ({'path/to/dataset': oh_addr}, root-group messages).  Nested
+    groups (links whose object header carries a Symbol Table message, the
+    netCDF4 group convention) are flattened to slash paths, depth-first."""
     if data[:8] != _SIG:
         raise ValueError("not an HDF5 file (bad signature)")
     if data[8] != 0:
@@ -351,7 +384,26 @@ def _root(data: bytes) -> tuple[dict[str, int], list[tuple[int, bytes]]]:
     for mtype, body in msgs:
         if mtype == 0x0011:
             btree_addr, heap_addr = struct.unpack_from("<QQ", body, 0)
-    return _walk_group(data, btree_addr, heap_addr), msgs
+
+    out: dict[str, int] = {}
+    seen_groups = {root_oh}
+
+    def descend(bt: int, hp: int, prefix: str) -> None:
+        for name, oh in _walk_group(data, bt, hp).items():
+            sub = None
+            for mt, body in _read_oh(data, oh):
+                if mt == 0x0011:
+                    sub = struct.unpack_from("<QQ", body, 0)
+            if sub is not None:
+                if oh in seen_groups:
+                    raise ValueError("corrupt HDF5: group cycle")
+                seen_groups.add(oh)
+                descend(sub[0], sub[1], f"{prefix}{name}/")
+            else:
+                out[f"{prefix}{name}"] = oh
+
+    descend(btree_addr, heap_addr, "")
+    return out, msgs
 
 
 @corrupt_guard("hdf5")

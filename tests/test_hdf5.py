@@ -223,3 +223,39 @@ class TestContinuationBlocks:
 
         with _pytest.raises((ValueError, NotImplementedError)):
             h5._read_oh(bytes(data[:20]), 0)  # garbage header
+
+
+class TestNestedGroups:
+    def test_nested_group_roundtrip(self):
+        """netCDF4 group convention (round 6): slash paths write into real
+        nested HDF5 groups (each with its own heap/B-tree/SNOD) and read
+        back flattened, depth-first."""
+        rng = np.random.RandomState(5)
+        lat = rng.randn(40, 30).astype(np.float32)
+        rad = rng.randint(0, 4000, size=(200, 40)).astype(np.int16)  # chunked
+        data = hdf5.write_hdf5({
+            "geo/latitude": lat,
+            "instrument/bands/Oa08_radiance": (
+                rad, {"scale_factor": np.float64(0.25)}
+            ),
+            "flags": np.arange(10, dtype=np.int16),
+        }, {"institution": "x"})
+        meta = hdf5.list_datasets(data)
+        assert sorted(meta) == [
+            "flags", "geo/latitude", "instrument/bands/Oa08_radiance"
+        ]
+        assert np.array_equal(
+            hdf5.read_dataset(data, "geo/latitude", mask_and_scale=False), lat
+        )
+        assert np.allclose(
+            hdf5.read_dataset(data, "instrument/bands/Oa08_radiance"),
+            rad.astype(np.float64) * 0.25,
+        )
+        assert hdf5.global_attrs(data)["institution"] == "x"
+
+    def test_name_clash_raises(self):
+        with pytest.raises(ValueError, match="clash"):
+            hdf5.write_hdf5({
+                "a": np.zeros((2, 2), np.int16),
+                "a/b": np.zeros((2, 2), np.int16),
+            })
