@@ -36,10 +36,14 @@ the PUBLIC ISO/IEC 15444-1 (ITU-T T.800) spec:
   separates them by magnitude alone — lossless on the reversible path
   (lossy ROI would need guard-bit escalation and raises)
 
-Scope note (honest): remaining third-party JP2 features (non-max-shift
-ROI styles and mid-codeword layer truncation from rate control) raise
-NotImplementedError with the feature named — parse_jp2 still returns
-their metadata.  Predictable termination (0x10) is in profile as of round
+Scope note (honest): ISO 15444-1 (Part 1) defines exactly ONE ROI method
+— max-shift, Srgn=0 — which is implemented; other Srgn values are
+reserved in Part 1 (scaling-based ROI is Part 2, out of every mainstream
+profile incl. Sentinel-2's) and raise with the style named.  Mid-codeword
+layer truncation from rate control decodes at packet granularity (absent
+trailing passes reconstruct coarser, as any conforming decoder does);
+the engine's own encoder never length-truncates.  parse_jp2 still
+returns metadata for out-of-profile streams.  Predictable termination (0x10) is in profile as of round
 6: decode enforces the <=2-unread-bytes-per-segment error check, encode
 records the flag (its flush is already the full non-truncated C.2.9
 sequence).  Precinct/block partitions use tile-local origin-0 arithmetic
@@ -1519,10 +1523,11 @@ def encode_jp2(
         # 0x08 causal / 0x10 predictable termination / 0x20 segsym — the
         # full Table A-19 style vocabulary
         raise NotImplementedError(f"unknown code-block style bits 0x{cb_style:02x}")
-    if roi is not None and wavelet != "5/3":
-        raise NotImplementedError(
-            "ROI max-shift needs guard-bit escalation on the lossy path"
-        )
+    # ROI on the lossy path works via guard-bit escalation (round 6): the
+    # QCD's 3-bit guard field grows by the ROI shift so the zero-bitplane
+    # accounting (Mb = G + eps - 1) absorbs the scaled-up ROI indices; the
+    # decoder already derives Mb from the PARSED guard bits.  The 3-bit
+    # field caps the escalation — checked after the shift is known.
     cb_exp = cb.bit_length() - 1
     lossy = wavelet == "9/7"
     if img.ndim == 2:
@@ -1640,9 +1645,18 @@ def encode_jp2(
     # every tile and component, so zero-bitplane counts are relative to the
     # cross-tile cross-component max (lossless) / the quantizer's coded
     # exponent (lossy)
+    guard = _GUARD
+    if lossy and roi is not None:
+        guard = _GUARD + roi_shift  # escalation: Mb grows with the shift
+        if guard > 7:
+            raise NotImplementedError(
+                f"ROI shift {roi_shift} needs {guard} guard bits; the QCD "
+                "guard field is 3 bits (reduce the background dynamic range "
+                "or the quantizer step)"
+            )
     if lossy:
         mb_of = {
-            (r, bn): _GUARD + qinfo[_qi_index(r, bn)][0] - 1
+            (r, bn): guard + qinfo[_qi_index(r, bn)][0] - 1
             for r in range(levels + 1)
             for bn in (("LL",) if r == 0 else ("HL", "LH", "HH"))
         }
@@ -1816,12 +1830,12 @@ def encode_jp2(
     if lossy and qcd_style == 1:
         # scalar derived (Sqcd style 1): ONE 16-bit (ε0<<11 | μ0) value
         e0, mu0, _d0 = qinfo[0]
-        qcd = struct.pack(">HB", 5, (_GUARD << 5) | 1) + struct.pack(
+        qcd = struct.pack(">HB", 5, (guard << 5) | 1) + struct.pack(
             ">H", (e0 << 11) | mu0
         )
     elif lossy:
         # scalar expounded (Sqcd style 2): 16 bits (εb<<11 | μb) per subband
-        qcd = struct.pack(">HB", 3 + 2 * n_sub, (_GUARD << 5) | 2) + b"".join(
+        qcd = struct.pack(">HB", 3 + 2 * n_sub, (guard << 5) | 2) + b"".join(
             struct.pack(">H", (eb << 11) | mu) for (eb, mu, _d) in qinfo
         )
     else:

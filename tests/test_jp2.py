@@ -745,8 +745,12 @@ class TestRoiMaxShift:
         assert not np.array_equal(got, img)
 
     def test_roi_guards(self):
+        # round 6: lossy ROI is supported via guard-bit escalation; content
+        # whose background index depth exceeds the 3-bit guard field raises
+        # with the LIMIT named (see test_roi_max_shift_lossy_path for the
+        # feasible-path behavior)
         img = self._img()
-        with pytest.raises(NotImplementedError, match="lossy"):
+        with pytest.raises(NotImplementedError, match="guard"):
             jp2.encode_jp2(img, wavelet="9/7", roi=(0, 0, 8, 8))
         big = np.random.RandomState(0).randint(0, 65536, (1, 64, 64)).astype(np.uint16)
         with pytest.raises(NotImplementedError, match="QCD exponent"):
@@ -797,3 +801,35 @@ def test_jp2_index_decoy_xml_box_and_psot0_bounded(tmp_path):
     for (isot, off, ln), (_ty, _tx, y0, x0, th, tw) in zip(fidx["parts"], grid):
         sub = jp2.decode_jp2_part(fidx["header"], raw[off : off + ln], isot)
         assert np.array_equal(sub, img[:, y0 : y0 + th, x0 : x0 + tw])
+
+
+def test_roi_max_shift_lossy_path():
+    """Round 6: max-shift ROI on the 9/7 path via guard-bit escalation.
+    The QCD guard field grows by the ROI shift so Mb covers the scaled
+    indices; at FULL decode the shift/downshift round-trip is exact, so
+    the decoded pixels equal the no-ROI stream's bit-for-bit (the ROI
+    benefit is ordering under truncation, not full-decode accuracy).
+    Shifts the 3-bit guard field cannot absorb raise with the limit
+    named — the same spec ceiling real encoders hit."""
+    yy, xx = np.mgrid[0:80, 0:96]
+    img = (118 + 3 * np.sin(yy / 19.0) + 2 * np.cos(xx / 23.0)).astype(
+        np.uint8
+    )[None]
+    rng = np.random.RandomState(4)
+    ry, rx, rh, rw = 20, 24, 24, 32
+    img[0, ry : ry + rh, rx : rx + rw] = rng.randint(0, 256, (rh, rw))
+    for q in (2.0, 4.0):
+        droi = jp2.encode_jp2(
+            img, levels=2, wavelet="9/7", qstep=q, roi=(ry, rx, rh, rw)
+        )
+        dplain = jp2.encode_jp2(img, levels=2, wavelet="9/7", qstep=q)
+        assert b"\xff\x5e" in droi[:200] and b"\xff\x5e" not in dplain[:200]
+        assert np.array_equal(jp2.decode_jp2(droi), jp2.decode_jp2(dplain))
+        # guard bits actually escalated on the wire (Sqcd high 3 bits)
+        i = droi.index(b"\xff\x5c")
+        assert (droi[i + 4] >> 5) > 2  # > the default _GUARD
+    big = (120 + 60 * np.sin(yy / 9.0)).astype(np.uint8)[None]
+    with pytest.raises(NotImplementedError, match="guard"):
+        jp2.encode_jp2(
+            big, levels=2, wavelet="9/7", qstep=1.0, roi=(20, 24, 24, 32)
+        )
