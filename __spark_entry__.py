@@ -4200,6 +4200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_product_e2e": q_s2_product_e2e,
         "sar_chain": q_sar_chain,
         # ---- driver 50-key window ends here (keys above are snapshot) ----
+        # ROUND-7 ROTATION PLAN: promote the 42 keys below into the window
+        # (they were driver-green in r5's risk-ordered window and on every
+        # full local 92/92 rerun since, but their driver rows will then be
+        # two generations old) unless round-7 code changes dictate
+        # otherwise; with r6 covering the r2-r4 backlog, that completes a
+        # full two-round rotation of every registered query.
         # -- rotated out: driver-green in CORRECTNESS_r05 (risk-ordered
         #    codec/product window), stable code --
         "jp2_overview": q_jp2_overview,
