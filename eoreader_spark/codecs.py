@@ -60,7 +60,15 @@ def corrupt_guard(fmt: str):
             except (ValueError, NotImplementedError, KeyError):
                 raise
             except (IndexError, struct.error, zlib.error, wave.Error,
-                    AssertionError, OverflowError, EOFError) as e:
+                    AssertionError, OverflowError, EOFError, TypeError,
+                    ZeroDivisionError, RecursionError, MemoryError) as e:
+                # TypeError/ZeroDivisionError/RecursionError/MemoryError
+                # (round 7, ADVICE): backstop for crash classes a mutated
+                # field can still reach past the boundary validation —
+                # np.dtype('i3'), zero chunk dims, self-referencing B-tree
+                # nodes, allocation bombs.  Validation at the parse boundary
+                # is the primary defense; this keeps the contract (named
+                # ValueError) even for a class the validators miss.
                 raise ValueError(
                     f"corrupt or truncated {fmt} stream "
                     f"({type(e).__name__}: {e})"

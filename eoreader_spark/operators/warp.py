@@ -375,19 +375,20 @@ def geocode_bilinear_lut(
     # ring-doubling toward its full-cover cap, paying many shuffle rounds
     # for rows the in-cell filter discards anyway.  One plan-sized agg
     # (4 doubles) -> JVM filter; result rows are identical by construction.
-    bb = [
-        float(v)  # fixture frames may carry DECIMAL lon/lat
-        for v in s0.agg(
-            F.min(F.col("lon").cast("double")), F.max(F.col("lon").cast("double")),
-            F.min(F.col("lat").cast("double")), F.max(F.col("lat").cast("double")),
-        ).first()
-    ]
-    mlon = (bb[1] - bb[0]) * max(eps, 1e-12) + 1e-12
-    mlat = (bb[3] - bb[2]) * max(eps, 1e-12) + 1e-12
-    grid = grid.filter(
-        (F.col("lon") >= bb[0] - mlon) & (F.col("lon") <= bb[1] + mlon)
-        & (F.col("lat") >= bb[2] - mlat) & (F.col("lat") <= bb[3] + mlat)
-    )
+    bb_row = s0.agg(
+        F.min(F.col("lon").cast("double")), F.max(F.col("lon").cast("double")),
+        F.min(F.col("lat").cast("double")), F.max(F.col("lat").cast("double")),
+    ).first()
+    if bb_row[0] is not None:  # empty swath: no bbox — skip the prefilter
+        # and let the (empty) quad joins yield the empty result, as before
+        # round 6 (ADVICE round 7: float(None) raised TypeError here)
+        bb = [float(v) for v in bb_row]  # fixture frames may carry DECIMAL
+        mlon = (bb[1] - bb[0]) * max(eps, 1e-12) + 1e-12
+        mlat = (bb[3] - bb[2]) * max(eps, 1e-12) + 1e-12
+        grid = grid.filter(
+            (F.col("lon") >= bb[0] - mlon) & (F.col("lon") <= bb[1] + mlon)
+            & (F.col("lat") >= bb[2] - mlat) & (F.col("lat") <= bb[3] + mlat)
+        )
     # 1. complete quads, base-cornered at (bl, bs) — geometry only
     A = s0.selectExpr("line as bl", "sample as bs", "lon as ax", "lat as ay")
     B = s0.selectExpr("line as bl", "sample - 1 as bs", "lon as bx", "lat as by")

@@ -76,6 +76,14 @@ def _parse_dt(msg: bytes) -> np.dtype | tuple[str, int]:
     ver_cls = msg[0]
     cls = ver_cls & 0x0F
     (size,) = struct.unpack_from("<I", msg, 4)
+    # boundary validation (round 7, ADVICE): a bit-flipped size of e.g. 3
+    # reaches np.dtype('i3') and raises a bare TypeError, escaping the
+    # corrupt-input contract.  Only power-of-two machine sizes are valid
+    # numeric dtypes in this subset.
+    if (cls == 0 and size not in (1, 2, 4, 8)) or (
+        cls == 1 and size not in (2, 4, 8)
+    ):
+        raise ValueError(f"corrupt HDF5 datatype: invalid size {size} for class {cls}")
     if cls == 0:  # fixed-point
         signed = bool(msg[1] & 0x08)
         be = bool(msg[1] & 0x01)
@@ -340,8 +348,13 @@ def _heap_string(data: bytes, heap_addr: int, off: int) -> str:
 def _walk_group(data: bytes, btree_addr: int, heap_addr: int) -> dict[str, int]:
     """name -> object header address, walking TREE/SNOD nodes."""
     out: dict[str, int] = {}
+    visited: set[int] = set()  # round 7: a self-referencing child pointer
+    # (level>0 node pointing at itself) is unbounded recursion otherwise
 
     def node(addr: int) -> None:
+        if addr in visited:
+            raise ValueError("corrupt HDF5: group B-tree node cycle")
+        visited.add(addr)
         if data[addr : addr + 4] != b"TREE":
             raise ValueError("bad B-tree signature")
         ntype, level, used = struct.unpack_from("<BBH", data, addr + 4)
@@ -488,9 +501,24 @@ def read_dataset(
         nd = layout[2]
         (btree_addr,) = struct.unpack_from("<Q", layout, 3)
         chunk = struct.unpack_from(f"<{nd - 1}I", layout, 11)
+        if any(c == 0 for c in chunk):
+            raise ValueError("corrupt HDF5 chunk layout: zero chunk dimension")
         full = tuple(
             -(-s // c) * c for s, c in zip(shape, chunk)
         )
+        # allocation bound (round 7, ADVICE): dataspace dims come from the
+        # file; a bit-flipped dim would np.zeros() petabytes (MemoryError,
+        # or an overcommit OOM-kill of the executor).  Deflate expands at
+        # most ~1032:1, so a decoded dataset can never legitimately exceed
+        # a small multiple of the container size — bound BEFORE allocating.
+        need = np.dtype(dt).itemsize  # python ints: no int64 overflow wrap
+        for d in full:
+            need *= int(d)
+        if need > (len(data) << 11) + (1 << 16):
+            raise ValueError(
+                f"corrupt HDF5 dataspace: {need} B dataset from a "
+                f"{len(data)} B container exceeds the deflate bound"
+            )
         arr = np.zeros(full, dtype=dt)
         _read_chunks(data, btree_addr, nd, chunk, arr, bool(filters))
         arr = arr[tuple(slice(0, s) for s in shape)]
@@ -507,7 +535,11 @@ def read_dataset(
     return out * scale + off
 
 
-def _read_chunks(data, btree_addr, nd, chunk, arr, deflated) -> None:
+def _read_chunks(data, btree_addr, nd, chunk, arr, deflated, _seen=None) -> None:
+    _seen = set() if _seen is None else _seen
+    if btree_addr in _seen:  # round 7: self-referencing node -> RecursionError
+        raise ValueError("corrupt HDF5: chunk B-tree node cycle")
+    _seen.add(btree_addr)
     if data[btree_addr : btree_addr + 4] != b"TREE":
         raise ValueError("bad chunk B-tree signature")
     ntype, level, used = struct.unpack_from("<BBH", data, btree_addr + 4)
@@ -519,7 +551,7 @@ def _read_chunks(data, btree_addr, nd, chunk, arr, deflated) -> None:
         (child,) = struct.unpack_from("<Q", data, pos + keysz)
         pos += keysz + 8
         if level > 0:
-            _read_chunks(data, child, nd, chunk, arr, deflated)
+            _read_chunks(data, child, nd, chunk, arr, deflated, _seen)
             continue
         raw = data[child : child + size]
         if deflated and not (fmask & 1):
@@ -537,14 +569,27 @@ def encode_nc(img: np.ndarray) -> bytes:
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[None]
+    # storage dtype (round 7, ADVICE): .astype(int16) silently wrapped
+    # uint16 DN > 32767, corrupting format-generic transcodes (the JP2/TIFF
+    # codecs preserve uint16).  Pick the narrowest writer-subset dtype that
+    # holds the data exactly; decode_nc narrows back symmetrically.
+    lo, hi = (int(img.min()), int(img.max())) if img.size else (0, 0)
+    if -32768 <= lo and hi <= 32767:
+        st, fill = np.int16, np.int16(-32768)
+    elif 0 <= lo and hi <= 65535:
+        st, fill = np.uint16, np.uint16(65535)
+    elif -(2**31) <= lo and hi < 2**31:
+        st, fill = np.int32, np.int32(-(2**31))
+    else:
+        raise ValueError(f"encode_nc: DN range [{lo}, {hi}] exceeds int32")
     dsets = {}
     for p in range(img.shape[0]):
         dsets[f"Oa{p + 1:02d}_radiance"] = (
-            img[p].astype(np.int16),
+            img[p].astype(st),
             {
                 "scale_factor": np.float64(1.0),
                 "add_offset": np.float64(0.0),
-                "_FillValue": np.int16(-32768),
+                "_FillValue": fill,
                 "units": "DN",
             },
         )
@@ -555,10 +600,17 @@ def encode_nc(img: np.ndarray) -> bytes:
 def decode_nc(data: bytes, h: int | None = None, w: int | None = None) -> np.ndarray:
     """HDF5 container -> (planes, h, w) DN array (codec-table signature).
     Planes come back in dataset-name order (Oa01..OaNN); values are raw DN
-    (uint8 range) — reflectance scaling stays a downstream, plan-visible
-    stage exactly like the raw8/jp2 paths."""
+    in the narrowest dtype that holds them (uint8, else uint16, else the
+    stored dtype — matching the GeoTIFF/JP2 uint16-preserving contract);
+    reflectance scaling stays a downstream, plan-visible stage exactly
+    like the raw8/jp2 paths."""
     meta = list_datasets(data)
     names = sorted(meta)
     planes = [read_dataset(data, n, mask_and_scale=False) for n in names]
-    out = np.stack(planes).astype(np.uint8)
+    out = np.stack(planes)
+    lo, hi = (int(out.min()), int(out.max())) if out.size else (0, 0)
+    if 0 <= lo and hi <= 255:
+        return out.astype(np.uint8)
+    if 0 <= lo and hi <= 65535:
+        return out.astype(np.uint16)
     return out

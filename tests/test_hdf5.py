@@ -259,3 +259,98 @@ class TestNestedGroups:
                 "a": np.zeros((2, 2), np.int16),
                 "a/b": np.zeros((2, 2), np.int16),
             })
+
+
+class TestCorruptBoundaries:
+    """Round-7 ADVICE regressions: the four crash classes a 1-byte mutation
+    could reach past corrupt_guard — allocation bomb (MemoryError / overcommit
+    OOM), np.dtype('i3') (TypeError), zero chunk dim (ZeroDivisionError),
+    self-referencing B-tree node (RecursionError).  Each must now raise the
+    named ValueError at the parse boundary, promptly, without allocating."""
+
+    @staticmethod
+    def _chunked_file():
+        import struct
+
+        a = np.tile(np.arange(33, dtype=np.uint16), (257, 1))  # chunked path
+        data = hdf5.write_hdf5({"big": a})
+        # locate the layout message's chunk dims (124, 33, 2): band =
+        # 4096 // 33 = 124 rows per chunk, itemsize 2
+        pat = struct.pack("<III", 124, 33, 2)
+        assert data.count(pat) == 1
+        return bytearray(data), data.index(pat), struct
+
+    def test_dataspace_dim_bomb_is_bounded(self):
+        data, _, struct = self._chunked_file()
+        pat = struct.pack("<QQ", 257, 33)  # the dataspace dims
+        assert bytes(data).count(pat) == 1
+        i = bytes(data).index(pat)
+        data[i : i + 8] = struct.pack("<Q", 1 << 40)  # ~2 PiB of rows
+        with pytest.raises(ValueError, match="deflate bound"):
+            hdf5.read_dataset(bytes(data), "big", mask_and_scale=False)
+
+    def test_zero_chunk_dim_raises_named(self):
+        data, i, struct = self._chunked_file()
+        data[i : i + 4] = struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="zero chunk dimension"):
+            hdf5.read_dataset(bytes(data), "big", mask_and_scale=False)
+
+    def test_dtype_size_3_raises_named(self):
+        import struct
+
+        a = (np.arange(60, dtype=np.int16) - 30).reshape(6, 10)
+        data = bytearray(hdf5.write_hdf5({"t": a}))
+        pat = struct.pack("<B3BIHH", 0x10, 0x08, 0, 0, 2, 0, 16)  # int16 dt msg
+        assert bytes(data).count(pat) == 1
+        i = bytes(data).index(pat)
+        data[i + 4 : i + 8] = struct.pack("<I", 3)  # size 3 -> np.dtype('i3')
+        with pytest.raises(ValueError, match="invalid size 3"):
+            hdf5.read_dataset(bytes(data), "t", mask_and_scale=False)
+
+    def test_chunk_btree_self_cycle_raises_named(self):
+        data, i, struct = self._chunked_file()
+        (bt,) = struct.unpack_from("<Q", bytes(data), i - 8)  # layout's btree
+        assert bytes(data)[bt : bt + 4] == b"TREE"
+        data[bt + 5] = 1  # level 0 -> 1: children become subtree pointers
+        # first child pointer: sig(4)+BBH(4)+siblings(16)+key II(8)+nd Q(24)
+        data[bt + 56 : bt + 64] = struct.pack("<Q", bt)  # points at itself
+        with pytest.raises(ValueError, match="cycle|signature|corrupt"):
+            hdf5.read_dataset(bytes(data), "big", mask_and_scale=False)
+
+    def test_group_btree_self_cycle_raises_named(self):
+        import struct
+
+        data = bytearray(hdf5.write_hdf5({"a": np.zeros((2, 2), np.int16)}))
+        (bt,) = struct.unpack_from("<Q", bytes(data), 56 + 24)  # root btree
+        assert bytes(data)[bt : bt + 4] == b"TREE"
+        data[bt + 5] = 1
+        data[bt + 32 : bt + 40] = struct.pack("<Q", bt)  # child = itself
+        with pytest.raises(ValueError, match="cycle|signature|corrupt"):
+            hdf5.list_datasets(bytes(data))
+
+
+class TestNcDtypePreservation:
+    """Round-7 ADVICE: 'nc' transcode must not wrap uint16 DN mod 256 — the
+    codec preserves values exactly like the GeoTIFF/JP2 uint16 paths."""
+
+    def test_uint16_roundtrip_exact(self):
+        rng = np.random.RandomState(9)
+        img = rng.randint(0, 65536, size=(2, 20, 16)).astype(np.uint16)
+        out = codecs.decode(codecs.encode(img, "nc"), "nc", 20, 16)
+        assert out.dtype == np.uint16
+        assert np.array_equal(out, img)
+
+    def test_uint8_range_still_narrows_to_uint8(self):
+        img = codecs.make_image(5, 12, 10, planes=2)  # uint8 values
+        out = codecs.decode(codecs.encode(img, "nc"), "nc", 12, 10)
+        assert out.dtype == np.uint8
+        assert np.array_equal(out, img)
+
+    def test_int32_range_roundtrip(self):
+        img = np.array([[[-70000, 0], [70000, 5]]], np.int32)
+        out = codecs.decode(codecs.encode(img, "nc"), "nc", 2, 2)
+        assert np.array_equal(out, img)
+
+    def test_beyond_int32_raises(self):
+        with pytest.raises(ValueError, match="exceeds int32"):
+            hdf5.encode_nc(np.array([[[2**40]]], np.int64))

@@ -363,3 +363,17 @@ def test_stac_eo_view_extensions_roundtrip(spark):
     legacy = stac.to_stac_items(scenes, eo_bands=False)
     lb = {r.image_id: r for r in stac.open_stac_items(legacy).collect()}
     assert lb[ids[0]].eo_bands is None and lb[ids[0]].sun_el is None
+
+
+def test_geocode_bilinear_empty_swath_yields_empty(spark):
+    """Round-7 ADVICE regression: an empty swath must flow through to an
+    empty result (as before the round-6 bbox prefilter), not raise TypeError
+    from float(None) on the all-None min/max aggregation row."""
+    swath = spark.createDataFrame(
+        [], "line int, sample int, lon double, lat double, value double"
+    )
+    grid = spark.createDataFrame(
+        [("g0", 0.5, 0.5)], "grid_id string, lon double, lat double"
+    )
+    assert warp.geocode_swath_bilinear(swath, grid).count() == 0
+    assert warp.geocode_bilinear_lut(swath, grid).count() == 0
