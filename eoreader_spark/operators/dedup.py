@@ -95,7 +95,7 @@ def ngram_jaccard(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: int | None = 512,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard for all pairs above ``threshold``.
 
@@ -112,6 +112,11 @@ def ngram_jaccard(
     the reduced universe and per-key fanout is bounded by max_df^2.  Use
     hot_gram_stats() to report what was dropped.  At 10^12 docs set max_df
     so max_df^2 rows fit one task (e.g. 10^4).
+
+    The default is an ABSOLUTE 512, aligned with winnow_pairs (round-7
+    VERDICT #2: uncapped-by-default was a footgun — per-key fanout must be
+    bounded independent of corpus size).  Pass ``max_df=None`` only for a
+    small-corpus exactness baseline over the FULL gram universe.
     """
     toks = _doc_grams(df, n, text_col, id_col)
     inv = toks.select("id", F.explode("gs").alias("g"))

@@ -385,3 +385,54 @@ def test_cosine_zero_norm_vectors_parity(spark):
     a = similarity.cosine_topk(queries, corpus, k=3, exact=True)
     b = similarity.cosine_topk(queries, corpus, k=3, exact=False)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ngram_absolute_cap_bounds_candidates_independent_of_corpus_size(spark):
+    """Round-7 VERDICT #2 regression: with an ABSOLUTE int max_df, the
+    candidate (pair-row) count contributed by hot shingles must NOT grow
+    with corpus size — the fractional cap regression this pins out made the
+    sf1 leg O((f*n)^2).  Also pins the defaults: ngram_jaccard and
+    winnow_pairs agree on absolute-512-by-default."""
+    import inspect
+
+    assert inspect.signature(dedup.ngram_jaccard).parameters["max_df"].default == 512
+    assert inspect.signature(dedup.winnow_pairs).parameters["max_df"].default == 512
+
+    def corpus(n):
+        rows = [
+            (i, f"lorem ipsum dolor sit unique{i} content{i} tail{i}", "en", "t", 10)
+            for i in range(n)
+        ]
+        rows.append((9000, "lorem ipsum dolor sit shared alpha beta gamma", "en", "t", 10))
+        rows.append((9001, "lorem ipsum dolor sit shared alpha beta gamma", "en", "t", 10))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        )
+
+    def candidate_pairs(docs, cap):
+        # pair rows the gram self-join would emit AFTER the cap:
+        # sum over surviving grams of df*(df-1)/2
+        toks = dedup._doc_grams(docs, 3, "text", "doc_id")
+        inv = toks.select("id", F.explode("gs").alias("g"))
+        dfc = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        kept = dfc.filter(F.col("df") <= cap)
+        row = kept.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs"),
+            F.max("df").alias("maxdf"),
+        ).first()
+        return int(row.pairs or 0), int(row.maxdf or 0)
+
+    results = {}
+    for n in (60, 240):
+        docs = corpus(n)
+        pairs, maxdf = candidate_pairs(docs, cap=10)
+        assert maxdf <= 10
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard(docs, n=3, threshold=0.5, max_df=10).collect()
+        }
+        assert got == {(9000, 9001)}, f"n={n}: {got}"
+        results[n] = pairs
+    # the bound: candidate work from the capped index is IDENTICAL at 4x
+    # the corpus (only the planted-dup shared grams survive under the cap)
+    assert results[60] == results[240]

@@ -84,7 +84,11 @@ def run_scale(spark, workdir: str, n_images: int, n_docs: int) -> dict:
     t["winnow"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    dedup.ngram_jaccard(docs, max_df=int(n_docs * 0.02) + 8).count()
+    # ABSOLUTE cap, same value at every scale (round-7 fix: the previous
+    # n_docs*0.02 fraction re-introduced the O((f*n)^2) regime the round-6
+    # winnow fix removed — the leg must measure the production shape,
+    # where per-key fanout is bounded independent of corpus size)
+    dedup.ngram_jaccard(docs, max_df=512).count()
     t["ngram_jaccard"] = time.perf_counter() - t0
 
     docs.unpersist()
