@@ -1138,6 +1138,50 @@ def q_stac_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stac_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 read side through a STATIC LOCAL CATALOG (round-7 VERDICT #4; ref
+    reader.py:673-738 Reader.open on a STAC path + stac_product.py:81-140,
+    minus only the HTTP transport): scene rows -> to_stac_items ->
+    write_stac_catalog (per-partition sub-collections, executor-written) ->
+    read_stac_catalog (driver walks only catalog/collection metadata; item
+    documents parsed DISTRIBUTED via wholetext + explicit schema) ->
+    per-constellation aggregates, value-exact vs the direct derivation —
+    any field the file round-trip corrupts breaks the hash."""
+    import tempfile
+
+    from eoreader_spark.sources import stac
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    scenes = ev.selectExpr(*_STAC_SCENE_EXPRS)
+    root = tempfile.mkdtemp(prefix="stac_open_")
+    stac.write_stac_catalog(stac.to_stac_items(scenes).repartition(8), root)
+    parsed = stac.read_stac_catalog(spark, root)
+    wl_item = F.round(
+        F.aggregate(
+            F.filter(F.col("eo_bands"), lambda b: b["center_wavelength"].isNotNull()),
+            F.lit(0.0),
+            lambda a, b: a + b["center_wavelength"],
+        )
+        * 10000
+    ).cast("long")
+    return (
+        parsed.groupBy("constellation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("cloud_cover"), 4).alias("avg_cc"),
+            F.round(F.sum("pixel_size"), 2).alias("sum_gsd"),
+            F.max(F.date_format("datetime", "yyyy-MM-dd HH:mm:ss")).alias("max_dt"),
+            F.round(F.min("lon"), 4).alias("min_lon"),
+            F.round(F.max("lat"), 4).alias("max_lat"),
+            F.min("crs_epsg").alias("min_epsg"),
+            F.sum((F.col("orbit_direction") == "ASCENDING").cast("long")).alias("n_asc"),
+            F.max(F.size("eo_bands")).alias("n_bands"),
+            F.max(wl_item).alias("wl_sum4"),
+        )
+        .orderBy("constellation")
+    )
+
+
 # --------------------------------------------------------- stencil gate trio
 # Closed-form inputs make the focal operators analytic (VERDICT r2 #1):
 # ramp DEMs z = a*gx + b*gy give CONSTANT interior gradients (central
@@ -4237,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_dispatch": q_reader_dispatch,
         "reader_dispatch_mtd": q_reader_dispatch_mtd,
         "stac_catalog": q_stac_catalog,
+        "stac_open": q_stac_open,
         "slope_ramp": q_slope_ramp,
         "hillshade_ramp": q_hillshade_ramp,
         "stencil_custom": q_stencil_custom,
@@ -4678,6 +4723,34 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls4,
                    cast(sum(CASE WHEN c = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls9
             FROM scl GROUP BY image_id ORDER BY image_id
+        """,
+        "stac_open": f"""
+            WITH s AS (
+                SELECT CASE WHEN user_id % 4 = 0 THEN 'S2'
+                            WHEN user_id % 4 = 1 THEN 'L8'
+                            WHEN user_id % 4 = 2 THEN 'S1'
+                            ELSE 'PLD' END AS constellation,
+                       cast((user_id % 3) * 10 + 10 AS double) AS pixel_size,
+                       cast(32600 + user_id % 60 + 1 AS int) AS crs_epsg,
+                       {LON_EXPR} AS lon,
+                       {LAT_EXPR} AS lat,
+                       cast(user_id * 37 % 101 AS double) AS cloud_cover,
+                       date_trunc('second', ts) AS dt,
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_asc
+                FROM events WHERE event_id < 400
+            )
+            SELECT constellation,
+                   count(*) AS n_items,
+                   round(avg(cloud_cover), 4) AS avg_cc,
+                   round(sum(pixel_size), 2) AS sum_gsd,
+                   strftime(max(dt), '%Y-%m-%d %H:%M:%S') AS max_dt,
+                   round(min(lon), 4) AS min_lon,
+                   round(max(lat), 4) AS max_lat,
+                   min(crs_epsg) AS min_epsg,
+                   cast(sum(is_asc) AS BIGINT) AS n_asc,
+                   {_stac_case_sql(0, "n_bands")},
+                   {_stac_case_sql(2, "wl_sum4")}
+            FROM s GROUP BY constellation ORDER BY constellation
         """,
         "stac_catalog": f"""
             WITH s AS (

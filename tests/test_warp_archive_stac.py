@@ -377,3 +377,73 @@ def test_geocode_bilinear_empty_swath_yields_empty(spark):
     )
     assert warp.geocode_swath_bilinear(swath, grid).count() == 0
     assert warp.geocode_bilinear_lut(swath, grid).count() == 0
+
+
+def test_stac_static_catalog_roundtrip(spark, tmp_path):
+    """Round-7 VERDICT #4: write_stac_catalog shards items into
+    per-partition sub-collections; read_stac_catalog walks catalog.json ->
+    child collections -> items and reparses every field exactly."""
+    import json
+    import os
+
+    scenes = datagen.gen_scenes(spark, 40)
+    items = stac.to_stac_items(scenes)
+    root = str(tmp_path / "cat")
+    n_colls = stac.write_stac_catalog(items.repartition(4), root)
+    assert 1 <= n_colls <= 4
+    assert os.path.exists(f"{root}/catalog.json")
+    assert len(os.listdir(f"{root}/items")) == 40
+
+    back = stac.read_stac_catalog(spark, root)
+    direct = stac.open_stac_items(items)
+    cols = ["image_id", "constellation", "product_type", "pixel_size",
+            "crs_epsg", "lon", "lat", "orbit_direction", "cloud_cover"]
+    got = {r.image_id: r for r in back.select(cols).collect()}
+    want = {r.image_id: r for r in direct.select(cols).collect()}
+    assert got == want
+
+    # catalog dir, catalog.json path, and file:// all resolve
+    assert stac.read_stac_catalog(spark, f"{root}/catalog.json").count() == 40
+    assert stac.read_stac_catalog(spark, f"file://{root}").count() == 40
+
+    # nested catalogs: a parent catalog whose child is the existing one
+    parent = str(tmp_path / "parent")
+    os.makedirs(parent)
+    with open(f"{parent}/catalog.json", "w") as f:
+        json.dump({"type": "Catalog", "stac_version": "1.0.0", "id": "p",
+                   "description": "d",
+                   "links": [{"rel": "child", "href": "../cat/catalog.json"}]}, f)
+    assert stac.read_stac_catalog(spark, parent).count() == 40
+
+
+def test_stac_catalog_corrupt_and_cycles(spark, tmp_path):
+    import json
+    import os
+
+    root = str(tmp_path / "bad")
+    os.makedirs(root)
+    with open(f"{root}/catalog.json", "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt STAC"):
+        stac.read_stac_catalog(spark, root)
+
+    # missing child document -> named error
+    with open(f"{root}/catalog.json", "w") as f:
+        json.dump({"type": "Catalog", "stac_version": "1.0.0", "id": "c",
+                   "description": "d",
+                   "links": [{"rel": "child", "href": "./gone.json"}]}, f)
+    with pytest.raises(ValueError, match="unreadable STAC"):
+        stac.read_stac_catalog(spark, root)
+
+    # child cycle (a <-> b) terminates and yields the empty frame
+    with open(f"{root}/catalog.json", "w") as f:
+        json.dump({"type": "Catalog", "stac_version": "1.0.0", "id": "a",
+                   "description": "d",
+                   "links": [{"rel": "child", "href": "./b.json"}]}, f)
+    with open(f"{root}/b.json", "w") as f:
+        json.dump({"type": "Catalog", "stac_version": "1.0.0", "id": "b",
+                   "description": "d",
+                   "links": [{"rel": "child", "href": "./catalog.json"}]}, f)
+    out = stac.read_stac_catalog(spark, root)
+    assert out.count() == 0
+    assert "constellation" in out.columns
