@@ -1182,6 +1182,45 @@ def q_stac_open(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orbit_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9's Apply-Orbit-File analog (round-7 VERDICT #5; ref
+    grd_s1_preprocess_default.xml:11-22 polyDegree=3, sar_product.py:803-838):
+    degree-3 Lagrange interpolation of orbit state vectors at per-row
+    acquisition times, VALUE-EXACT — the OSV fixtures are cubic-polynomial
+    positions (velocities their exact derivative) at integer times, so the
+    windowed Lagrange result is the integer polynomial value to float64
+    roundoff and the oracle evaluates the cubic directly; round-4 margins
+    are exact-integer wide."""
+    from eoreader_spark.operators import orbit
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    times = ev.selectExpr(
+        "concat('orb', cast(user_id % 6 as string)) as image_id",
+        "cast(event_id % 50 as double) as t",
+    ).distinct()
+    osv_rows = []
+    for i in range(6):
+        a, b = 1000 + i, 7 + i
+        for t in range(0, 60, 10):
+            pos = a + b * t + 3 * t * t + 2 * t**3
+            vel = b + 6 * t + 6 * t * t
+            osv_rows.append(
+                (f"orb{i}", float(t), float(pos), float(pos + 11),
+                 float(pos - 5), float(vel), float(vel + 1), float(vel - 1))
+            )
+    osv = spark.createDataFrame(
+        osv_rows,
+        "image_id string, t double, px double, py double, pz double,"
+        " vx double, vy double, vz double",
+    )
+    out = orbit.interpolate_osv(times, osv, degree=3)
+    return out.select(
+        "image_id",
+        F.col("t").cast("long").alias("ti"),
+        *[F.round(c, 4).alias(c) for c in ("px", "py", "pz", "vx", "vy", "vz")],
+    ).orderBy("image_id", "ti")
+
+
 # --------------------------------------------------------- stencil gate trio
 # Closed-form inputs make the focal operators analytic (VERDICT r2 #1):
 # ramp DEMs z = a*gx + b*gy give CONSTANT interior gradients (central
@@ -4243,6 +4282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp2_tiled": q_jp2_tiled,
         "s2_product_e2e": q_s2_product_e2e,
         "sar_chain": q_sar_chain,
+        "orbit_interp": q_orbit_interp,
         # ---- driver 50-key window ends here (keys above are snapshot) ----
         # ROUND-7 ROTATION PLAN: promote the 42 keys below into the window
         # (they were driver-green in r5's risk-ordered window and on every
@@ -4723,6 +4763,21 @@ def oracle_sql() -> dict[str, str]:
                    cast(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls4,
                    cast(sum(CASE WHEN c = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_cls9
             FROM scl GROUP BY image_id ORDER BY image_id
+        """,
+        "orbit_interp": """
+            WITH q AS (
+                SELECT DISTINCT user_id % 6 AS i, event_id % 50 AS t
+                FROM events WHERE event_id < 2000
+            )
+            SELECT concat('orb', cast(i AS string)) AS image_id,
+                   cast(t AS BIGINT) AS ti,
+                   round(cast((1000 + i) + (7 + i)*t + 3*t*t + 2*t*t*t AS double), 4) AS px,
+                   round(cast((1000 + i) + (7 + i)*t + 3*t*t + 2*t*t*t + 11 AS double), 4) AS py,
+                   round(cast((1000 + i) + (7 + i)*t + 3*t*t + 2*t*t*t - 5 AS double), 4) AS pz,
+                   round(cast((7 + i) + 6*t + 6*t*t AS double), 4) AS vx,
+                   round(cast((7 + i) + 6*t + 6*t*t + 1 AS double), 4) AS vy,
+                   round(cast((7 + i) + 6*t + 6*t*t - 1 AS double), 4) AS vz
+            FROM q ORDER BY image_id, ti
         """,
         "stac_open": f"""
             WITH s AS (

@@ -8,9 +8,10 @@ Reference file:line map:
   /root/reference/eoreader/data/grd_s1_preprocess_default.xml:12-46
 - graph runner: /root/reference/eoreader/products/sar/sar_product.py:1082-1201
 - Apply-Orbit-File is metadata-only (it refines orbit state vectors used by
-  Terrain-Correction); the repo's geocoding operators take the grid/RPC as
-  explicit inputs, so there is no pixel-level analog to run here.  Documented
-  exclusion, mirrored from the graph for completeness.
+  Terrain-Correction); its engine analog is operators/orbit.py (round 7):
+  Lagrange OSV interpolation (polyDegree=3) + refine_geolocation, applied to
+  the geolocation tables that feed the geocode_* operators — not to pixels,
+  exactly like SNAP.
 
 Spark-first design notes (100 TB):
 - Thermal noise is a per-range-position LUT subtraction: the LUT control
