@@ -3593,6 +3593,105 @@ def _video_feats_oracle() -> str:
         """
 
 
+def _gen_h264_media(spark: SparkSession, n_videos: int = 3):
+    """Deterministic intra-H.264-in-MP4 fixtures (round 7): video j has
+    3+j frames of closed-form make_image luma, 32x32 for even j, 32x64 for
+    odd j (dims whose resize=4 blocks hold power-of-two pixel counts, so
+    the float32 box means are exact), encoded by the engine's own baseline intra encoder (avcc) at
+    qp=8 and muxed into a REAL ISO BMFF 'avc1' track with avcC config.
+    Fully deterministic, so a single-process replay is an exact oracle."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark import codecs as _c
+        from eoreader_spark.operators import multimodal as _m
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                h, w = (32, 32) if j % 2 == 0 else (32, 64)
+                frames = [
+                    _c.make_image(700 + j * 16 + fi, h, w, planes=1)[0]
+                    for fi in range(3 + j)
+                ]
+                payload = _m.encode_mp4_h264(frames, qp=8)
+                rows.append(
+                    (f"avc{j:03d}", "video", payload, "mp4", w, h, 0, len(frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    schema = ("media_id string, kind string, bytes binary, fmt string, w int,"
+              " h int, sample_rate int, n_frames int")
+    return spark.range(n_videos).repartition(n_videos).mapInPandas(gen, schema)
+
+
+def q_h264_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL intra H.264 video on the gate (round-7 VERDICT #6a): 'avc1'
+    MP4 tracks demuxed via avcC + length-prefixed NALs, every 2nd frame
+    decoded by the engine's own CAVLC/I_16x16 decoder, 4x4 luma box-mean
+    features.  Same integer-exact feature framing as video_feats; the
+    oracle replays encode+decode single-process (the codec is
+    deterministic end to end)."""
+    from eoreader_spark.operators import multimodal
+
+    media = _gen_h264_media(spark)
+    feats = multimodal.video_frame_sample(media, every_n=2, resize=4)
+    block_px = (F.col("w") / 4 * (F.col("h") / 4)).cast("double")
+    scaled = F.transform("features", lambda x: x * block_px)
+    return (
+        feats.join(media.select("media_id", "w", "h"), "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x)
+            .cast("long").alias("feat_sum_px"),
+            F.array_min(scaled).cast("long").alias("feat_min_px"),
+            F.array_max(scaled).cast("long").alias("feat_max_px"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _h264_feats_oracle() -> str:
+    """Single-process replay: own encoder -> MP4 demux -> own decoder."""
+    from eoreader_spark import codecs as _c
+    from eoreader_spark.operators import multimodal as _m
+    from eoreader_spark.sources import avcc as _a
+
+    rows = []
+    for j in range(3):
+        h, w = (32, 32) if j % 2 == 0 else (32, 64)
+        frames = [_c.make_image(700 + j * 16 + fi, h, w, planes=1)[0]
+                  for fi in range(3 + j)]
+        parts = _m.split_mp4_avc1(_m.encode_mp4_h264(frames, qp=8))
+        bh, bw = h // 4, w // 4
+        for fi in range(0, len(parts), 2):
+            luma = _a.decode_h264(parts[fi])[0].astype(np.float32)
+            feat = luma.reshape(4, bh, 4, bw).mean(axis=(1, 3)).ravel()
+            sc = (feat * (bh * bw)).astype(np.int64)
+            rows.append(
+                f"('avc{j:03d}', {fi}, 16, {int(sc.sum())}, {int(sc.min())}, {int(sc.max())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                   cast(n_feat AS BIGINT) AS n_feat,
+                   cast(feat_sum_px AS BIGINT) AS feat_sum_px,
+                   cast(feat_min_px AS BIGINT) AS feat_min_px,
+                   cast(feat_max_px AS BIGINT) AS feat_max_px
+            FROM (VALUES
+                {values}
+            ) AS t(media_id, frame_idx, n_feat, feat_sum_px, feat_min_px, feat_max_px)
+            ORDER BY media_id, frame_idx
+        """
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 clean-band cache / memoized resume on the gate: run 1 commits the
     even cells only (a simulated kill between stages), the resumed run's
@@ -4278,6 +4377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_feats": q_audio_feats,
         "audio_info": q_audio_info,
         "video_feats": q_video_feats,
+        "h264_feats": q_h264_feats,
         "jp2_decode": q_jp2_decode,
         "jp2_tiled": q_jp2_tiled,
         "s2_product_e2e": q_s2_product_e2e,
@@ -5191,6 +5291,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # video_feats: independent single-process MJPEG demux+decode replay
         "video_feats": _video_feats_oracle(),
+        "h264_feats": _h264_feats_oracle(),
         # audio_info: integer duration arithmetic restated from the fixture
         # construction parameters (mp3: n*1152/44100; flac: total/48000;
         # wav: n/16000)

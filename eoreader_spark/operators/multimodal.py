@@ -6,8 +6,10 @@ tested.  The image path uses the engine's own codecs (real decode).  The
 audio path REALLY decodes PCM WAV (stdlib ``wave`` — no external libs
 needed) and FLAC subset streams (pure-numpy, see ``decode_flac``); the
 video path REALLY demuxes + decodes Motion-JPEG via the engine's own
-baseline JPEG codec.  Inter-coded video (h264 in mp4) and mp3 sample
-decode need ffmpeg/libsndfile, absent in this container, so those raise
+baseline JPEG codec AND intra H.264 'avc1' MP4 tracks via the engine's
+own CAVLC/I_16x16 decoder (sources/avcc, round 7).  Inter-PREDICTED
+video (P/B slices, H.265, VP9) and mp3 sample decode need
+ffmpeg/libsndfile, absent in this container, so those raise
 NotImplementedError naming the format; `fake=True` on the audio path
 substitutes a clearly-marked deterministic fake (closed-form synthesis
 from the payload hash) so the distributed plumbing is exercisable.
@@ -477,6 +479,48 @@ def encode_mp4_mjpeg(
 
     samples = [jpegc.encode_jfif(f, quality=quality) for f in frames]
     h, w = frames[0].shape[-2:]
+    return _mux_mp4_video(samples, b"jpeg", b"", w, h, fps, timescale)
+
+
+def encode_mp4_h264(
+    frames: list[np.ndarray], qp: int = 24, fps: int = 25,
+    timescale: int = 600,
+) -> bytes:
+    """Mux the engine's own intra-only H.264 into a VALID ISO BMFF file:
+    the same trak/stbl layout as encode_mp4_mjpeg but with an 'avc1'
+    VisualSampleEntry carrying an avcC configuration box (SPS/PPS,
+    4-byte NAL lengths) and one length-prefixed IDR NAL per sample — the
+    `ffmpeg -c:v libx264 -g 1` layout.  split_mp4_avc1 demuxes it back to
+    per-frame Annex-B for sources/avcc.decode_h264."""
+    from eoreader_spark.sources import avcc
+
+    stream = avcc.encode_h264(frames, qp=qp)
+    sps = pps = None
+    samples = []
+    for nal in avcc._split_nals(stream):
+        ntype = nal[0] & 0x1F
+        if ntype == 7:
+            sps = nal
+        elif ntype == 8:
+            pps = nal
+        elif ntype == 5:
+            samples.append(len(nal).to_bytes(4, "big") + nal)
+    if sps is None or pps is None or not samples:
+        raise ValueError("encode_mp4_h264: encoder produced no SPS/PPS/slices")
+    avcc_box = _box(
+        b"avcC",
+        bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+        + len(sps).to_bytes(2, "big") + sps
+        + bytes([1]) + len(pps).to_bytes(2, "big") + pps,
+    )
+    h, w = np.asarray(frames[0]).shape[-2:]
+    return _mux_mp4_video(samples, b"avc1", avcc_box, w, h, fps, timescale)
+
+
+def _mux_mp4_video(
+    samples: list[bytes], fourcc: bytes, entry_extra: bytes,
+    w: int, h: int, fps: int, timescale: int,
+) -> bytes:
     n = len(samples)
     delta = timescale // fps
     dur = n * delta
@@ -514,7 +558,8 @@ def encode_mp4_mjpeg(
         (0).to_bytes(4, "big") + b"vide" + bytes(12) + b"VideoHandler\x00",
     )
 
-    # VisualSampleEntry 'jpeg' (78-byte body per ISO 14496-12 §12.1.3)
+    # VisualSampleEntry (78-byte body per ISO 14496-12 §12.1.3) + any
+    # codec configuration boxes (avcC for 'avc1')
     se = bytearray(78)
     se[6:8] = (1).to_bytes(2, "big")  # data reference index
     se[24:26] = w.to_bytes(2, "big")
@@ -525,7 +570,7 @@ def encode_mp4_mjpeg(
     se[74:76] = (24).to_bytes(2, "big")  # depth
     se[76:78] = (0xFFFF).to_bytes(2, "big")  # pre_defined = -1
     stsd = _full(
-        b"stsd", 0, 0, (1).to_bytes(4, "big") + _box(b"jpeg", bytes(se))
+        b"stsd", 0, 0, (1).to_bytes(4, "big") + _box(fourcc, bytes(se) + entry_extra)
     )
     stts = _full(
         b"stts", 0, 0,
@@ -560,9 +605,23 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
     """Demux MJPEG samples out of an ISO BMFF container by walking the
     sample tables (stsd fourcc gate -> stsz sizes, stsc chunk runs,
     stco/co64 chunk offsets) — each returned sample is a standalone JFIF
-    image for the engine's own T.81 decoder.  Inter-coded sample formats
-    (avc1/hvc1/...) raise with the codec named: they genuinely need
-    ffmpeg, absent in this environment."""
+    image for the engine's own T.81 decoder.  H.264 tracks decode through
+    split_mp4_avc1 / the engine's own intra codec (round 7); other
+    inter-coded sample formats (hvc1/vp09/...) raise with the codec named:
+    they genuinely need ffmpeg, absent in this environment."""
+    fourcc, _entry, samples = _mp4_video_track(data)
+    if fourcc not in _MJPEG_FOURCC:
+        raise NotImplementedError(
+            f"MP4 sample format {fourcc!r} is not MJPEG; H.264 ('avc1') "
+            "tracks decode via split_mp4_avc1, other codecs need ffmpeg "
+            "(not in container)"
+        )
+    return samples
+
+
+def _mp4_video_track(data: bytes) -> tuple[bytes, bytes, list[bytes]]:
+    """Walk the first video track's sample tables -> (sample-entry fourcc,
+    sample-entry body bytes incl. nested config boxes e.g. avcC, samples)."""
     stbl_addr = None
     for btype, body, bend in _iso_boxes(data, 0, len(data)):
         if btype != b"moov":
@@ -587,13 +646,17 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
     if stbl_addr is None:
         raise ValueError("MP4: no video track (moov/trak/mdia/hdlr 'vide')")
 
-    fourcc = sizes = offsets = None
+    fourcc = entry = sizes = offsets = None
     stsc_runs: list[tuple[int, int]] = []
     for b, bb, be in _iso_boxes(data, *stbl_addr):
         body = data[bb + 4 : be]  # skip version/flags
         if b == b"stsd":
             n_entries = int.from_bytes(body[:4], "big")
             fourcc = body[8:12]  # first sample entry's format
+            esize = int.from_bytes(body[4:8], "big")
+            if esize < 16 or esize > len(body) - 4:
+                raise ValueError("MP4: stsd entry size inconsistent with box")
+            entry = body[12 : 4 + esize]  # entry body (incl. avcC etc.)
         elif b == b"stsz":
             fixed = int.from_bytes(body[:4], "big")
             cnt = int.from_bytes(body[4:8], "big")
@@ -628,11 +691,8 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
                 int.from_bytes(body[4 + width * i : 4 + width * (i + 1)], "big")
                 for i in range(cnt)
             ]
-    if fourcc not in _MJPEG_FOURCC:
-        raise NotImplementedError(
-            f"MP4 sample format {fourcc!r} needs ffmpeg (not in container); "
-            "only MJPEG tracks (jpeg/mjpa/mjpb) decode natively"
-        )
+    if fourcc is None:
+        raise ValueError("MP4: no stsd sample description in video track")
     if not sizes or not offsets or not stsc_runs:
         raise ValueError("MP4: incomplete sample tables (stsz/stco/stsc)")
 
@@ -653,7 +713,59 @@ def split_mp4_mjpeg(data: bytes) -> list[bytes]:
             si += 1
     if si != len(sizes):
         raise ValueError("MP4: sample tables inconsistent (ran out of chunks)")
-    return out
+    return fourcc, entry, out
+
+
+@corrupt_guard("mp4")
+def split_mp4_avc1(data: bytes) -> list[bytes]:
+    """Demux an H.264 ('avc1') MP4 track into per-frame ANNEX-B streams:
+    the avcC configuration box supplies SPS/PPS, each sample's
+    length-prefixed NAL units get start codes, and every returned frame is
+    a standalone (SPS + PPS + slice) stream for sources/avcc.decode_h264.
+    Round-7 VERDICT #6(a): the media class the engine previously could only
+    inventory."""
+    fourcc, entry, samples = _mp4_video_track(data)
+    if fourcc != b"avc1":
+        raise ValueError(f"MP4: sample format {fourcc!r} is not 'avc1'")
+    if entry is None or len(entry) < 78:
+        raise ValueError("MP4: truncated avc1 sample entry")
+    # nested config boxes follow the 78-byte VisualSampleEntry body
+    avcc_body = None
+    for b, bb, be in _iso_boxes(entry, 78, len(entry)):
+        if b == b"avcC":
+            avcc_body = entry[bb:be]
+    if avcc_body is None or len(avcc_body) < 7:
+        raise ValueError("MP4: avc1 track without avcC configuration")
+    nal_len = (avcc_body[4] & 3) + 1
+    param_nals = []
+    pos = 6
+    n_sps = avcc_body[5] & 0x1F
+    for group in (n_sps, None):
+        if group is None:  # PPS count byte follows the SPS list
+            group = avcc_body[pos]
+            pos += 1
+        for _ in range(group):
+            ln = int.from_bytes(avcc_body[pos : pos + 2], "big")
+            pos += 2
+            if pos + ln > len(avcc_body):
+                raise ValueError("MP4: avcC parameter set overruns box")
+            param_nals.append(avcc_body[pos : pos + ln])
+            pos += ln
+    prefix = b"".join(b"\x00\x00\x00\x01" + n for n in param_nals)
+    frames = []
+    for sample in samples:
+        nals, p = [], 0
+        while p < len(sample):
+            if p + nal_len > len(sample):
+                raise ValueError("MP4: avc1 sample NAL length overruns sample")
+            ln = int.from_bytes(sample[p : p + nal_len], "big")
+            p += nal_len
+            if p + ln > len(sample):
+                raise ValueError("MP4: avc1 sample NAL length overruns sample")
+            nals.append(sample[p : p + ln])
+            p += ln
+        frames.append(prefix + b"".join(b"\x00\x00\x00\x01" + n for n in nals))
+    return frames
 
 
 @corrupt_guard("mjpeg")
@@ -729,23 +841,38 @@ def video_frame_sample(
     schema = "media_id string, frame_idx int, features array<float>"
 
     def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from eoreader_spark.sources import avcc
+
         for pdf in it:
             rows = []
             for mid, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                dec = lambda b: jpegc.decode_jfif(b)[0]  # noqa: E731
                 if fmt == "mjpeg":
                     frames = split_mjpeg(bytes(data))
                 elif fmt == "mp4":
-                    # MJPEG-in-MP4: sample-table demux; inter-coded tracks
-                    # raise inside split_mp4_mjpeg with the codec named
-                    frames = split_mp4_mjpeg(bytes(data))
+                    # sample-table demux: MJPEG samples decode via the T.81
+                    # codec; 'avc1' tracks via the engine's own intra H.264
+                    # decoder (round 7); other codecs raise named
+                    fourcc, _e, samples = _mp4_video_track(bytes(data))
+                    if fourcc in _MJPEG_FOURCC:
+                        frames = samples
+                    elif fourcc == b"avc1":
+                        frames = split_mp4_avc1(bytes(data))
+                        dec = lambda b: avcc.decode_h264(b)[0]  # noqa: E731
+                    else:
+                        raise NotImplementedError(
+                            f"MP4 sample format {fourcc!r} needs ffmpeg (not "
+                            "in container); MJPEG and intra H.264 ('avc1') "
+                            "decode natively"
+                        )
                 else:
                     raise NotImplementedError(
                         f"video decode for fmt={fmt!r} requires ffmpeg (not in "
-                        "container); Motion-JPEG ('mjpeg' elementary or MJPEG-"
-                        "in-'mp4') decodes natively"
+                        "container); Motion-JPEG ('mjpeg'/'mp4') and intra "
+                        "H.264 ('mp4' avc1) decode natively"
                     )
                 for fi in range(0, len(frames), every_n):
-                    luma = jpegc.decode_jfif(frames[fi])[0].astype(np.float32)
+                    luma = dec(frames[fi]).astype(np.float32)
                     hh, ww = luma.shape
                     bh, bw = hh // resize, ww // resize
                     feat = (

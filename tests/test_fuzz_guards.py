@@ -23,7 +23,7 @@ import pytest
 
 from eoreader_spark import codecs
 from eoreader_spark.operators import multimodal as mm
-from eoreader_spark.sources import flacc, hdf5, jp2, jpegc
+from eoreader_spark.sources import avcc, flacc, hdf5, jp2, jpegc
 
 N = 120 if os.environ.get("EOREADER_PROPERTY_FULL") == "1" else 24
 OK = (ValueError, NotImplementedError, KeyError)
@@ -49,6 +49,9 @@ def _streams():
         "flac": (flacc.encode_flac(sig, 16000), flacc.decode_flac),
         "mjpeg": (mm.encode_mjpeg([img[:1], img[:1]]), mm.split_mjpeg),
         "mp4": (mm.encode_mp4_mjpeg([img[:1], img[:1]]), mm.split_mp4_mjpeg),
+        "h264": (avcc.encode_h264([img[0], img[1]], qp=12), avcc.decode_h264),
+        "mp4_avc1": (mm.encode_mp4_h264([img[0], img[1]], qp=12),
+                     lambda b: [avcc.decode_h264(f) for f in mm.split_mp4_avc1(b)]),
         "wav": (mm.encode_wav(np.sin(np.arange(800) / 20.0) * 0.4, 8000),
                 mm.decode_audio),
     }
