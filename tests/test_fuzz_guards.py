@@ -140,3 +140,134 @@ def test_corrupt_archives_and_xml_raise_named():
             metadata.xml_to_pairs(s)
         except OK:
             pass
+
+
+def _nested_hdf5_fixture() -> bytes:
+    """Round-7 VERDICT #8 depth fixture: nested groups (3 levels) +
+    multi-chunk deflate datasets + attribute-heavy headers — the code
+    paths that landed last (round-6 hdf5.py) get the full matrix."""
+    rng = np.random.RandomState(7)
+    big = rng.randint(0, 60000, size=(300, 21)).astype(np.uint16)  # 3+ chunks
+    return hdf5.write_hdf5(
+        {
+            "instrument/bands/Oa01_radiance": (
+                big, {"scale_factor": np.float64(0.25), "_FillValue": np.uint16(65535)}
+            ),
+            "instrument/bands/Oa02_radiance": big[:100],
+            "geo/tiepoints/latitude": np.linspace(-5, 5, 77),
+            "flags": (np.arange(24, dtype=np.int16).reshape(4, 6),
+                      {"units": "bitmask", "add_offset": np.float64(1.5)}),
+        },
+        {"institution": "x", "source": "fuzz", "rev": np.int32(7)},
+    )
+
+
+def _multichunk_mp4_fixture() -> bytes:
+    """MP4 whose stsc has MULTIPLE chunk runs (2+2+1 samples over 3 chunks)
+    — the stsc/stco reassembly path the single-chunk mux never exercises."""
+    from eoreader_spark.operators.multimodal import _box, _full
+    from eoreader_spark.sources import jpegc
+
+    img = codecs.make_image(3, 32, 32, planes=1)
+    samples = [jpegc.encode_jfif(img) for _ in range(5)]
+    base = mm.encode_mp4_mjpeg([img] * 5)
+    # rebuild stsc/stco inside the existing container: find stbl via the
+    # public splitter first (sanity), then patch by re-muxing manually
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    off0 = len(ftyp) + 8
+    offs = [off0,
+            off0 + len(samples[0]) + len(samples[1]),
+            off0 + sum(len(s) for s in samples[:4])]
+    # keep the baseline container's stsd, rebuild the rest of the stbl
+    # with a 3-chunk layout
+    stsd_start = base.find(b"stsd") - 4
+    stsd_len = int.from_bytes(base[stsd_start : stsd_start + 4], "big")
+    stsd = base[stsd_start : stsd_start + stsd_len]
+    stts = _full(b"stts", 0, 0, (1).to_bytes(4, "big") + (5).to_bytes(4, "big")
+                 + (24).to_bytes(4, "big"))
+    stsc = _full(b"stsc", 0, 0, (2).to_bytes(4, "big")
+                 + (1).to_bytes(4, "big") + (2).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                 + (3).to_bytes(4, "big") + (1).to_bytes(4, "big") + (1).to_bytes(4, "big"))
+    stsz = _full(b"stsz", 0, 0, (0).to_bytes(4, "big") + (5).to_bytes(4, "big")
+                 + b"".join(len(s).to_bytes(4, "big") for s in samples))
+    stco = _full(b"stco", 0, 0, (3).to_bytes(4, "big")
+                 + b"".join(o.to_bytes(4, "big") for o in offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dref = _full(b"dref", 0, 0, (1).to_bytes(4, "big") + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", _full(b"vmhd", 0, 1, bytes(8)) + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", 0, 0, bytes(8) + (600).to_bytes(4, "big")
+                 + (120).to_bytes(4, "big") + (0x55C4).to_bytes(2, "big") + bytes(2))
+    hdlr = _full(b"hdlr", 0, 0, (0).to_bytes(4, "big") + b"vide" + bytes(12)
+                 + b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 7, bytes(80))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, bytes(96))
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_multichunk_stsc_reassembles_correctly():
+    data = _multichunk_mp4_fixture()
+    parts = mm.split_mp4_mjpeg(data)
+    assert len(parts) == 5
+    from eoreader_spark.sources import jpegc
+
+    img = codecs.make_image(3, 32, 32, planes=1)
+    want = jpegc.decode_jfif(jpegc.encode_jfif(img))
+    for p in parts:
+        assert np.array_equal(jpegc.decode_jfif(p), want)
+
+
+def test_nested_hdf5_fixture_reads():
+    data = _nested_hdf5_fixture()
+    meta = hdf5.list_datasets(data)
+    assert "instrument/bands/Oa01_radiance" in meta
+    assert hdf5.read_dataset(data, "geo/tiepoints/latitude",
+                             mask_and_scale=False).shape == (77,)
+
+
+@pytest.mark.parametrize("name,fixture,dec", [
+    ("hdf5_nested", _nested_hdf5_fixture,
+     lambda b: [hdf5.read_dataset(b, n, mask_and_scale=False)
+                for n in hdf5.list_datasets(b)]),
+    ("mp4_multichunk", _multichunk_mp4_fixture, mm.split_mp4_mjpeg),
+])
+def test_deep_fixture_fuzz_matrix(name, fixture, dec):
+    """Round-7 #8: the newest parsers' deepest code paths (nested groups /
+    continuation chains; multi-run stsc) under the truncation + bit-flip
+    matrix.  Gate runs the reduced count; `-m property` /
+    EOREADER_PROPERTY_FULL=1 runs the full sweep."""
+    import zlib as _z
+
+    data = fixture()
+    dec(data)
+    rng = np.random.RandomState(_z.crc32(name.encode()))
+    n = N * 4  # deeper than the generic sweep: these landed last
+    fired = {"hang": False}
+
+    def _alarm(sig_, frm):
+        fired["hang"] = True
+        raise TimeoutError(f"{name}: corrupt-input decode exceeded budget")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for i in range(n):
+            if i % 2 == 0:
+                b = bytes(data[: rng.randint(1, len(data))])
+            else:
+                mut = bytearray(data)
+                for _ in range(rng.randint(1, 4)):
+                    mut[rng.randint(0, len(mut))] = rng.randint(0, 256)
+                b = bytes(mut)
+            signal.alarm(20)
+            try:
+                dec(b)
+            except OK:
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert not fired["hang"]
