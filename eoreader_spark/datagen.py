@@ -520,6 +520,40 @@ def gen_documents(spark: SparkSession, n: int, partitions: int | None = None) ->
     return rng.mapInPandas(batch, schema=schema)
 
 
+def gen_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic embeddings in the testdata `embeddings` shape
+    (vec_id, embedding array<float>), generated per-partition at arbitrary
+    scale for the ANN/near-dup scale lanes (round-7 VERDICT #3).  Values
+    come from a splitmix-style integer hash of (vec_id, component) — fully
+    deterministic, roughly uniform in [-1, 1).  Every vec_id with
+    id % 50 == 1 is a tiny perturbation of id-1, planting near-duplicate
+    pairs so bucketing operators have non-trivial structure at any n."""
+
+    def batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(dim, dtype=np.int64)
+
+        def vecs(ids: np.ndarray) -> np.ndarray:
+            x = (ids[:, None] * 2654435761 + (j[None, :] + 1) * 40503) & 0xFFFFFFFF
+            x = ((x ^ (x >> 15)) * 2246822519) & 0xFFFFFFFF
+            x = (x ^ (x >> 13)) & 0xFFFFFFFF
+            return x.astype(np.float64) / 2**31 - 1.0
+
+        for pdf in it:
+            ids = pdf["id"].to_numpy(np.int64)
+            v = vecs(ids)
+            dup = (ids % 50 == 1) & (ids > 0)
+            if dup.any():
+                v[dup] = vecs(ids[dup] - 1) + 1e-3
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(v.astype(np.float32))}
+            )
+
+    rng = spark.range(n, numPartitions=partitions or max(8, n // 8192))
+    return rng.mapInPandas(batch, schema="vec_id long, embedding array<float>")
+
+
 def gen_media(spark: SparkSession, n: int) -> DataFrame:
     """T9 `media` — multimodal payload rows (operators/multimodal.MEDIA_SCHEMA):
     even ids carry raw8 images from the closed-form pixel function, odd ids

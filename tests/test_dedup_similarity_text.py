@@ -436,3 +436,24 @@ def test_ngram_absolute_cap_bounds_candidates_independent_of_corpus_size(spark):
     # the bound: candidate work from the capped index is IDENTICAL at 4x
     # the corpus (only the planted-dup shared grams survive under the cap)
     assert results[60] == results[240]
+
+
+def test_gen_embeddings_deterministic_with_planted_dups(spark):
+    """Round-7 sf1-lane generator: same ids -> same vectors regardless of
+    partitioning, and the id%50==1 rows are near-duplicates of id-1
+    (cosine > 0.999) so bucketing operators have structure at any scale."""
+    from eoreader_spark import datagen
+
+    a = {r.vec_id: np.asarray(r.embedding) for r in datagen.gen_embeddings(spark, 120).collect()}
+    b = {r.vec_id: np.asarray(r.embedding)
+         for r in datagen.gen_embeddings(spark, 120, partitions=7).collect()}
+    assert set(a) == set(range(120))
+    for k in a:
+        assert np.array_equal(a[k], b[k])
+    for i in (1, 51, 101):
+        u, v = a[i].astype(np.float64), a[i - 1].astype(np.float64)
+        cos = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+        assert cos > 0.999, (i, cos)
+    # non-dup neighbours are not near-duplicates
+    u, v = a[2].astype(np.float64), a[3].astype(np.float64)
+    assert abs(u @ v / (np.linalg.norm(u) * np.linalg.norm(v))) < 0.9

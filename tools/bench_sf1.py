@@ -95,6 +95,77 @@ def run_scale(spark, workdir: str, n_images: int, n_docs: int) -> dict:
     for k in ("dedup_exact", "minhash_lsh", "winnow", "ngram_jaccard"):
         rates[f"{k}_docs_per_sec"] = n_docs / t[k]
 
+    # --- iterative / ANN family (round-7 VERDICT #3): operators whose
+    # scale behavior is governed by ring-ladder depth and bucket occupancy,
+    # which the decode/assign/stencil/dedup stages above cannot see ---
+    from pyspark.sql import functions as F
+
+    from eoreader_spark.operators import dedup as _dd
+    from eoreader_spark.operators import knn, similarity, warp
+
+    # knn_join: fixed query count, corpus scales — ladder depth must not
+    n_q = 256
+    pts = datagen.gen_scenes(spark, n_images).select("image_id", "lon", "lat").persist()
+    pts.count()
+    q = (
+        datagen.gen_scenes(spark, n_q * 7)
+        .filter(F.col("image_id").substr(-1, 1) == "3")
+        .selectExpr("concat('q', image_id) as query_id", "lon + 0.37 as lon",
+                    "lat - 0.21 as lat")
+    )
+    t0 = time.perf_counter()
+    knn.knn_join(q, pts, k=5).count()
+    t["knn_join"] = time.perf_counter() - t0
+    pts.unpersist()
+    rates["knn_points_per_sec"] = n_images / t["knn_join"]
+
+    n_vec = n_docs
+    emb = datagen.gen_embeddings(spark, n_vec).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    ).persist()
+    emb.count()
+
+    # IVF: build (bounded driver Lloyd + distributed assignment) + probe
+    t0 = time.perf_counter()
+    C, indexed = similarity.ivf_build(emb, n_centroids=32)
+    indexed = indexed.persist()
+    indexed.count()
+    qv = emb.filter(F.col("vec_id") % 997 == 1).limit(n_q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    similarity.ivf_topk(qv, indexed, C, k=5, n_probe=4).count()
+    t["ivf_topk"] = time.perf_counter() - t0
+    indexed.unpersist()
+    rates["ivf_vectors_per_sec"] = n_vec / t["ivf_topk"]
+
+    # embedding near-dup: hyperplane-LSH buckets + exact verify
+    t0 = time.perf_counter()
+    _dd.embedding_near_dups(emb, threshold=0.95).count()
+    t["embedding_near_dups"] = time.perf_counter() - t0
+    emb.unpersist()
+    rates["embnd_vectors_per_sec"] = n_vec / t["embedding_near_dups"]
+
+    # geocode LUT build: kNN anchor + candidate explode + inverse bilinear;
+    # swath AND grid scale together (10x rows => ~3.16x per side)
+    m = max(8, int(n_images**0.5))
+    swath = spark.range(m * m).selectExpr(
+        "cast(id / %d as int) as line" % m,
+        "cast(id %% %d as int) as sample" % m,
+        "(id %% %d) * 0.25 + cast(id / %d as int) * 0.0625 as lon" % (m, m),
+        "cast(id / %d as int) * 0.25 as lat" % m,
+    ).persist()
+    swath.count()
+    grid = spark.range(2 * m * m).selectExpr(
+        "concat('g', id) as grid_id",
+        "(id %% 89) * (%d * 0.25 / 89) + 0.07 as lon" % m,
+        "(id %% 83) * (%d * 0.25 / 83) + 0.05 as lat" % m,
+    )
+    t0 = time.perf_counter()
+    warp.geocode_bilinear_lut(swath, grid).count()
+    t["geocode_lut"] = time.perf_counter() - t0
+    swath.unpersist()
+    rates["geocode_cells_per_sec"] = (m * m) / t["geocode_lut"]
+
     return {
         "sec": {k: round(v, 3) for k, v in t.items()},
         "rates": {k: round(v, 1) for k, v in rates.items()},
