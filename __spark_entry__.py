@@ -4321,77 +4321,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # SQL-family queries (which pin Spark itself, not this repo) sit at the
     # tail and are covered by tools/check_oracle.py's full-dict rerun.
     qs = {
-        # ---- ROUND-6 WINDOW: the 41 queries without a current-generation
-        # driver row (2 never checked, 39 stale since r2-r4), then code
-        # touched this round.  The r5 window (codecs/product/geocode) rotates
-        # out — proven green in CORRECTNESS_r05 + today's local 91/91. ----
-        # -- never driver-checked --
-        "fingerprint": q_fingerprint,
-        "sessionize_batch": q_sessionize_batch,
-        # -- drifted-since-last-driver-row families --
-        "knn": q_knn,
-        "ivf_topk": q_ivf_topk,
-        "dedup_exact": q_dedup_exact,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
-        "banded_near_dup": q_banded_near_dup,
-        "cosine_topk": q_cosine_topk,
-        "pip_window": q_pip_window,
-        "cell_assign": q_cell_assign,
-        "join_revenue": q_join_revenue,
-        "bit_union": q_bit_union,
-        "sensor_masks": q_sensor_masks,
-        "hull_dissolve": q_hull_dissolve,
-        "extent": q_extent,
-        "centroid": q_centroid,
-        "percentile": q_percentile,
-        "db_conversion": q_db_conversion,
-        "gap_fill": q_gap_fill,
-        # -- stale since r2-r4 (local-gate green today) --
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "pricing_summary": q_pricing_summary,
-        "string_funcs": q_string_funcs,
-        "date_buckets": q_date_buckets,
-        "rollup": q_rollup,
-        "subwords": q_subwords,
-        "hamming_pairs": q_hamming_pairs,
-        "asof_join": q_asof_join,
-        "anti_semi": q_anti_semi,
-        "late_orders": q_late_orders,
-        "set_ops": q_set_ops,
-        "phash_distinct": q_phash_distinct,
-        "tumbling_window": q_tumbling_window,
-        "topk_window": q_topk_window,
-        "xml_mtd": q_xml_mtd,
-        # -- round-6 code: new HDF5/netCDF container (nc_read + the two S3
-        #    loads now decoding THROUGH it) + ADVICE fixes (SAR border
-        #    trim, FLAC total==0, JP2 box-walk index, MJPEG bounds) --
-        "nc_read": q_nc_read,
-        "olci_load": q_olci_load,
-        "slstr_view": q_slstr_view,
-        "sar_noise_chain": q_sar_noise_chain,
-        "audio_feats": q_audio_feats,
-        "audio_info": q_audio_info,
-        "video_feats": q_video_feats,
-        "h264_feats": q_h264_feats,
-        "jp2_decode": q_jp2_decode,
-        "jp2_tiled": q_jp2_tiled,
-        "s2_product_e2e": q_s2_product_e2e,
-        "sar_chain": q_sar_chain,
-        "orbit_interp": q_orbit_interp,
-        # ---- driver 50-key window ends here (keys above are snapshot) ----
-        # ROUND-7 ROTATION PLAN: promote the 42 keys below into the window
-        # (they were driver-green in r5's risk-ordered window and on every
-        # full local 92/92 rerun since, but their driver rows will then be
-        # two generations old) unless round-7 code changes dictate
-        # otherwise; with r6 covering the r2-r4 backlog, that completes a
-        # full two-round rotation of every registered query.
-        # -- rotated out: driver-green in CORRECTNESS_r05 (risk-ordered
-        #    codec/product window), stable code --
+        # ---- ROUND-7 WINDOW (the first 50 insertion-order keys are the
+        # driver's CORRECTNESS snapshot): the 42 keys rotated out after
+        # their CORRECTNESS_r05 green rows (their driver rows would
+        # otherwise go two generations stale), completing a full two-round
+        # rotation of every registered query, PLUS every gate query of a
+        # module round 7 touched — the standing rule the round-6 verdict
+        # asked for (r6 missed geocode_*/geotiff/jfif after code changes).
+        # -- rotated out after r5, stable code, promoted per plan --
         "jp2_overview": q_jp2_overview,
         "jp2_lossy": q_jp2_lossy,
         "geotiff_read": q_geotiff_read,
@@ -4421,7 +4358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reader_dispatch": q_reader_dispatch,
         "reader_dispatch_mtd": q_reader_dispatch_mtd,
         "stac_catalog": q_stac_catalog,
-        "stac_open": q_stac_open,
         "slope_ramp": q_slope_ramp,
         "hillshade_ramp": q_hillshade_ramp,
         "stencil_custom": q_stencil_custom,
@@ -4435,6 +4371,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_index": q_custom_index,
         "band_presence": q_band_presence,
         "image_feats": q_image_feats,
+        # -- round-7 touched modules / new operators --
+        # hdf5.py: allocation bounds, dtype/chunk validation, B-tree cycle
+        # guards, nc dtype preservation -> everything decoding through 'nc'
+        "nc_read": q_nc_read,
+        "olci_load": q_olci_load,
+        "slstr_view": q_slstr_view,
+        # dedup.py: ngram_jaccard absolute-512 default (cap alignment)
+        "ngram_jaccard": q_ngram_jaccard,
+        # multimodal/avcc: MP4 track refactor + intra H.264 decode path
+        "video_feats": q_video_feats,
+        "h264_feats": q_h264_feats,
+        # new round-7 operators: static STAC catalog walk, Apply-Orbit-File
+        "stac_open": q_stac_open,
+        "orbit_interp": q_orbit_interp,
+        # ---- driver 50-key window ends here (keys above are snapshot) ----
+        # ROUND-8 ROTATION PLAN: the 45 keys below were all driver-green in
+        # CORRECTNESS_r06 (this round's rotated window covered them last
+        # generation); promote them back into the first 50 slots next round
+        # unless round-8 code changes dictate otherwise, and ALWAYS include
+        # the gate queries of any module round 8 touches.
+        "fingerprint": q_fingerprint,
+        "sessionize_batch": q_sessionize_batch,
+        "knn": q_knn,
+        "ivf_topk": q_ivf_topk,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "banded_near_dup": q_banded_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "pip_window": q_pip_window,
+        "cell_assign": q_cell_assign,
+        "join_revenue": q_join_revenue,
+        "bit_union": q_bit_union,
+        "sensor_masks": q_sensor_masks,
+        "hull_dissolve": q_hull_dissolve,
+        "extent": q_extent,
+        "centroid": q_centroid,
+        "percentile": q_percentile,
+        "db_conversion": q_db_conversion,
+        "gap_fill": q_gap_fill,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "pricing_summary": q_pricing_summary,
+        "string_funcs": q_string_funcs,
+        "date_buckets": q_date_buckets,
+        "rollup": q_rollup,
+        "subwords": q_subwords,
+        "hamming_pairs": q_hamming_pairs,
+        "asof_join": q_asof_join,
+        "anti_semi": q_anti_semi,
+        "late_orders": q_late_orders,
+        "set_ops": q_set_ops,
+        "phash_distinct": q_phash_distinct,
+        "tumbling_window": q_tumbling_window,
+        "topk_window": q_topk_window,
+        "xml_mtd": q_xml_mtd,
+        "sar_noise_chain": q_sar_noise_chain,
+        "audio_feats": q_audio_feats,
+        "audio_info": q_audio_info,
+        "jp2_decode": q_jp2_decode,
+        "jp2_tiled": q_jp2_tiled,
+        "s2_product_e2e": q_s2_product_e2e,
+        "sar_chain": q_sar_chain,
     }
     return {k: _wrap(v) for k, v in qs.items()}
 
