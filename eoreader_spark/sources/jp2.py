@@ -1476,6 +1476,126 @@ def decode_jp2_part(header: bytes, part: bytes, isot: int,
                       tile_idx=isot)
 
 
+def _dist_curve(
+    blk: np.ndarray, numbps: int, seg_lens: list, weight: float
+) -> list[float]:
+    """Per-pass-end residual distortion for PCRD allocation (encoder-side
+    estimate, non-normative): exact coefficient-domain energy at every
+    BIT-PLANE boundary (truncating below plane b leaves |v| mod 2^b), with
+    the within-plane drop split across the plane's three passes
+    proportionally to their codeword bytes.  ``weight`` folds the
+    quantizer step and the subband synthesis gain so slopes are comparable
+    across bands.  Length = n_passes + 1 (D[0] = nothing decoded)."""
+    m = np.abs(blk.astype(np.int64))
+    E = [
+        float((np.float64(m & ((1 << b) - 1)) ** 2).sum())
+        for b in range(numbps + 1)
+    ]
+    D = [E[numbps], E[numbps - 1]]  # t=0; after the top plane's cleanup
+    pi = 1
+    for b in range(numbps - 2, -1, -1):
+        d0, d1 = E[b + 1], E[b]
+        w3 = [seg_lens[pi + j][0] for j in range(3)]
+        tot = float(sum(w3)) or 3.0
+        acc = d0
+        for j in range(3):
+            acc -= (d0 - d1) * (w3[j] / tot)
+            D.append(acc)
+        D[-1] = d1  # exact at the plane boundary
+        pi += 3
+    return [d * weight for d in D]
+
+
+def _rd_hull(R: list[float], D: list[float]) -> tuple[list[int], list[float]]:
+    """Convex hull of a block's rate-distortion curve -> (pass indices,
+    slopes).  R = cumulative codeword bytes at each pass end (R[0] = 0),
+    D = weighted residual distortion at each pass end.  Returns the
+    truncation candidates t_0=0 < t_1 < ... with strictly decreasing
+    slopes slope[i] = (D[t_{i-1}] - D[t_i]) / (R[t_i] - R[t_{i-1}])
+    (slope[0] is unused)."""
+    # keep, per distinct byte count, the deepest pass (extra passes that
+    # cost zero bytes are free quality)
+    cand: list[int] = [0]
+    for t in range(1, len(R)):
+        if R[t] == R[cand[-1]]:
+            cand[-1] = t if D[t] <= D[cand[-1]] else cand[-1]
+        elif D[t] < D[cand[-1]]:
+            cand.append(t)
+    pts: list[int] = [cand[0]]
+    for t in cand[1:]:
+        pts.append(t)
+        while len(pts) >= 3:
+            a, b, c = pts[-3], pts[-2], pts[-1]
+            s1 = (D[a] - D[b]) / (R[b] - R[a])
+            s2 = (D[b] - D[c]) / (R[c] - R[b])
+            if s2 >= s1:  # b is not a vertex of the convex hull
+                pts.pop(-2)
+            else:
+                break
+    slopes = [float("inf")] + [
+        (D[pts[i - 1]] - D[pts[i]]) / (R[pts[i]] - R[pts[i - 1]])
+        for i in range(1, len(pts))
+    ]
+    return pts, slopes
+
+
+def _pcrd_allocate(
+    curves: dict, budgets: list[int], n_passes_of: dict
+) -> dict:
+    """PCRD-style rate allocation (the Kakadu/EBCOT Tier-2 optimisation,
+    encoder-side and non-normative): pick per-code-block truncation points
+    on the convex hull of each block's rate-distortion curve so that the
+    CUMULATIVE codeword bytes of layers 0..l hit ``budgets[l]``, by
+    thresholding a single global distortion-rate slope lambda per layer
+    (all hull segments steeper than lambda are included — the classic
+    equal-slope optimality argument).
+
+    ``curves``: blkid -> (R, D) per-pass cumulative bytes / distortion.
+    -> blkid -> [t_l]: cumulative pass count per layer (non-decreasing)."""
+    hulls = {k: _rd_hull(R, D) for k, (R, D) in curves.items()}
+    all_slopes = sorted(
+        {sl for pts, sls in hulls.values() for sl in sls[1:]}, reverse=True
+    )
+
+    def bytes_at(lam: float) -> tuple[int, dict]:
+        total, trunc = 0, {}
+        for k, (pts, sls) in hulls.items():
+            R = curves[k][0]
+            t_sel = 0
+            for i in range(1, len(pts)):
+                if sls[i] >= lam:
+                    t_sel = pts[i]
+                else:
+                    break
+            trunc[k] = t_sel
+            total += R[t_sel]
+        return total, trunc
+
+    out = {k: [] for k in curves}
+    prev_trunc = {k: 0 for k in curves}
+    for budget in budgets:
+        if budget is None:  # final layer uncapped: everything remaining
+            trunc = {k: n_passes_of[k] for k in curves}
+        else:
+            lo, hi = 0, len(all_slopes)  # include slopes[:cut]
+            # largest cut whose byte total still fits the budget (bytes_at
+            # is monotone non-decreasing as the threshold drops)
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                tot, _ = bytes_at(all_slopes[mid - 1])
+                if tot <= budget:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            lam = all_slopes[lo - 1] if lo else float("inf")
+            _, trunc = bytes_at(lam)
+        for k in curves:
+            t = max(trunc[k], prev_trunc[k])
+            out[k].append(t)
+            prev_trunc[k] = t
+    return out
+
+
 def encode_jp2(
     img: np.ndarray, levels: int = 2, cb: int = 64, container: bool = True,
     wavelet: str = "5/3", qstep: float = 0.5, tile: int | None = None,
@@ -1483,6 +1603,7 @@ def encode_jp2(
     n_layers: int = 1, progression: str = "LRCP",
     use_sop: bool = False, use_eph: bool = False, cb_style: int = 0,
     roi: tuple[int, int, int, int] | None = None,
+    target_bytes: int | list | None = None,
 ) -> bytes:
     """(planes, h, w) uint8/uint16 -> JPEG 2000 (JP2 container or raw
     codestream): single layer, LRCP, MQ-coded EBCOT code-blocks, tag-tree
@@ -1523,6 +1644,32 @@ def encode_jp2(
         # 0x08 causal / 0x10 predictable termination / 0x20 segsym — the
         # full Table A-19 style vocabulary
         raise NotImplementedError(f"unknown code-block style bits 0x{cb_style:02x}")
+    budgets = None
+    if target_bytes is not None:
+        # PCRD-style rate control (round 7, the last real-Kakadu encoder
+        # behavior): truncate each code-block on its rate-distortion convex
+        # hull so cumulative CODEWORD bytes of layers 0..l hit budgets[l].
+        # TERMALL is forced so every coding pass ends on a byte-aligned
+        # terminated segment — the spec-legal way to make every pass a
+        # valid truncation point (Kakadu's -Corder rate control does the
+        # same via its terminated-length machinery).
+        cb_style |= 0x04
+        if isinstance(target_bytes, (list, tuple)):
+            budgets = [int(b) for b in target_bytes]
+            if len(budgets) != n_layers:
+                raise ValueError(
+                    f"target_bytes list must have one cumulative budget per "
+                    f"layer ({n_layers}), got {len(budgets)}"
+                )
+            if any(b2 < b1 for b1, b2 in zip(budgets, budgets[1:])):
+                raise ValueError("target_bytes budgets must be non-decreasing")
+        else:
+            # single int: geometric cumulative ladder (each earlier layer
+            # gets half the following one's budget), final layer = total
+            budgets = [int(target_bytes) >> (n_layers - 1 - li)
+                       for li in range(n_layers)]
+        if budgets[0] <= 0:
+            raise ValueError("target_bytes must be positive")
     # ROI on the lossy path works via guard-bit escalation (round 6): the
     # QCD's 3-bit guard field grows by the ROI shift so the zero-bitplane
     # accounting (Mb = G + eps - 1) absorbs the scaled-up ROI indices; the
@@ -1619,15 +1766,24 @@ def encode_jp2(
     # pass 1c — EBCOT-encode every code-block; record per-(tile, comp,
     # band) max bit-depth
     tiles_cb = []
+    tiles_dcurves: list[dict] = []
     for comp_bands, _y0, _x0 in tiles_bands:
         enc_blocks: dict = {}
         band_mb: dict = {}
+        dcurves: dict = {}
         for c in range(p):
             for r in range(levels + 1):
                 cbx_e, cby_e = _cb_eff_exp(cb_exp, r, prec)
                 for bname, arr in _res_bands(comp_bands[c], r):
                     blocks = []
+                    dlist = []
                     mx = 1
+                    if budgets is not None:
+                        lev = levels if r == 0 else levels - r + 1
+                        delta = (
+                            qinfo[_qi_index(r, bname)][2] if lossy else 1.0
+                        )
+                        weight = (delta * float(1 << lev)) ** 2
                     for by0, bx0, blk in _band_blocks(arr, 1 << cbx_e, 1 << cby_e):
                         seg_list, numbps = encode_codeblock_segments(
                             blk, bname, cb_style
@@ -1637,9 +1793,16 @@ def encode_jp2(
                         seg_lens = [(len(b), p) for b, p in seg_list]
                         blocks.append((data, numbps, n_passes, seg_lens))
                         mx = max(mx, numbps)
+                        if budgets is not None:
+                            dlist.append(
+                                _dist_curve(blk, numbps, seg_lens, weight)
+                            )
                     enc_blocks[(c, r, bname)] = blocks
                     band_mb[(c, r, bname)] = mx
+                    if budgets is not None:
+                        dcurves[(c, r, bname)] = dlist
         tiles_cb.append((comp_bands, enc_blocks, band_mb))
+        tiles_dcurves.append(dcurves)
 
     # global Mb per (r, band): the QCD is a MAIN-header segment shared by
     # every tile and component, so zero-bitplane counts are relative to the
@@ -1668,6 +1831,30 @@ def encode_jp2(
             for r in range(levels + 1)
             for bn in (("LL",) if r == 0 else ("HL", "LH", "HH"))
         }
+
+    # pass 1d — PCRD rate allocation (round 7): convex-hull truncation
+    # points per code-block, one global slope threshold per layer budget
+    plans = None
+    if budgets is not None:
+        curves: dict = {}
+        n_passes_of: dict = {}
+        for t, (comp_bands, enc_blocks, _bm) in enumerate(tiles_cb):
+            for key, blocks in enc_blocks.items():
+                for bi, (data, numbps, n_passes, seg_lens) in enumerate(blocks):
+                    blkid = (t, *key, bi)
+                    R = [0.0]
+                    for ln_i, _p in seg_lens:
+                        R.append(R[-1] + ln_i)
+                    curves[blkid] = (R, tiles_dcurves[t][key][bi])
+                    n_passes_of[blkid] = n_passes
+        truncs = _pcrd_allocate(curves, budgets, n_passes_of)
+        plans = {}
+        for blkid, ts in truncs.items():
+            plan, prev = [], 0
+            for tl in ts:
+                plan.append((prev, tl - prev) if tl > prev else None)
+                prev = max(prev, tl)
+            plans[blkid] = plan
 
     # pass 2 — per tile: packets in progression order, one per
     # (layer, resolution, component, precinct), + SOT/SOD
@@ -1698,6 +1885,19 @@ def encode_jp2(
         emitted = {
             k: np.zeros((g[1], g[0]), dtype=bool) for k, g in grids.items()
         }
+
+        def _plan_of(c, r, bname, by, bx):
+            """Per-layer (start_pass, n_passes) contributions of a block:
+            PCRD truncation plan when rate control is on, else the legacy
+            all-passes-at-layer-(by+bx)%%n_layers first-inclusion plan."""
+            nbw = grids[(c, r, bname)][0]
+            if plans is not None:
+                return plans[(t, c, r, bname, by * nbw + bx)]
+            fl = (by + bx) % n_layers
+            n_passes = enc_blocks[(c, r, bname)][by * nbw + bx][2]
+            return [(0, n_passes) if li == fl else None
+                    for li in range(n_layers)]
+
         packets = []
         nsop = 0
         for l, r, c, pi in _packet_sequence(
@@ -1722,7 +1922,11 @@ def encode_jp2(
                     lv = np.empty((by1 - by0, bx1 - bx0), dtype=np.int64)
                     for by in range(by0, by1):
                         for bx in range(bx0, bx1):
-                            lv[by - by0, bx - bx0] = (by + bx) % n_layers
+                            pl = _plan_of(c, r, bname, by, bx)
+                            fl = next(
+                                (li for li, pp in enumerate(pl) if pp), n_layers
+                            )  # n_layers = never included (rate-starved)
+                            lv[by - by0, bx - bx0] = fl
                     incl.set_values(lv)
                     zbp = TagTree(bx1 - bx0, by1 - by0)
                     blocks = enc_blocks[(c, r, bname)]
@@ -1741,9 +1945,7 @@ def encode_jp2(
                 if not any_first:
                     for by in range(by0, by1):
                         for bx in range(bx0, bx1):
-                            if (by + bx) % n_layers == l and not emitted[
-                                (c, r, bname)
-                            ][by, bx]:
+                            if _plan_of(c, r, bname, by, bx)[l] is not None:
                                 any_first = True
                                 break
                         if any_first:
@@ -1753,7 +1955,10 @@ def encode_jp2(
                 # legacy single-layer no-precinct layout kept a non-empty
                 # bit even for zero-block packets — preserved for byte
                 # identity with existing fixtures/oracles.
-                bits.put(1 if (prec is None and n_layers == 1) else 0)
+                bits.put(
+                    1 if (plans is None and prec is None and n_layers == 1)
+                    else 0
+                )
             else:
                 bits.put(1)
                 for key, bname, bx0, bx1, by0, by1, nbw in contribs:
@@ -1767,21 +1972,44 @@ def encode_jp2(
                             data, numbps, n_passes, seg_lens = blocks[
                                 by * nbw + bx
                             ]
+                            contrib = _plan_of(c, r, bname, by, bx)[l]
                             if em[by, bx]:
-                                bits.put(0)  # included earlier, no new passes
-                                continue
-                            incl.encode(bits, lbx, lby, l + 1)
-                            if (by + bx) % n_layers != l:
-                                continue  # first inclusion is a later layer
-                            em[by, bx] = True
-                            zbp.encode(bits, lbx, lby, 1 << 30)  # resolve
-                            _put_npasses(bits, n_passes)
+                                if contrib is None:
+                                    bits.put(0)  # included, no new passes
+                                    continue
+                                bits.put(1)  # later-layer contribution
+                            else:
+                                incl.encode(bits, lbx, lby, l + 1)
+                                if contrib is None:
+                                    continue  # first inclusion comes later
+                                em[by, bx] = True
+                                zbp.encode(bits, lbx, lby, 1 << 30)  # resolve
+                            start_p, npq = contrib
+                            # codeword segments covering passes
+                            # [start_p, start_p + npq): contributions must
+                            # align with segment boundaries (TERMALL makes
+                            # every pass one, which rate control forces)
+                            segs_sub, off, pacc = [], 0, 0
+                            for ln_i, p_i in seg_lens:
+                                if pacc + p_i <= start_p:
+                                    off += ln_i
+                                elif pacc >= start_p + npq:
+                                    break
+                                else:
+                                    if pacc < start_p or pacc + p_i > start_p + npq:
+                                        raise ValueError(
+                                            "layer truncation point does not "
+                                            "align with codeword segments"
+                                        )
+                                    segs_sub.append((ln_i, p_i))
+                                pacc += p_i
+                            _put_npasses(bits, npq)
                             # one lblock comma code covers ALL codeword
                             # segments of this contribution (B.10.7.5);
                             # each segment's length then uses
                             # lblock + floor(log2(segment passes)) bits
                             k = 0
-                            for ln_i, p_i in seg_lens:
+                            for ln_i, p_i in segs_sub:
                                 need = max(ln_i.bit_length(), 1)
                                 have = int(lb[by, bx]) + int(
                                     np.floor(np.log2(p_i))
@@ -1791,13 +2019,14 @@ def encode_jp2(
                                 bits.put(1)
                             bits.put(0)
                             lb[by, bx] += k
-                            for ln_i, p_i in seg_lens:
+                            for ln_i, p_i in segs_sub:
                                 bits.put_bits(
                                     ln_i,
                                     int(lb[by, bx])
                                     + int(np.floor(np.log2(p_i))),
                                 )
-                            body += data
+                            nbytes = sum(ln_i for ln_i, _p in segs_sub)
+                            body += data[off : off + nbytes]
             pk = bits.flush()
             if use_eph:
                 pk += b"\xff\x92"

@@ -833,3 +833,98 @@ def test_roi_max_shift_lossy_path():
         jp2.encode_jp2(
             big, levels=2, wavelet="9/7", qstep=1.0, roi=(20, 24, 24, 32)
         )
+
+
+# ----------------------------- round 7: PCRD rate control (target_bytes)
+class TestRateControl:
+    def test_rd_hull_prunes_non_convex(self):
+        R = [0.0, 10.0, 20.0, 30.0]
+        D = [100.0, 50.0, 45.0, 10.0]  # middle point below the chord
+        pts, slopes = jp2._rd_hull(R, D)
+        assert pts == [0, 1, 3]  # t=2 is not a hull vertex
+        assert slopes[1] == pytest.approx(5.0)
+        assert slopes[2] == pytest.approx(2.0)
+        # zero-byte extra pass is free quality: deepest t kept per byte count
+        pts2, _ = jp2._rd_hull([0.0, 8.0, 8.0], [90.0, 40.0, 30.0])
+        assert pts2 == [0, 2]
+
+    def test_pcrd_allocate_equal_slope_threshold(self):
+        # two blocks; budget admits the steep segments of both, not the
+        # shallow tail of either
+        curves = {
+            "a": ([0.0, 10.0, 20.0], [100.0, 20.0, 15.0]),  # slopes 8, 0.5
+            "b": ([0.0, 10.0, 20.0], [100.0, 40.0, 38.0]),  # slopes 6, 0.2
+        }
+        out = jp2._pcrd_allocate(curves, [20], {"a": 2, "b": 2})
+        assert out == {"a": [1], "b": [1]}
+        out = jp2._pcrd_allocate(curves, [20, 40], {"a": 2, "b": 2})
+        assert out["a"] == [1, 2] and out["b"] == [1, 2]
+        # tiny budget: nothing fits
+        out = jp2._pcrd_allocate(curves, [5], {"a": 2, "b": 2})
+        assert out == {"a": [0], "b": [0]}
+
+    def test_rate_distortion_monotone_and_near_target(self):
+        img = codecs.make_image(3, 128, 128, planes=1)
+        full = jp2.encode_jp2(img, levels=3, wavelet="9/7", qstep=0.5)
+        prev_psnr, prev_size = None, None
+        # header floor: an encode starved to ~nothing is markers + empty
+        # packets — the fixed overhead budgets exclude
+        floor = len(jp2.encode_jp2(img, levels=3, wavelet="9/7", qstep=0.5,
+                                   target_bytes=1))
+        for frac in (0.75, 0.5, 0.25):
+            tgt = int(len(full) * frac)
+            d = jp2.encode_jp2(img, levels=3, wavelet="9/7", qstep=0.5,
+                               target_bytes=tgt)
+            o = jp2.decode_jp2(d)
+            p = codecs.psnr(img, o)
+            # budget bounds CODEWORD bytes; file = codewords + fixed headers
+            # + per-contribution packet-header bits
+            assert len(d) <= tgt + floor + tgt // 8, (frac, len(d), tgt, floor)
+            if prev_psnr is not None:
+                assert p < prev_psnr and len(d) < prev_size
+            prev_psnr, prev_size = p, len(d)
+
+    def test_rate_control_lossless_path_and_multilayer(self):
+        img = codecs.make_image(5, 96, 96, planes=2)
+        full = jp2.encode_jp2(img, levels=2)
+        d = jp2.encode_jp2(img, levels=2, target_bytes=len(full) // 3)
+        o = jp2.decode_jp2(d)
+        assert len(d) < len(full) // 2
+        assert codecs.psnr(img, o) > 18.0  # truncated 5/3: lossy by design
+        # multi-layer ladder: explicit cumulative budgets
+        b2 = [len(full) // 4, len(full) // 2]
+        d2 = jp2.encode_jp2(img, levels=2, n_layers=2, target_bytes=b2)
+        m = jp2.parse_jp2(d2)
+        assert m["n_layers"] == 2
+        o2 = jp2.decode_jp2(d2)
+        assert codecs.psnr(img, o2) >= codecs.psnr(img, o) - 1.0
+
+    def test_rate_control_composes_with_tiles_precincts_progressions(self):
+        img = (codecs.make_image(7, 96, 96, planes=1).astype(np.uint16) * 257)
+        full = jp2.encode_jp2(img, levels=2, wavelet="9/7", qstep=1.0)
+        d = jp2.encode_jp2(
+            img, levels=2, wavelet="9/7", qstep=1.0, tile=64, precinct=6,
+            progression="RPCL", n_layers=2, use_eph=True,
+            target_bytes=len(full) // 2,
+        )
+        o = jp2.decode_jp2(d)
+        assert o.shape == img.shape and o.dtype == img.dtype
+        assert codecs.psnr(img.astype(np.float64) / 257,
+                           o.astype(np.float64) / 257) > 25.0
+
+    def test_rate_control_validation(self):
+        img = codecs.make_image(1, 32, 32, planes=1)
+        with pytest.raises(ValueError, match="positive"):
+            jp2.encode_jp2(img, target_bytes=0)
+        with pytest.raises(ValueError, match="one cumulative budget"):
+            jp2.encode_jp2(img, n_layers=2, target_bytes=[100])
+        with pytest.raises(ValueError, match="non-decreasing"):
+            jp2.encode_jp2(img, n_layers=2, target_bytes=[200, 100])
+
+    def test_uncontrolled_bytes_identical(self):
+        """target_bytes=None keeps every legacy layout byte-identical —
+        the golden fixtures and gate oracles replay unchanged."""
+        img = codecs.make_image(2, 64, 64, planes=2)
+        a = jp2.encode_jp2(img, levels=2, n_layers=2, precinct=6)
+        b = jp2.encode_jp2(img, levels=2, n_layers=2, precinct=6)
+        assert a == b
