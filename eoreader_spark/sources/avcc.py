@@ -436,26 +436,33 @@ def _write_block(w: _BitWriter, coeffs: list[int], nC: int, max_coeff: int) -> i
         code = (abs(lv) - 1) * 2 + (1 if lv < 0 else 0)
         if i == 0 and t1 < 3:
             code -= 2
-        if suffix_len == 0:
-            if code < 14:
-                w.raw("0" * code + "1")
-            elif code < 30:
-                w.raw("0" * 14 + "1")
-                w.u(code - 14, 4)
-            else:
-                if code - 30 >= (1 << 12):
-                    raise ValueError("h264 encoder: level magnitude exceeds subset")
-                w.raw("0" * 15 + "1")
-                w.u(code - 30, 12)
+        if suffix_len == 0 and code < 14:
+            w.raw("0" * code + "1")
+        elif suffix_len == 0 and code < 30:
+            w.raw("0" * 14 + "1")
+            w.u(code - 14, 4)
+        elif suffix_len == 0 and code < 30 + (1 << 12):
+            w.raw("0" * 15 + "1")
+            w.u(code - 30, 12)
+        elif suffix_len > 0 and (code >> suffix_len) < 15:
+            w.raw("0" * (code >> suffix_len) + "1")
+            w.u(code & ((1 << suffix_len) - 1), suffix_len)
+        elif suffix_len > 0 and code < (15 << suffix_len) + (1 << 12):
+            w.raw("0" * 15 + "1")
+            w.u(code - (15 << suffix_len), 12)
         else:
-            if (code >> suffix_len) < 15:
-                w.raw("0" * (code >> suffix_len) + "1")
-                w.u(code & ((1 << suffix_len) - 1), suffix_len)
+            # level_prefix >= 16 escape (9.2.2.1): suffix is
+            # level_prefix - 3 bits, levelCode = (15 << suffixLength)
+            # [+ 15 if suffixLength == 0] + suffix + 2^(prefix-3) - 4096
+            base = (15 << suffix_len) + (15 if suffix_len == 0 else 0)
+            for prefix in range(16, 31):
+                suffix = code - base - (1 << (prefix - 3)) + 4096
+                if 0 <= suffix < (1 << (prefix - 3)):
+                    w.raw("0" * prefix + "1")
+                    w.u(suffix, prefix - 3)
+                    break
             else:
-                if code - (15 << suffix_len) >= (1 << 12):
-                    raise ValueError("h264 encoder: level magnitude exceeds subset")
-                w.raw("0" * 15 + "1")
-                w.u(code - (15 << suffix_len), 12)
+                raise ValueError("h264 encoder: level magnitude exceeds subset")
         if suffix_len == 0:
             suffix_len = 1
         if abs(lv) > (3 << (suffix_len - 1)) and suffix_len < 6:
@@ -504,24 +511,27 @@ def _read_block(r: _BitReader, nC: int, max_coeff: int) -> tuple[list[int], int]
         prefix = 0
         while r.u(1) == 0:
             prefix += 1
-            if prefix > 17:
+            if prefix > 31:
                 raise ValueError("corrupt h264 stream: level_prefix overrun")
-        if suffix_len == 0:
+        if prefix >= 16:  # large-level escape (9.2.2.1)
+            if prefix > 30:
+                raise ValueError("corrupt h264 stream: level_prefix > 30")
+            code = (
+                (15 << suffix_len) + (15 if suffix_len == 0 else 0)
+                + r.u(prefix - 3) + (1 << (prefix - 3)) - 4096
+            )
+        elif suffix_len == 0:
             if prefix < 14:
                 code = prefix
             elif prefix == 14:
                 code = 14 + r.u(4)
-            elif prefix == 15:
-                code = 30 + r.u(12)
             else:
-                raise NotImplementedError("h264: level_prefix >= 16 not in subset")
+                code = 30 + r.u(12)
         else:
             if prefix < 15:
                 code = (prefix << suffix_len) + r.u(suffix_len)
-            elif prefix == 15:
-                code = (15 << suffix_len) + r.u(12)
             else:
-                raise NotImplementedError("h264: level_prefix >= 16 not in subset")
+                code = (15 << suffix_len) + r.u(12)
         if i == 0 and t1 < 3:
             code += 2
         lv = (code >> 1) + 1

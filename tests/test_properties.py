@@ -269,3 +269,77 @@ def test_flac_lossless_any_signal(seed, n, stereo, lpc, smooth):
     back, sr = flacc.decode_flac(flacc.encode_flac(sig, 16000, lpc_order=lpc))
     assert sr == 16000
     assert np.array_equal(back, sig)
+
+
+@settings(max_examples=_ex(120), deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    nc=st.sampled_from([-1, 0, 1, 3, 5, 8, 20]),
+    density=st.floats(min_value=0.0, max_value=1.0),
+    big=st.booleans(),
+)
+def test_h264_cavlc_block_roundtrip(seed, nc, density, big):
+    """CAVLC residual-block coding is the identity over arbitrary sparse
+    coefficient patterns in every nC context (round 7: the newest parser's
+    entropy layer gets the property lane's depth)."""
+    from eoreader_spark.sources import avcc
+
+    rng = np.random.RandomState(seed % 2**31)
+    max_coeff = 4 if nc == -1 else 15
+    mags = [1, 2, 3] if not big else [1, 7, 100, 3000]
+    coeffs = [
+        (int(rng.choice(mags)) * (1 if rng.rand() < 0.5 else -1))
+        if rng.rand() < density else 0
+        for _ in range(max_coeff)
+    ]
+    w = avcc._BitWriter()
+    avcc._write_block(w, coeffs, nc, max_coeff)
+    w.u(0, 8)
+    got, tc = avcc._read_block(avcc._BitReader(w.rbsp()), nc, max_coeff)
+    assert got == coeffs
+    assert tc == sum(1 for c in coeffs if c)
+
+
+@settings(max_examples=_ex(24), deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    h=st.sampled_from([16, 32, 48]),
+    w=st.sampled_from([16, 32, 64]),
+    qp=st.integers(min_value=0, max_value=40),
+)
+def test_h264_roundtrip_any_content_decodes_in_range(seed, h, w, qp):
+    """encode->decode succeeds for arbitrary content at any QP; output is
+    the right shape/dtype, and at low QP meets the PSNR>=40dB invariant."""
+    from eoreader_spark.sources import avcc
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    out = avcc.decode_h264(avcc.encode_h264([img], qp=qp))[0]
+    assert out.shape == (h, w) and out.dtype == np.uint8
+    if qp <= 16:
+        assert codecs.psnr(img, out) >= 40.0
+
+
+@settings(max_examples=_ex(20), deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**9),
+    frac_num=st.integers(min_value=1, max_value=9),
+    lossy=st.booleans(),
+    nl=st.integers(min_value=1, max_value=3),
+)
+def test_jp2_rate_control_always_decodable(seed, frac_num, lossy, nl):
+    """Any budget fraction of any content yields a decodable stream of the
+    right shape whose size tracks the budget (codeword bytes bounded;
+    headers extra)."""
+    from eoreader_spark.sources import jp2
+
+    rng = np.random.RandomState(seed % 2**31)
+    img = rng.randint(0, 256, size=(1, 64, 64)).astype(np.uint8)
+    kw = dict(levels=2, wavelet="9/7", qstep=1.0) if lossy else dict(levels=2)
+    full = jp2.encode_jp2(img, **kw)
+    tgt = max(64, len(full) * frac_num // 10)
+    d = jp2.encode_jp2(img, n_layers=nl, target_bytes=tgt, **kw)
+    out = jp2.decode_jp2(d)
+    assert out.shape == img.shape
+    floor = len(jp2.encode_jp2(img, target_bytes=1, **kw))
+    assert len(d) <= tgt + floor + tgt // 4
