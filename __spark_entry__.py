@@ -1213,12 +1213,42 @@ def q_orbit_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id string, t double, px double, py double, pz double,"
         " vx double, vy double, vz double",
     )
+    # precise orbit = coarse + a constant per-image offset in px/py, so the
+    # refine_geolocation delta is closed-form: dpx = 8 + i, dpy = 2 + i,
+    # and the dyadic scales make the corrected lon/lat exact decimals.
+    prec_rows = [
+        (i_, t_, px + 8.0 + int(i_[3:]), py + 2.0 + int(i_[3:]), pz, vx, vy, vz)
+        for (i_, t_, px, py, pz, vx, vy, vz) in osv_rows
+    ]
+    prec = spark.createDataFrame(prec_rows, osv.schema)
     out = orbit.interpolate_osv(times, osv, degree=3)
-    return out.select(
-        "image_id",
-        F.col("t").cast("long").alias("ti"),
-        *[F.round(c, 4).alias(c) for c in ("px", "py", "pz", "vx", "vy", "vz")],
-    ).orderBy("image_id", "ti")
+    swath = times.selectExpr(
+        "image_id", "t",
+        "(t * 4 + cast(substr(image_id, 4, 1) as int)) / 16 as lon",
+        "t / 4 as lat",
+    )
+    ref = orbit.refine_geolocation(
+        swath, osv, prec, degree=3, kx=0.125, ky=0.0625
+    ).select(
+        F.col("image_id").alias("r_id"), F.col("t").alias("r_t"),
+        F.round("lon", 6).alias("lon_ref"), F.round("lat", 6).alias("lat_ref"),
+        F.round("dpx", 4).alias("dpx"), F.round("dpy", 4).alias("dpy"),
+        F.round("dpz", 4).alias("dpz"),
+    )
+    return (
+        out.join(
+            ref,
+            (out["image_id"] == ref["r_id"]) & (out["t"] == ref["r_t"]),
+        )
+        .select(
+            "image_id",
+            F.col("t").cast("long").alias("ti"),
+            *[F.round(c, 4).alias(c)
+              for c in ("px", "py", "pz", "vx", "vy", "vz")],
+            "lon_ref", "lat_ref", "dpx", "dpy", "dpz",
+        )
+        .orderBy("image_id", "ti")
+    )
 
 
 # --------------------------------------------------------- stencil gate trio
@@ -4946,7 +4976,12 @@ def oracle_sql() -> dict[str, str]:
                    round(cast((1000 + i) + (7 + i)*t + 3*t*t + 2*t*t*t - 5 AS double), 4) AS pz,
                    round(cast((7 + i) + 6*t + 6*t*t AS double), 4) AS vx,
                    round(cast((7 + i) + 6*t + 6*t*t + 1 AS double), 4) AS vy,
-                   round(cast((7 + i) + 6*t + 6*t*t - 1 AS double), 4) AS vz
+                   round(cast((7 + i) + 6*t + 6*t*t - 1 AS double), 4) AS vz,
+                   round(cast(t*4 + i AS double) / 16 + cast(8 + i AS double) * 0.125, 6) AS lon_ref,
+                   round(cast(t AS double) / 4 + cast(2 + i AS double) * 0.0625, 6) AS lat_ref,
+                   round(cast(8 + i AS double), 4) AS dpx,
+                   round(cast(2 + i AS double), 4) AS dpy,
+                   round(cast(0 AS double), 4) AS dpz
             FROM q ORDER BY image_id, ti
         """,
         "stac_open": f"""
