@@ -622,10 +622,6 @@ def _pred_chroma(mode: int, rec: np.ndarray, y0: int, x0: int) -> np.ndarray:
             for bx in (0, 4):
                 u = up[bx : bx + 4] if up is not None else None
                 lf = left[by : by + 4] if left is not None else None
-                corner = (by == 0 and bx == 0) or (by == 4 and bx == 4)
-                if corner or (bx == 4 and by == 0):
-                    # top-row right block prefers up; bottom-left prefers left
-                    pass
                 if u is not None and lf is not None:
                     if (by == 0 and bx == 0) or (by == 4 and bx == 4):
                         dc = (int(u.sum()) + int(lf.sum()) + 4) >> 3
