@@ -193,19 +193,20 @@ def _dequant4_ac(Z: np.ndarray, qp: int) -> np.ndarray:
 
 
 def _inv4(W: np.ndarray) -> np.ndarray:
-    """Normative inverse core transform (8.5.8): butterfly with the >>1
-    taps, then (x + 32) >> 6."""
+    """Normative inverse core transform (8.5.12.2): butterfly with the >>1
+    taps applied to ROWS first, then columns, then (x + 32) >> 6.  The pass
+    order matters: the >>1 taps make the two 1-D passes non-commutative."""
     W = W.astype(np.int64)
 
-    def pass1(m):  # operate on rows of m
+    def pass1(m):  # butterfly down axis 0 (transforms each column of m)
         e0 = m[0] + m[2]
         e1 = m[0] - m[2]
         e2 = (m[1] >> 1) - m[3]
         e3 = m[1] + (m[3] >> 1)
         return np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
 
-    h = pass1(W)          # columns transformed
-    v = pass1(h.T).T      # rows transformed
+    h = pass1(W.T).T      # rows transformed (spec 8.5.12.2 step 1)
+    v = pass1(h)          # columns transformed (step 2)
     return (v + 32) >> 6
 
 
@@ -819,7 +820,25 @@ def _encode_frame(w: _BitWriter, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 ch["cr"][0], _chroma_dc_dequant(ch["cr"][1], qpc), ch["cr"][2], qpc)
 
 
-def _decode_frame(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int):
+def _check_deblock_off(r: _BitReader, pps: dict) -> None:
+    """Enforce the module's named subset: the in-loop deblocking filter is
+    not implemented, so any stream where it is effective (idc 0 or 2 —
+    including the PPS-absent default of 0) must be rejected rather than
+    decoded non-conformantly."""
+    if pps["deblock_present"]:
+        idc = r.ue()
+        if idc != 1:
+            raise NotImplementedError(
+                "h264: in-loop deblocking filter active "
+                f"(disable_deblocking_filter_idc={idc}) not in subset")
+    else:
+        raise NotImplementedError(
+            "h264: in-loop deblocking filter active (PPS default idc=0) "
+            "not in subset")
+
+
+def _decode_frame(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
+                  chroma_qp_offset: int = 0):
     rec_y = np.zeros((16 * mb_h, 16 * mb_w), np.int64)
     rec_cb = np.zeros((8 * mb_h, 8 * mb_w), np.int64)
     rec_cr = np.zeros((8 * mb_h, 8 * mb_w), np.int64)
@@ -860,7 +879,7 @@ def _decode_frame(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int):
             qp = qp + r.se()
             if not 0 <= qp <= 51:
                 raise ValueError("corrupt h264 stream: QP out of range")
-            qpc = _chroma_qp(qp)
+            qpc = _chroma_qp(min(max(qp + chroma_qp_offset, 0), 51))
             gx, gy = 4 * mx, 4 * my
             dc_scan, _tc = _read_block(r, _nC(luma_cnt, gx, gy), 16)
             dc_q = np.zeros((4, 4), np.int64)
@@ -1129,20 +1148,17 @@ def decode_h264_yuv(data: bytes) -> list[tuple[np.ndarray, np.ndarray, np.ndarra
                 raise NotImplementedError("h264: P/B slices not in subset")
             r.ue()  # pps_id
             r.u(sps["log2_max_frame_num"])  # frame_num
+            r.ue()  # idr_pic_id (7.3.3: before pic_order_cnt_lsb)
             if sps["poc_type"] == 0:
                 r.u(sps["log2_max_poc_lsb"])
-            r.ue()  # idr_pic_id
             r.u(1)
             r.u(1)  # dec_ref_pic_marking (IDR)
             qp = pps["init_qp"] + r.se()
             if not 0 <= qp <= 51:
                 raise ValueError("corrupt h264 stream: slice QP out of range")
-            if pps["deblock_present"]:
-                idc = r.ue()
-                if idc != 1:
-                    r.se()
-                    r.se()
-            y, cb, cr = _decode_frame(r, sps["mb_w"], sps["mb_h"], qp)
+            _check_deblock_off(r, pps)
+            y, cb, cr = _decode_frame(r, sps["mb_w"], sps["mb_h"], qp,
+                                      pps["chroma_qp_offset"])
             cl, crp, ct, cbm = sps["crop"]
             H, W = y.shape
             y = y[2 * ct : H - 2 * cbm, 2 * cl : W - 2 * crp]

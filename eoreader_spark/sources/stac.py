@@ -186,9 +186,17 @@ def write_stac_catalog(
     keep its driver walk metadata-sized too."""
     import json
     import os
+    import shutil
 
-    os.makedirs(os.path.join(root, "items"), exist_ok=True)
-    os.makedirs(os.path.join(root, "collections"), exist_ok=True)
+    # A reused root would link stale collection shards (and leftover item
+    # documents) from a previous write into the new catalog — wipe both
+    # payload dirs first so catalog.json only ever references this job's
+    # output (the Hadoop-output-committer "clobber the task dir" contract).
+    for sub in ("items", "collections"):
+        p = os.path.join(root, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        os.makedirs(p)
 
     def _write_part(rows) -> None:
         import json as _json

@@ -186,3 +186,157 @@ class TestSubsetContract:
                 avcc.decode_h264(b)
             except (ValueError, NotImplementedError, KeyError):
                 pass
+
+
+def _inv4_spec(W: np.ndarray) -> np.ndarray:
+    """Scalar per-spec 8.5.12.2 reference: rows first, then columns."""
+    W = W.astype(np.int64)
+    h = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        d = W[i]
+        e0, e1 = d[0] + d[2], d[0] - d[2]
+        e2, e3 = (d[1] >> 1) - d[3], d[1] + (d[3] >> 1)
+        h[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    v = np.zeros((4, 4), np.int64)
+    for j in range(4):
+        d = h[:, j]
+        e0, e1 = d[0] + d[2], d[0] - d[2]
+        e2, e3 = (d[1] >> 1) - d[3], d[1] + (d[3] >> 1)
+        v[:, j] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    return (v + 32) >> 6
+
+
+def _sps_poc0(mb_w: int, mb_h: int) -> bytes:
+    """SPS mirroring avcc._sps_rbsp but with pic_order_cnt_type 0."""
+    bw = avcc._BitWriter()
+    bw.u(66, 8)
+    bw.u(0, 8)
+    bw.u(30, 8)
+    bw.ue(0)      # sps_id
+    bw.ue(0)      # log2_max_frame_num_minus4
+    bw.ue(0)      # pic_order_cnt_type = 0
+    bw.ue(0)      # log2_max_pic_order_cnt_lsb_minus4
+    bw.ue(1)      # max_num_ref_frames
+    bw.u(0, 1)
+    bw.ue(mb_w - 1)
+    bw.ue(mb_h - 1)
+    bw.u(1, 1)    # frame_mbs_only
+    bw.u(1, 1)    # direct_8x8_inference
+    bw.u(0, 1)    # no cropping
+    bw.u(0, 1)    # no vui
+    return bw.rbsp()
+
+
+def _pps_custom(qp: int, chroma_qp_offset: int = 0,
+                deblock_present: bool = True) -> bytes:
+    bw = avcc._BitWriter()
+    bw.ue(0); bw.ue(0)
+    bw.u(0, 1)            # CAVLC
+    bw.u(0, 1)
+    bw.ue(0); bw.ue(0); bw.ue(0)
+    bw.u(0, 1); bw.u(0, 2)
+    bw.se(qp - 26)
+    bw.se(0)
+    bw.se(chroma_qp_offset)
+    bw.u(1 if deblock_present else 0, 1)
+    bw.u(0, 1); bw.u(0, 1)
+    return bw.rbsp()
+
+
+def _idr_slice(qp: int, init_qp: int, body: "avcc._BitWriter", *,
+               poc_lsb: int | None = None, deblock_idc: int | None = 1,
+               deblock_offsets: bool = False) -> bytes:
+    """IDR slice header in SPEC field order (7.3.3): idr_pic_id BEFORE
+    pic_order_cnt_lsb; optional deblock idc (None = PPS says not present)."""
+    bw = avcc._BitWriter()
+    bw.ue(0)              # first_mb_in_slice
+    bw.ue(7)              # slice_type I (all)
+    bw.ue(0)              # pps_id
+    bw.u(0, 4)            # frame_num
+    bw.ue(0)              # idr_pic_id
+    if poc_lsb is not None:
+        bw.u(poc_lsb, 4)  # pic_order_cnt_lsb (poc_type 0)
+    bw.u(0, 1)
+    bw.u(0, 1)
+    bw.se(qp - init_qp)
+    if deblock_idc is not None:
+        bw.ue(deblock_idc)
+        if deblock_offsets and deblock_idc != 1:
+            bw.se(0); bw.se(0)
+    bw.bits += body.bits
+    return bw.rbsp()
+
+
+def _frame_body(img3, qp: int) -> "avcc._BitWriter":
+    y, cb, cr = avcc._to_yuv(img3)
+    body = avcc._BitWriter()
+    avcc._encode_frame(body, y.astype(np.int64), cb.astype(np.int64),
+                       cr.astype(np.int64), qp)
+    return body
+
+
+class TestAdviceRegressions:
+    """Round-8 ADVICE fixes: _inv4 pass order, IDR header field order with
+    poc_type 0, deblocking-active rejection, chroma_qp_index_offset."""
+
+    def test_inv4_matches_spec_pass_order(self):
+        rng = np.random.RandomState(3)
+        for _ in range(200):
+            W = rng.randint(-2048, 2048, size=(4, 4)).astype(np.int64)
+            assert np.array_equal(avcc._inv4(W), _inv4_spec(W))
+
+    def test_idr_header_spec_order_with_poc_type0(self):
+        img = codecs.make_image(5, 32, 48, planes=3)
+        qp = 10
+        ref = avcc.decode_h264_yuv(avcc.encode_h264([img], qp=qp))[0]
+        body = _frame_body(img, qp)
+        stream = (avcc._nal(7, _sps_poc0(3, 2))
+                  + avcc._nal(8, _pps_custom(qp))
+                  + avcc._nal(5, _idr_slice(qp, qp, body, poc_lsb=5)))
+        out = avcc.decode_h264_yuv(stream)[0]
+        for a, b in zip(ref, out):
+            assert np.array_equal(a, b)
+
+    @pytest.mark.parametrize("idc", [0, 2])
+    def test_deblock_active_raises_named(self, idc):
+        img = codecs.make_image(1, 16, 16, planes=1)[0]
+        body = _frame_body(img, 12)
+        stream = (avcc._nal(7, _sps_poc0(1, 1))
+                  + avcc._nal(8, _pps_custom(12))
+                  + avcc._nal(5, _idr_slice(12, 12, body, poc_lsb=0,
+                                            deblock_idc=idc,
+                                            deblock_offsets=True)))
+        with pytest.raises(NotImplementedError, match="deblocking"):
+            avcc.decode_h264(stream)
+
+    def test_deblock_pps_absent_default_on_raises_named(self):
+        img = codecs.make_image(1, 16, 16, planes=1)[0]
+        body = _frame_body(img, 12)
+        stream = (avcc._nal(7, _sps_poc0(1, 1))
+                  + avcc._nal(8, _pps_custom(12, deblock_present=False))
+                  + avcc._nal(5, _idr_slice(12, 12, body, poc_lsb=0,
+                                            deblock_idc=None)))
+        with pytest.raises(NotImplementedError, match="deblocking"):
+            avcc.decode_h264(stream)
+
+    def test_chroma_qp_index_offset_applied(self):
+        # Body coded at qp=34 (offset 0).  Declaring offset=-6 in the PPS
+        # must shift the chroma dequant to qpc(_chroma_qp(28)=28 vs 33):
+        # luma identical, chroma visibly re-scaled.
+        img = codecs.make_image(9, 32, 32, planes=3)
+        qp = 34
+        body = _frame_body(img, qp)
+
+        def stream(off):
+            return (avcc._nal(7, _sps_poc0(2, 2))
+                    + avcc._nal(8, _pps_custom(qp, chroma_qp_offset=off))
+                    + avcc._nal(5, _idr_slice(qp, qp, _frame_body(img, qp),
+                                              poc_lsb=0)))
+
+        y0, cb0, cr0 = avcc.decode_h264_yuv(stream(0))[0]
+        y1, cb1, cr1 = avcc.decode_h264_yuv(stream(-6))[0]
+        assert np.array_equal(y0, y1)
+        assert not np.array_equal(cb0, cb1) or not np.array_equal(cr0, cr1)
+        # extreme offsets clip into [0, 51] instead of indexing out of range
+        for off in (-26, 17):
+            avcc.decode_h264_yuv(stream(off))
