@@ -1153,8 +1153,20 @@ def q_stac_open(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
     scenes = ev.selectExpr(*_STAC_SCENE_EXPRS)
+    # round 8: raster-grid descriptor for 4/5 of the items -> proj:shape /
+    # proj:transform / proj:bbox travel through the catalog (the remaining
+    # fifth pins the omit-when-absent branch, ref stac_extensions.py:222-224)
+    grid = ev.filter("event_id % 5 != 0").selectExpr(
+        "concat('img', lpad(cast(event_id as string), 12, '0')) as image_id",
+        "cast(256 + (event_id % 4) * 128 as int) as width",
+        "cast(256 + (event_id % 3) * 256 as int) as height",
+        "cast((event_id % 100) * 1000 as double) as x0",
+        "cast(5000000 + (event_id % 50) * 2000 as double) as y0",
+    )
     root = tempfile.mkdtemp(prefix="stac_open_")
-    stac.write_stac_catalog(stac.to_stac_items(scenes).repartition(8), root)
+    stac.write_stac_catalog(
+        stac.to_stac_items(scenes, grid=grid).repartition(8), root
+    )
     parsed = stac.read_stac_catalog(spark, root)
     wl_item = F.round(
         F.aggregate(
@@ -1177,6 +1189,18 @@ def q_stac_open(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("orbit_direction") == "ASCENDING").cast("long")).alias("n_asc"),
             F.max(F.size("eo_bands")).alias("n_bands"),
             F.max(wl_item).alias("wl_sum4"),
+            # proj-extension probes: pixel counts from proj:shape, x-span
+            # from proj:bbox (= width*gsd, exact in float64), upper-left x
+            # from proj:transform — each breaks if the affine convention,
+            # element order or the omit-when-absent branch regresses
+            F.count("proj_shape").alias("n_grid"),
+            F.sum(
+                F.col("proj_shape")[0].cast("long") * F.col("proj_shape")[1]
+            ).alias("px_total"),
+            F.round(
+                F.sum(F.col("proj_bbox")[2] - F.col("proj_bbox")[0]), 2
+            ).alias("sum_span_x"),
+            F.sum(F.col("proj_transform")[2].cast("long")).alias("sum_x0t"),
         )
         .orderBy("constellation")
     )
@@ -3786,6 +3810,115 @@ def _h264_feats_oracle() -> str:
         """
 
 
+def _h264_gop_frames(j: int):
+    """Deterministic GOP fixture frames for video j: 6 luma planes that are
+    integer-rolled copies of one closed-form base image, so P-frame motion
+    search has real (and findable) motion.  32x32 for even j, 32x64 for odd
+    j (resize=4 blocks hold power-of-two pixel counts -> exact float32 box
+    means), matching the h264_feats framing."""
+    from eoreader_spark import codecs as _c
+
+    h, w = (32, 32) if j % 2 == 0 else (32, 64)
+    base = _c.make_image(900 + j * 16, h, w, planes=1)[0]
+    return [np.roll(base, (fi * 3, fi * 5), axis=(0, 1)) for fi in range(6)]
+
+
+def _gen_h264_gop_media(spark: SparkSession, n_videos: int = 3):
+    """Deterministic GOP-structured raw Annex-B H.264 fixtures (round 8):
+    video j = 6 rolled-base frames encoded by the engine's own encoder at
+    qp=8 with gop=3, i.e. frames 0/3 are IDR slices and 1/2/4/5 are P
+    slices (P_Skip / P_L0_16x16, single reference, quarter-pel MC).  Fully
+    deterministic end to end, so a single-process replay is an exact
+    oracle."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark.sources import avcc as _a
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                frames = _h264_gop_frames(j)
+                h, w = frames[0].shape
+                payload = _a.encode_h264(frames, qp=8, gop=3)
+                rows.append(
+                    (f"gop{j:03d}", "video", payload, "h264", w, h, 0,
+                     len(frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    schema = ("media_id string, kind string, bytes binary, fmt string, w int,"
+              " h int, sample_rate int, n_frames int")
+    return spark.range(n_videos).repartition(n_videos).mapInPandas(gen, schema)
+
+
+def q_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL inter H.264 on the gate (round-8 VERDICT #1): GOP-structured
+    Annex-B streams (IDR + P slices, single reference, CAVLC, quarter-pel
+    MC per ISO 14496-10 8.4) decoded by the engine's own decoder inside
+    video_frame_sample; every_n=2 with gop=3 samples frames 0 (IDR), 2 (a
+    P frame two predictions deep) and 4 (P after the mid-stream IDR), so a
+    wrong MC interpolation tap, MV predictor or reference hand-off breaks
+    the hash.  Same integer-exact feature framing as h264_feats; the
+    oracle replays encode+decode single-process (the codec is
+    deterministic end to end)."""
+    from eoreader_spark.operators import multimodal
+
+    media = _gen_h264_gop_media(spark)
+    feats = multimodal.video_frame_sample(media, every_n=2, resize=4)
+    block_px = (F.col("w") / 4 * (F.col("h") / 4)).cast("double")
+    scaled = F.transform("features", lambda x: x * block_px)
+    return (
+        feats.join(media.select("media_id", "w", "h"), "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x)
+            .cast("long").alias("feat_sum_px"),
+            F.array_min(scaled).cast("long").alias("feat_min_px"),
+            F.array_max(scaled).cast("long").alias("feat_max_px"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _h264_gop_oracle() -> str:
+    """Single-process replay: own encoder (gop=3) -> own P-frame decoder."""
+    from eoreader_spark.sources import avcc as _a
+
+    rows = []
+    for j in range(3):
+        frames = _h264_gop_frames(j)
+        h, w = frames[0].shape
+        decoded = _a.decode_h264(_a.encode_h264(frames, qp=8, gop=3))
+        bh, bw = h // 4, w // 4
+        for fi in range(0, len(decoded), 2):
+            luma = decoded[fi].astype(np.float32)
+            feat = luma.reshape(4, bh, 4, bw).mean(axis=(1, 3)).ravel()
+            sc = (feat * (bh * bw)).astype(np.int64)
+            rows.append(
+                f"('gop{j:03d}', {fi}, 16, {int(sc.sum())}, {int(sc.min())}, {int(sc.max())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                   cast(n_feat AS BIGINT) AS n_feat,
+                   cast(feat_sum_px AS BIGINT) AS feat_sum_px,
+                   cast(feat_min_px AS BIGINT) AS feat_min_px,
+                   cast(feat_max_px AS BIGINT) AS feat_max_px
+            FROM (VALUES
+                {values}
+            ) AS t(media_id, frame_idx, n_feat, feat_sum_px, feat_min_px, feat_max_px)
+            ORDER BY media_id, frame_idx
+        """
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 clean-band cache / memoized resume on the gate: run 1 commits the
     even cells only (a simulated kill between stages), the resumed run's
@@ -4224,6 +4357,10 @@ def q_layout_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags = [
         "MAXAR", "PNEO", "SPOT6", "SPOT45", "GS2", "RE",
         "PLA", "S3_OLCI", "L7", "L1", "RCM", "ICEYE",
+        # round 8: Maxar/Vantor per-member layouts (SATID-refined tags) —
+        # QB02/GE01 are 4-band BGRN, WV01 pan-only, WVLG the 8-band Multi
+        # (vantor_product.py:1189-1230 band combinations, :147-215 members)
+        "QB02", "GE01", "WV01", "WVLG",
     ]
     probes = [
         "BLUE", "GREEN", "RED", "NIR", "NARROW_NIR", "YELLOW", "CA",
@@ -4392,6 +4529,235 @@ def q_maxar_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VANTOR_NAME = "{:012d}_01_P001_MUL"
+_MAXAR_MEMBER_ROWS: list[tuple[str, str | None]] = [
+    # (product_name suffix index, SATID in the metadata XML or None)
+    (_VANTOR_NAME.format(55670633040), "QB02"),
+    (_VANTOR_NAME.format(55670633041), "GE01"),
+    (_VANTOR_NAME.format(55670633042), "WV01"),
+    (_VANTOR_NAME.format(55670633043), "WV02"),
+    (_VANTOR_NAME.format(55670633044), "WV03"),
+    (_VANTOR_NAME.format(55670633045), "WV04"),
+    (_VANTOR_NAME.format(55670633046), "LG01"),   # Legion -> WVLG
+    (_VANTOR_NAME.format(55670633047), "LG08"),   # Legion -> WVLG
+    (_VANTOR_NAME.format(55670633048), None),     # no SATID -> umbrella
+    (_VANTOR_NAME.format(55670633049), "XX99"),   # unknown SATID -> umbrella
+    ("S2A_MSIL2A_20230601T103031_N0509_R108_T31UDQ_20230601T140000", None),
+    ("randomproduct_with_no_pattern", None),
+]
+
+
+def q_maxar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 per-member Maxar/Vantor resolution end-to-end (reference
+    vantor_product.py:675-687): the name stage can only see the shared
+    _VANTOR_REGEX shape so it tags the MAXAR umbrella; the member
+    constellation (QB02/GE01/WV01-04, Legion LGxx -> WVLG) comes from the
+    metadata's IMAGE/SATID element, extracted here through the REAL XML
+    metadata source (sources/metadata.read_mtd_column, a mapInPandas pass)
+    and applied with reader.refine_constellation.  Missing or unknown
+    SATIDs keep the umbrella tag (superset layout).  Layout + plane count
+    join from the broadcast constellation dimension; the RED calibration
+    gain (public Maxar white-paper table, bands.VANTOR_GAIN_OFFSET) probes
+    the per-member parameter dispatch.  The oracle restates the SATID
+    rules, reference band maps and gain literals independently in SQL."""
+    from eoreader_spark import bands as bands_mod
+    from eoreader_spark.sources import metadata, reader
+
+    rows = []
+    for name, satid in _MAXAR_MEMBER_ROWS:
+        body = f"<IMAGE><SATID>{satid}</SATID></IMAGE>" if satid else "<IMAGE/>"
+        rows.append((name, f"<ISD>{body}<IMD><BANDID>Multi</BANDID></IMD></ISD>"))
+    prods = spark.createDataFrame(rows, "product_name string, mtd_xml string")
+
+    satid = (
+        metadata.read_mtd_column(prods, id_col="product_name")
+        .filter(F.col("path") == "/ISD/IMAGE/SATID")
+        .select("product_name", F.col("value").alias("satid"))
+    )
+    refined = (
+        reader.detect(prods)
+        .join(satid, "product_name", "left")
+        .withColumn(
+            "constellation",
+            reader.refine_constellation("constellation", "satid"),
+        )
+    )
+    layout_dim = spark.createDataFrame(
+        [(c, lay, bands_mod.n_planes(lay))
+         for c, lay in bands_mod.CONSTELLATION_LAYOUT.items()],
+        "constellation string, layout string, n_planes int",
+    )
+    gain_dim = spark.createDataFrame(
+        [(m, go["RED"][0]) for m, go in bands_mod.VANTOR_GAIN_OFFSET.items()
+         if "RED" in go],
+        "constellation string, red_gain double",
+    )
+    return (
+        refined.join(F.broadcast(layout_dim), "constellation", "left")
+        .join(F.broadcast(gain_dim), "constellation", "left")
+        .select(
+            "product_name",
+            "constellation",
+            "layout",
+            "n_planes",
+            F.floor(F.col("red_gain") * 1000).cast("long").alias("red_gain_x1000"),
+        )
+        .orderBy("product_name")
+    )
+
+
+def _maxar_members_oracle() -> str:
+    """SATID rules + reference band maps + white-paper gain literals,
+    restated in SQL over the shared fixture constants."""
+    fixture = ",\n                ".join(
+        f"('{name}', {repr(satid) if satid else 'NULL'})"
+        for name, satid in _MAXAR_MEMBER_ROWS
+    )
+    return f"""
+            WITH fixture(product_name, satid) AS (VALUES
+                {fixture}
+            ),
+            tagged AS (
+                SELECT product_name, satid,
+                    CASE
+                        WHEN regexp_matches(product_name,
+                                '^\\d{{12}}_\\d{{2}}_P\\d{{3}}_(MUL|PAN|PSH|MOS)')
+                        THEN CASE
+                            WHEN satid LIKE 'LG%' THEN 'WVLG'
+                            WHEN satid IN ('QB02','GE01','WV01','WV02','WV03','WV04')
+                                THEN satid
+                            ELSE 'MAXAR' END
+                        WHEN regexp_matches(product_name,
+                                '^S2[ABCD]_MSIL(1C|2A)_\\d{{8}}T\\d{{6}}')
+                        THEN 'S2'
+                        ELSE NULL END AS constellation
+                FROM fixture
+            )
+            SELECT product_name, constellation,
+                CASE constellation
+                    WHEN 'QB02' THEN 'MAXAR_BGRN' WHEN 'GE01' THEN 'MAXAR_BGRN'
+                    WHEN 'WV04' THEN 'MAXAR_BGRN' WHEN 'WV01' THEN 'VHR_PAN'
+                    WHEN 'WV02' THEN 'MAXAR_MUL' WHEN 'WV03' THEN 'MAXAR_MUL'
+                    WHEN 'WVLG' THEN 'MAXAR_MUL' WHEN 'MAXAR' THEN 'MAXAR_MUL'
+                    WHEN 'S2' THEN 'S2_L2A' ELSE NULL END AS layout,
+                CASE constellation
+                    WHEN 'QB02' THEN 4 WHEN 'GE01' THEN 4 WHEN 'WV04' THEN 4
+                    WHEN 'WV01' THEN 1
+                    WHEN 'WV02' THEN 8 WHEN 'WV03' THEN 8 WHEN 'WVLG' THEN 8
+                    WHEN 'MAXAR' THEN 8 WHEN 'S2' THEN 14 ELSE NULL END AS n_planes,
+                CASE constellation
+                    WHEN 'QB02' THEN cast(floor(1.060 * 1000) AS BIGINT)
+                    WHEN 'GE01' THEN cast(floor(0.979 * 1000) AS BIGINT)
+                    WHEN 'WV02' THEN cast(floor(0.955 * 1000) AS BIGINT)
+                    WHEN 'WV03' THEN cast(floor(0.969 * 1000) AS BIGINT)
+                    WHEN 'WV04' THEN cast(floor(1.0 * 1000) AS BIGINT)
+                    WHEN 'WVLG' THEN cast(floor(1.0 * 1000) AS BIGINT)
+                    ELSE NULL END AS red_gain_x1000
+            FROM tagged ORDER BY product_name
+        """
+
+
+_STAC_MPC_ITEMS: list[tuple[str, str, str]] = [
+    # (item_id, self_href, collection_id)
+    ("S1A_IW_20230101T000000_DVP_RTC30_G_gpuned_ABCD",
+     "https://planetarycomputer.microsoft.com/api/stac/v1/collections/"
+     "sentinel-1-rtc/items/x", "sentinel-1-rtc"),
+    ("S2B_MSIL2A_20230715T104629_N0509_R051_T31TFJ_20230715T141100",
+     "https://planetarycomputer.microsoft.com/api/stac/v1/collections/"
+     "sentinel-2-l2a/items/x", "sentinel-2-l2a"),
+    ("S2A_MSIL2A_20230714T103031_N0509_R108_T31UDQ_20230714T140000",
+     "https://earth-search.aws.element84.com/v1/collections/"
+     "sentinel-2-l2a/items/x", "sentinel-2-l2a"),
+    ("S2A_MSIL1C_20230601T103031_N0509_R108_T31UDQ_20230601T123456",
+     "https://my-own-catalog.example.org/items/x", "my-s2-archive"),
+    ("S2A_31UDQ_20230714_0_L2A",
+     "https://earth-search.aws.element84.com/v1/collections/"
+     "sentinel-2-l2a/items/y", "sentinel-2-l2a"),
+    ("LC08_L2SP_197029_20230604_20230614_02_T1",
+     "https://planetarycomputer.microsoft.com/api/stac/v1/collections/"
+     "landsat-c2-l2/items/x", "landsat-c2-l2"),
+    ("totally-unrecognizable-item", "https://example.org/items/x", "misc"),
+]
+
+
+def q_stac_mpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 STAC-item-stage constellation resolution (reference
+    Reader._open_stac_item, reader.py:700-733): hosted-catalog variants
+    with no name signal — an 'rtc' collection is S1_RTC_MPC regardless of
+    the item id; an S2 item served by Microsoft Planetary Computer is
+    S2_MPC, by Element84 earth-search S2_E84; ids already resolving to a
+    non-S2 (or S2_E84-shaped) constellation pass through; unmatched ids
+    stay NULL.  Pure JVM column expressions over the item table + a
+    broadcast layout dimension; the oracle restates the precedence with
+    LIKE + the name regexes."""
+    from eoreader_spark import bands as bands_mod
+    from eoreader_spark.sources import reader
+
+    items = spark.createDataFrame(
+        _STAC_MPC_ITEMS, "item_id string, self_href string, collection_id string"
+    )
+    tagged = items.withColumn(
+        "constellation",
+        reader.stac_constellation_of("item_id", "self_href", "collection_id"),
+    )
+    layout_dim = spark.createDataFrame(
+        [(c, lay) for c, lay in bands_mod.CONSTELLATION_LAYOUT.items()],
+        "constellation string, layout string",
+    )
+    return (
+        tagged.join(F.broadcast(layout_dim), "constellation", "left")
+        .select("item_id", "constellation", "layout")
+        .orderBy("item_id")
+    )
+
+
+def _stac_mpc_oracle() -> str:
+    fixture = ",\n                ".join(
+        f"('{i}', '{h}', '{c}')" for i, h, c in _STAC_MPC_ITEMS
+    )
+    return f"""
+            WITH fixture(item_id, self_href, collection_id) AS (VALUES
+                {fixture}
+            ),
+            named AS (
+                SELECT item_id, self_href, collection_id,
+                    CASE
+                        WHEN regexp_matches(item_id,
+                                '^S2[ABCD]_MSIL(1C|2A)_\\d{{8}}T\\d{{6}}')
+                            THEN 'S2'
+                        WHEN regexp_matches(item_id,
+                                '^S2[ABCD]_\\d{{2}}[A-Z]{{3}}_\\d{{8}}_\\d_L(1C|2A)')
+                            THEN 'S2_E84'
+                        WHEN regexp_matches(item_id,
+                                '^L[OTC]08_(L1(GT|TP)|L2(SP|SR))_\\d{{6}}_\\d{{8}}_\\d{{8}}_\\d{{2}}_(RT|T1|T2)')
+                            THEN 'L8'
+                        ELSE NULL END AS base
+                FROM fixture
+            ),
+            resolved AS (
+                SELECT item_id,
+                    CASE
+                        WHEN collection_id LIKE '%rtc%' THEN 'S1_RTC_MPC'
+                        WHEN base = 'S2' AND self_href LIKE '%planetarycomputer%'
+                            THEN 'S2_MPC'
+                        WHEN base = 'S2'
+                             AND self_href LIKE '%earth-search.aws.element84.com%'
+                            THEN 'S2_E84'
+                        ELSE base END AS constellation
+                FROM named
+            )
+            SELECT item_id, constellation,
+                CASE constellation
+                    WHEN 'S1_RTC_MPC' THEN 'S1_GRD'
+                    WHEN 'S2_MPC' THEN 'S2_L2A'
+                    WHEN 'S2_E84' THEN 'S2_L2A'
+                    WHEN 'S2' THEN 'S2_L2A'
+                    WHEN 'L8' THEN 'L8_OLI'
+                    ELSE NULL END AS layout
+            FROM resolved ORDER BY item_id
+        """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell assignment + extent + kNN-ready histogram on
     sf0.001 — the engine's coarse spatial-join stage end-to-end."""
@@ -4475,10 +4841,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal/avcc: MP4 track refactor + intra H.264 decode path
         "video_feats": q_video_feats,
         "h264_feats": q_h264_feats,
+        "h264_gop": q_h264_gop,
         # new round-7 operators: static STAC catalog walk, Apply-Orbit-File
         "stac_open": q_stac_open,
         "orbit_interp": q_orbit_interp,
         "jp2_rate": q_jp2_rate,
+        # round-8 new operators: SATID member refinement, STAC-stage MPC/E84
+        "maxar_members": q_maxar_members,
+        "stac_mpc": q_stac_mpc,
         # ---- driver 50-key window ends here (keys above are snapshot) ----
         # ROUND-8 ROTATION PLAN: the 45 keys below were all driver-green in
         # CORRECTNESS_r06 (this round's rotated window covered them last
@@ -4536,7 +4906,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_product_e2e": q_s2_product_e2e,
         "sar_chain": q_sar_chain,
     }
-    return {k: _wrap(v) for k, v in qs.items()}
+    # ---- ROUND-8 WINDOW: the driver snapshots the FIRST 50 insertion-order
+    # keys, so reorder for this round's rotation plan (round-7 verdict task
+    # #3): band_presence FIRST (its driver row is r5 — the one stale row),
+    # then every key whose latest driver row is r6 (46 total incl.
+    # band_presence), then the three new round-8 queries, then stac_open
+    # (r7-checked but its OUTPUT changed this round: proj-extension probe
+    # columns).  The other r8-touched r7-checked gate queries (h264_feats,
+    # stac_catalog, reader_dispatch(_mtd), layout_presence) lost the slot
+    # math 55-for-50; they are re-verified by the local full-registry gate
+    # (tools/check_oracle.py) and promote first in r9 — documented in
+    # STATUS.md.
+    window = (
+        "band_presence",
+        # -- 45 other keys last driver-checked in round 6 --
+        "fingerprint", "sessionize_batch", "knn", "ivf_topk", "dedup_exact",
+        "minhash_lsh", "simhash", "embedding_near_dup", "banded_near_dup",
+        "cosine_topk", "pip_window", "cell_assign", "join_revenue",
+        "bit_union", "sensor_masks", "hull_dissolve", "extent", "centroid",
+        "percentile", "db_conversion", "gap_fill", "lang_id",
+        "quality_score", "token_count", "pricing_summary", "string_funcs",
+        "date_buckets", "rollup", "subwords", "hamming_pairs", "asof_join",
+        "anti_semi", "late_orders", "set_ops", "phash_distinct",
+        "tumbling_window", "topk_window", "xml_mtd", "sar_noise_chain",
+        "audio_feats", "audio_info", "jp2_decode", "jp2_tiled",
+        "s2_product_e2e", "sar_chain",
+        # -- new in round 8 --
+        "h264_gop", "maxar_members", "stac_mpc",
+        # -- r7-checked but output changed in round 8 --
+        "stac_open",
+    )
+    assert len(window) == 50 and set(window) <= qs.keys()
+    ordered = {k: qs[k] for k in window}
+    ordered.update((k, v) for k, v in qs.items() if k not in ordered)
+    return {k: _wrap(v) for k, v in ordered.items()}
 
 
 
@@ -4996,7 +5399,13 @@ def oracle_sql() -> dict[str, str]:
                        {LAT_EXPR} AS lat,
                        cast(user_id * 37 % 101 AS double) AS cloud_cover,
                        date_trunc('second', ts) AS dt,
-                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_asc
+                       CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_asc,
+                       -- the raster-grid descriptor attached to 4/5 of the
+                       -- items (event_id % 5 != 0), mirrored from q_stac_open
+                       CASE WHEN event_id % 5 != 0 THEN 1 ELSE 0 END AS has_grid,
+                       cast(256 + (event_id % 4) * 128 AS BIGINT) AS gw,
+                       cast(256 + (event_id % 3) * 256 AS BIGINT) AS gh,
+                       cast((event_id % 100) * 1000 AS BIGINT) AS gx0
                 FROM events WHERE event_id < 400
             )
             SELECT constellation,
@@ -5009,7 +5418,14 @@ def oracle_sql() -> dict[str, str]:
                    min(crs_epsg) AS min_epsg,
                    cast(sum(is_asc) AS BIGINT) AS n_asc,
                    {_stac_case_sql(0, "n_bands")},
-                   {_stac_case_sql(2, "wl_sum4")}
+                   {_stac_case_sql(2, "wl_sum4")},
+                   cast(sum(has_grid) AS BIGINT) AS n_grid,
+                   cast(sum(CASE WHEN has_grid = 1 THEN gh * gw END)
+                        AS BIGINT) AS px_total,
+                   round(sum(CASE WHEN has_grid = 1
+                             THEN gw * pixel_size END), 2) AS sum_span_x,
+                   cast(sum(CASE WHEN has_grid = 1 THEN gx0 END)
+                        AS BIGINT) AS sum_x0t
             FROM s GROUP BY constellation ORDER BY constellation
         """,
         "stac_catalog": f"""
@@ -5398,6 +5814,9 @@ def oracle_sql() -> dict[str, str]:
         "video_feats": _video_feats_oracle(),
         "jp2_rate": _jp2_rate_oracle(),
         "h264_feats": _h264_feats_oracle(),
+        "h264_gop": _h264_gop_oracle(),
+        "maxar_members": _maxar_members_oracle(),
+        "stac_mpc": _stac_mpc_oracle(),
         # audio_info: integer duration arithmetic restated from the fixture
         # construction parameters (mp3: n*1152/44100; flac: total/48000;
         # wav: n/16000)
@@ -5473,10 +5892,20 @@ def oracle_sql() -> dict[str, str]:
                 ('L1','VRE_3'),('L1','NIR'),('L1','NARROW_NIR'),
                 ('RCM','HH'),('RCM','VV'),('RCM','HV'),('RCM','VH'),
                 ('RCM','RH'),('RCM','RV'),
-                ('ICEYE','VV'),('ICEYE','HH')
+                ('ICEYE','VV'),('ICEYE','HH'),
+                ('QB02','BLUE'),('QB02','GREEN'),('QB02','RED'),
+                ('QB02','NIR'),('QB02','NARROW_NIR'),
+                ('GE01','BLUE'),('GE01','GREEN'),('GE01','RED'),
+                ('GE01','NIR'),('GE01','NARROW_NIR'),
+                ('WV01','PAN'),
+                ('WVLG','CA'),('WVLG','BLUE'),('WVLG','GREEN'),
+                ('WVLG','YELLOW'),('WVLG','RED'),('WVLG','VRE_1'),
+                ('WVLG','VRE_2'),('WVLG','VRE_3'),('WVLG','NIR'),
+                ('WVLG','NARROW_NIR'),('WVLG','WV')
             ),
             tags(layout) AS (VALUES ('MAXAR'),('PNEO'),('SPOT6'),('SPOT45'),
-                ('GS2'),('RE'),('PLA'),('S3_OLCI'),('L7'),('L1'),('RCM'),('ICEYE')),
+                ('GS2'),('RE'),('PLA'),('S3_OLCI'),('L7'),('L1'),('RCM'),('ICEYE'),
+                ('QB02'),('GE01'),('WV01'),('WVLG')),
             probes(band) AS (VALUES ('BLUE'),('GREEN'),('RED'),('NIR'),
                 ('NARROW_NIR'),('YELLOW'),('CA'),('SWIR_1'),('PAN'),('VV'),
                 ('RH'),('NDVI'),('NDSI'))

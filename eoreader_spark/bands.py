@@ -245,6 +245,13 @@ LAYOUTS: dict[str, list[str] | dict[str, int]] = {
         "CA": 0, "BLUE": 1, "GREEN": 2, "YELLOW": 3, "RED": 4,
         "VRE_1": 5, "VRE_2": 5, "VRE_3": 5, "NIR": 6, "NARROW_NIR": 6, "WV": 7,
     },
+    # Maxar / Vantor 4-band members (GE01/QB02/WV04): BGRN band combination
+    # (vantor_product.py:1189-1196: B=1 G=2 R=3 N=4, NARROW_NIR sharing the
+    # NIR file id).  WV01 is panchromatic-only (vantor_product.py:213-215:
+    # its calibration table carries PAN alone) and maps to VHR_PAN.
+    "MAXAR_BGRN": {
+        "BLUE": 0, "GREEN": 1, "RED": 2, "NIR": 3, "NARROW_NIR": 3,
+    },
     # SPOT-6/7 DIMAP v2 MS (spot67_product.py:67-81: B=1 G=2 R=3 N=4)
     "SPOT67_MS": ["BLUE", "GREEN", "RED", "NIR"],
     # SPOT-4/5 DIMAP v1 (spot45_product.py:326-379: NIR=1 RED=2 GREEN=3 SWIR=4)
@@ -328,6 +335,16 @@ CONSTELLATION_LAYOUT: dict[str, str] = {
     "SPOT5": "SPOT45_MS", "SPOT4": "SPOT45_MS", "SPOT45": "SPOT45_MS",
     "VIS1": "VIS1_MS", "GS2": "GS2_MS", "VENUS": "VENUS",
     "MAXAR": "MAXAR_MUL", "SV1": "SV1_MS", "ALEPH1": "ALEPH1_MS",
+    # Maxar/Vantor per-member tags (SATID-refined, sources/reader.py
+    # refine_constellation): 8-band members keep the Multi superset, 4-band
+    # members get BGRN, WV01 is pan-only.  The umbrella aliases VANTOR and
+    # SATELLOGIC dispatch like their canonical tags.
+    "WV02": "MAXAR_MUL", "WV03": "MAXAR_MUL", "WVLG": "MAXAR_MUL",
+    "QB02": "MAXAR_BGRN", "GE01": "MAXAR_BGRN", "WV04": "MAXAR_BGRN",
+    "WV01": "VHR_PAN",
+    "VANTOR": "MAXAR_MUL", "SATELLOGIC": "ALEPH1_MS",
+    # STAC-hosted variants (sources/reader.py stac_constellation_of)
+    "S2_MPC": "S2_L2A", "S1_RTC_MPC": "S1_GRD",
     "TSX": "SAR_QUAD", "TDX": "SAR_QUAD", "PAZ": "SAR_QUAD",
     "CSK": "SAR_QUAD", "CSG": "SAR_QUAD", "RS2": "SAR_QUAD",
     "SAOCOM": "SAR_QUAD", "RCM": "RCM_SAR", "ICEYE": "ICEYE_SAR",
@@ -339,6 +356,54 @@ CONSTELLATION_LAYOUT: dict[str, str] = {
 def layout_for(constellation: str) -> str:
     """Detected constellation tag -> layout class (KeyError if undetectable)."""
     return CONSTELLATION_LAYOUT[constellation]
+
+
+# ------------------------- Maxar/Vantor per-member radiometric calibration
+# Band-dependent absolute-calibration adjustment (gain, offset) per member,
+# from the public Maxar absolute-radiometric-calibration white paper as
+# tabulated in the reference (vantor_product.py:147-215 _VANTOR_GAIN_OFFSET;
+# GE01/WV02/WV03 2018v0, QB02/WV01 2016v0.Int, WV04 2017v0, Legion unity).
+# These are the "Product subclass parameters" the per-member dispatch
+# carries: feed to ImageEngine(gains=...) — the X4 affine applied at load.
+_WV02_GO = {
+    "PAN": (0.949, -5.523), "CA": (1.203, -11.839), "BLUE": (1.002, -9.835),
+    "GREEN": (0.953, -7.218), "YELLOW": (0.946, -5.675), "RED": (0.955, -5.046),
+    "VRE_1": (0.980, -6.114), "VRE_2": (0.980, -6.114), "VRE_3": (0.980, -6.114),
+    "NIR": (0.966, -5.096), "NARROW_NIR": (0.966, -5.096), "WV": (1.01, -4.059),
+}
+_WV03_GO = {
+    "PAN": (0.955, -5.505), "CA": (0.938, -13.099), "BLUE": (0.946, -9.409),
+    "GREEN": (0.958, -7.771), "YELLOW": (0.979, -5.489), "RED": (0.969, -4.579),
+    "VRE_1": (1.027, -5.552), "VRE_2": (1.027, -5.552), "VRE_3": (1.027, -5.552),
+    "NIR": (0.977, -6.508), "NARROW_NIR": (0.977, -6.508), "WV": (1.007, -3.699),
+}
+VANTOR_GAIN_OFFSET: dict[str, dict[str, tuple[float, float]]] = {
+    "WVLG": {b: (1.0, 0.0) for b in (
+        "PAN", "CA", "BLUE", "GREEN", "YELLOW", "RED",
+        "VRE_1", "VRE_2", "VRE_3", "NIR", "NARROW_NIR", "WV")},
+    "GE01": {
+        "PAN": (1.001, 0.0), "BLUE": (1.041, 0.0), "GREEN": (0.972, 0.0),
+        "RED": (0.979, 0.0), "NIR": (0.951, 0.0), "NARROW_NIR": (0.951, 0.0),
+    },
+    "WV02": _WV02_GO,
+    "WV03": _WV03_GO,
+    "WV04": {b: (1.0, 0.0) for b in (
+        "PAN", "BLUE", "GREEN", "RED", "NIR", "NARROW_NIR")},
+    "QB02": {
+        "PAN": (0.870, -1.491), "BLUE": (1.105, -2.820), "GREEN": (1.071, -3.338),
+        "RED": (1.060, -2.954), "NIR": (1.020, -4.722), "NARROW_NIR": (1.020, -4.722),
+    },
+    "WV01": {"PAN": (1.016, -1.824)},
+}
+
+
+def vantor_gains(member: str) -> dict[str, tuple[float, float]]:
+    """Per-member (gain, offset) calibration dict for ImageEngine(gains=...).
+
+    KeyError on a non-Vantor tag; the umbrella MAXAR/VANTOR tags have no
+    single calibration (it is member-dependent) so they are deliberately
+    absent — refine the constellation first (sources/reader.py)."""
+    return VANTOR_GAIN_OFFSET[member]
 
 
 # ------------------------------------------------- STAC EO-extension vocab

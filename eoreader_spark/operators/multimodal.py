@@ -315,7 +315,8 @@ def _iso_boxes(buf: bytes, start: int, end: int):
 def parse_mp4(data: bytes) -> dict:
     """ISO BMFF box walk -> movie facts (moov/mvhd timescale + duration,
     trak count).  Pure container metadata; MJPEG-in-MP4 sample decode is
-    real (split_mp4_mjpeg); inter-coded codecs (h264/h265) need ffmpeg."""
+    real (split_mp4_mjpeg), as are intra 'avc1' samples and raw Annex-B
+    H.264 GOP streams (sources/avcc); h265 needs ffmpeg."""
     boxes = _iso_boxes
     mvhd = None
     n_trak = 0
@@ -831,7 +832,9 @@ def video_frame_sample(
     feature vector (resize x resize box means of the luma plane — exact in
     float32 when block pixel counts are powers of two).
 
-    Inter-coded containers (h264/h265 in mp4 etc.) need ffmpeg, absent in
+    H.264 decodes natively via the engine's own codec: intra 'avc1' MP4
+    samples and raw Annex-B streams incl. GOP-structured IDR+P (round 8);
+    other inter-coded containers (h265, P-in-mp4) need ffmpeg, absent in
     this container — those raise with the format named.  Reference analog:
     eoreader treats quicklooks/overviews as decimated reads
     (`/root/reference/eoreader/products/product.py` quicklook path); frame
@@ -849,6 +852,12 @@ def video_frame_sample(
                 dec = lambda b: jpegc.decode_jfif(b)[0]  # noqa: E731
                 if fmt == "mjpeg":
                     frames = split_mjpeg(bytes(data))
+                elif fmt == "h264":
+                    # raw Annex-B, possibly GOP-structured (IDR + P
+                    # slices, round 8): inter frames need decode order,
+                    # so decode the whole stream once and sample lumas
+                    frames = avcc.decode_h264(bytes(data))
+                    dec = lambda a: a  # noqa: E731
                 elif fmt == "mp4":
                     # sample-table demux: MJPEG samples decode via the T.81
                     # codec; 'avc1' tracks via the engine's own intra H.264
@@ -868,8 +877,9 @@ def video_frame_sample(
                 else:
                     raise NotImplementedError(
                         f"video decode for fmt={fmt!r} requires ffmpeg (not in "
-                        "container); Motion-JPEG ('mjpeg'/'mp4') and intra "
-                        "H.264 ('mp4' avc1) decode natively"
+                        "container); Motion-JPEG ('mjpeg'/'mp4'), intra "
+                        "H.264 ('mp4' avc1) and GOP Annex-B H.264 ('h264') "
+                        "decode natively"
                     )
                 for fi in range(0, len(frames), every_n):
                     luma = dec(frames[fi]).astype(np.float32)

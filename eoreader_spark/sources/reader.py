@@ -75,6 +75,81 @@ NAME_PATTERNS: list[tuple[str, str]] = [
     ("PLA", r"^\d{8}_\d{6}_(\d{2}_|)[a-z0-9]{4}$"),
 ]
 
+# Umbrella tags whose members are indistinguishable by NAME alone: the
+# reference maps every Maxar/Vantor member (QB02/GE01/WV01-04/WVLG, plus the
+# legacy MAXAR and rebranded VANTOR umbrella ids) to ONE shared regex
+# (reader.py:352-361 _VANTOR_REGEX) and resolves the member from the
+# metadata's IMAGE/SATID element (vantor_product.py:675-687); likewise
+# ALEPH1/SATELLOGIC share _ALEPH1_REGEX (reader.py:373-374).  The engine's
+# name stage emits the umbrella tag; refine_constellation() below is the
+# SATID-driven member resolution.
+CONSTELLATION_ALIASES: dict[str, str] = {
+    # accepted user-facing alias -> canonical umbrella tag
+    "VANTOR": "MAXAR",
+    "SATELLOGIC": "ALEPH1",
+}
+
+# SATID metadata value -> per-member constellation tag.  Values are the
+# member names themselves except Legion platforms LG01..LG08, which fold to
+# WVLG (vantor_product.py:682-687: 'LG' in SATID -> Constellation.WVLG).
+MAXAR_MEMBERS = ("QB02", "GE01", "WV01", "WV02", "WV03", "WV04")
+
+
+def maxar_member_of(satid: Column | str) -> Column:
+    """Metadata SATID -> per-member constellation tag (NULL if unknown).
+
+    Mirrors the reference's VantorProduct._get_constellation
+    (vantor_product.py:675-687): LGxx platforms map to WVLG, the other
+    SATID values ARE the member tags."""
+    c = F.col(satid) if isinstance(satid, str) else satid
+    return (
+        F.when(c.startswith("LG"), F.lit("WVLG"))
+        .when(c.isin(*MAXAR_MEMBERS), c)
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def refine_constellation(tag: Column | str, satid: Column | str) -> Column:
+    """Name-stage umbrella tag + metadata SATID -> per-member tag.
+
+    Products whose name stage detected the MAXAR/VANTOR umbrella resolve to
+    QB02/GE01/WV01-04/WVLG from the SATID element; anything else (including
+    a Maxar product with missing/garbled SATID, which keeps the umbrella
+    tag so downstream dispatch still has the 8-band superset layout) passes
+    through unchanged."""
+    t = F.col(tag) if isinstance(tag, str) else tag
+    member = maxar_member_of(satid)
+    return F.when(
+        t.isin("MAXAR", "VANTOR") & member.isNotNull(), member
+    ).otherwise(t)
+
+
+def stac_constellation_of(
+    item_id: Column | str,
+    self_href: Column | str,
+    collection_id: Column | str,
+) -> Column:
+    """STAC-item-stage detection (reference Reader._open_stac_item,
+    reader.py:700-733): hosted-catalog variants that carry NO name signal —
+    an 'rtc' collection resolves to S1_RTC_MPC regardless of id; an S2 item
+    served from Microsoft Planetary Computer is S2_MPC, from Element84's
+    earth-search it is S2_E84.  Everything else falls back to the plain
+    name-regex pass over the item id."""
+    iid = F.col(item_id) if isinstance(item_id, str) else item_id
+    href = F.col(self_href) if isinstance(self_href, str) else self_href
+    coll = F.col(collection_id) if isinstance(collection_id, str) else collection_id
+    base = constellation_of(iid)
+    return (
+        F.when(coll.contains("rtc"), F.lit("S1_RTC_MPC"))
+        .when((base == "S2") & href.contains("planetarycomputer"), F.lit("S2_MPC"))
+        .when(
+            (base == "S2") & href.contains("earth-search.aws.element84.com"),
+            F.lit("S2_E84"),
+        )
+        .otherwise(base)
+    )
+
+
 # metadata-presence fallback for products whose FOLDER name is unrecognizable
 # (the reference checks a file inside instead, reader.py:377-420): applied to
 # the archive member list (sources/archive.list_members) when the name pass

@@ -12,8 +12,12 @@ Extension coverage:
   (name / common_name / center_wavelength) derived from the constellation's
   layout vocabulary (bands.eo_bands_for — the analog of EoExt walking
   prod.bands, stac_extensions.py:150-183)
-- Projection: epsg + centroid (proj bbox/shape need the raster grid, which
-  travels separately in this engine)
+- Projection: epsg + centroid always; when the raster-grid descriptor is
+  supplied (image_id, width, height, x0, y0 — the default_transform analog,
+  stac_extensions.py:215-224), also `proj:shape` [height, width],
+  `proj:transform` (north-up affine [px, 0, x0, 0, -px, y0]) and
+  `proj:bbox` [xmin, ymin, xmax, ymax] like the reference's ProjExt
+  (stac_extensions.py:300-313)
 - View: `view:sun_azimuth`, `view:sun_elevation` (= 90 - zenith, exactly the
   reference's conversion, stac_extensions.py:336-345) and, when provided,
   `view:azimuth` / `view:off_nadir` / `view:incidence_angle`
@@ -43,6 +47,8 @@ ITEM_SCHEMA = (
     "struct<type:string, stac_version:string, id:string,"
     " properties:struct<datetime:string, constellation:string,"
     " product_type:string, gsd:double, `proj:epsg`:int,"
+    " `proj:shape`:array<int>, `proj:transform`:array<double>,"
+    " `proj:bbox`:array<double>,"
     " `sat:orbit_state`:string, `eo:cloud_cover`:double,"
     f" `eo:bands`:{_EO_BAND_STRUCT},"
     " `view:sun_azimuth`:double, `view:sun_elevation`:double,"
@@ -75,9 +81,12 @@ def to_stac_items(
     footprints: DataFrame | None = None,
     view_angles: DataFrame | None = None,
     eo_bands: bool = True,
+    grid: DataFrame | None = None,
 ) -> DataFrame:
     """scenes (T2) [+ footprints (T3)] [+ view_angles (image_id, sun_az,
-    sun_zen[, view_az, off_nadir, incidence_angle])] -> (image_id, stac_json)."""
+    sun_zen[, view_az, off_nadir, incidence_angle])] [+ grid (image_id,
+    width, height, x0, y0) — the default_transform analog, yielding
+    proj:shape / proj:transform / proj:bbox] -> (image_id, stac_json)."""
     df = scenes
     if footprints is not None:
         df = df.join(footprints.select("image_id", "geom_wkt"), "image_id", "left")
@@ -89,6 +98,28 @@ def to_stac_items(
         )
     else:
         df = df.withColumn("eo_bands", F.lit(None).cast(_EO_BAND_STRUCT))
+    proj_cols = []
+    if grid is not None:
+        df = df.join(
+            F.broadcast(grid.select("image_id", "width", "height", "x0", "y0")),
+            "image_id", "left",
+        )
+        px = F.col("pixel_size")
+        xmin, ymax = F.col("x0"), F.col("y0")
+        xmax = F.col("x0") + F.col("width") * px
+        ymin = F.col("y0") - F.col("height") * px
+        has_grid = F.col("width").isNotNull() & F.col("height").isNotNull()
+        proj_cols = [
+            # [height, width] row-major, stac_extensions.py:220; items with
+            # no grid row OMIT the fields (to_json drops nulls), like the
+            # reference's shape=None branch (stac_extensions.py:222-224)
+            F.when(has_grid, F.array(F.col("height"), F.col("width")))
+            .alias("proj:shape"),
+            # north-up affine, first 6 coefficients (rasterio Affine order)
+            F.when(has_grid, F.array(px, F.lit(0.0), xmin, F.lit(0.0), -px, ymax))
+            .alias("proj:transform"),
+            F.when(has_grid, F.array(xmin, ymin, xmax, ymax)).alias("proj:bbox"),
+        ]
     view_cols = []
     if view_angles is not None:
         df = df.join(F.broadcast(view_angles), "image_id", "left")
@@ -111,6 +142,7 @@ def to_stac_items(
             F.col("product_type"),
             F.col("pixel_size").alias("gsd"),
             F.col("crs_epsg").alias("proj:epsg"),
+            *proj_cols,
             F.col("orbit_direction").alias("sat:orbit_state"),
             F.col("cloud_cover").alias("eo:cloud_cover"),
             F.col("eo_bands").alias("eo:bands"),
@@ -141,6 +173,9 @@ def open_stac_items(items: DataFrame, json_col: str = "stac_json") -> DataFrame:
         F.to_timestamp(F.col(f"{p}.datetime"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("datetime"),
         F.col(f"{p}.gsd").alias("pixel_size"),
         F.col(f"{p}.`proj:epsg`").alias("crs_epsg"),
+        F.col(f"{p}.`proj:shape`").alias("proj_shape"),
+        F.col(f"{p}.`proj:transform`").alias("proj_transform"),
+        F.col(f"{p}.`proj:bbox`").alias("proj_bbox"),
         F.col("_it.centroid")[0].alias("lon"),
         F.col("_it.centroid")[1].alias("lat"),
         F.col(f"{p}.`sat:orbit_state`").alias("orbit_direction"),

@@ -340,3 +340,241 @@ class TestAdviceRegressions:
         # extreme offsets clip into [0, 51] instead of indexing out of range
         for off in (-26, 17):
             avcc.decode_h264_yuv(stream(off))
+
+
+def _mc_luma_spec(ref, y0, x0, mvx, mvy, bh=16, bw=16):
+    """Independent scalar re-derivation of 8.4.2.2.1 with the spec's
+    position lettering (G..r), used to pin the vectorized _mc_luma."""
+    H, W = ref.shape
+    xI, yI = x0 + (mvx >> 2), y0 + (mvy >> 2)
+    xF, yF = mvx & 3, mvy & 3
+    taps = (1, -5, 20, 20, -5, 1)
+
+    def P(y, x):
+        return int(ref[min(max(y, 0), H - 1), min(max(x, 0), W - 1)])
+
+    def hh(y, x):  # unrounded 6-tap at (y, x+1/2)
+        return sum(c * P(y, x + k - 2) for k, c in enumerate(taps))
+
+    def vv(y, x):  # unrounded 6-tap at (y+1/2, x)
+        return sum(c * P(y + k - 2, x) for k, c in enumerate(taps))
+
+    def cl(v):
+        return min(max(v, 0), 255)
+
+    out = np.zeros((bh, bw), np.int64)
+    for i in range(bh):
+        for jj in range(bw):
+            y, x = yI + i, xI + jj
+            G = P(y, x)
+            Hs = P(y, x + 1)
+            M = P(y + 1, x)
+            b = cl((hh(y, x) + 16) >> 5)
+            s = cl((hh(y + 1, x) + 16) >> 5)
+            h = cl((vv(y, x) + 16) >> 5)
+            m = cl((vv(y, x + 1) + 16) >> 5)
+            j1 = sum(c * hh(y + k - 2, x) for k, c in enumerate(taps))
+            j = cl((j1 + 512) >> 10)
+            a = (G + b + 1) >> 1
+            c_ = (Hs + b + 1) >> 1
+            d = (G + h + 1) >> 1
+            n = (M + h + 1) >> 1
+            e = (b + h + 1) >> 1
+            f = (b + j + 1) >> 1
+            g = (b + m + 1) >> 1
+            i_ = (h + j + 1) >> 1
+            k = (j + m + 1) >> 1
+            p = (h + s + 1) >> 1
+            q = (j + s + 1) >> 1
+            r = (m + s + 1) >> 1
+            grid = [[G, a, b, c_], [d, e, f, g], [h, i_, j, k], [n, p, q, r]]
+            out[i, jj] = grid[yF][xF]
+    return out
+
+
+class TestInterPrediction:
+    """Round-8 P-slice subset: quarter-pel MC, CBP table, GOP round-trips,
+    hand-built P_Skip/intra-in-P streams, named subset errors."""
+
+    def test_mc_luma_matches_scalar_spec(self):
+        rng = np.random.RandomState(8)
+        ref = rng.randint(0, 256, size=(40, 56)).astype(np.int64)
+        for trial in range(40):
+            y0 = int(rng.randint(0, 24))
+            x0 = int(rng.randint(0, 40))
+            mvx = int(rng.randint(-30, 31))
+            mvy = int(rng.randint(-30, 31))
+            got = avcc._mc_luma(ref, y0, x0, mvx, mvy, 8, 8)
+            want = _mc_luma_spec(ref, y0, x0, mvx, mvy, 8, 8)
+            assert np.array_equal(got, want), (trial, y0, x0, mvx, mvy)
+
+    def test_mc_chroma_bilinear_exact(self):
+        rng = np.random.RandomState(9)
+        ref = rng.randint(0, 256, size=(16, 24)).astype(np.int64)
+        for _ in range(40):
+            y0, x0 = int(rng.randint(0, 8)), int(rng.randint(0, 16))
+            mvx, mvy = int(rng.randint(-40, 41)), int(rng.randint(-40, 41))
+            got = avcc._mc_chroma(ref, y0, x0, mvx, mvy, 4, 4)
+            xI, yI = x0 + (mvx >> 3), y0 + (mvy >> 3)
+            xF, yF = mvx & 7, mvy & 7
+            for i in range(4):
+                for j in range(4):
+                    def P(y, x):
+                        return int(ref[min(max(y, 0), 15), min(max(x, 0), 23)])
+                    v = ((8 - xF) * (8 - yF) * P(yI + i, xI + j)
+                         + xF * (8 - yF) * P(yI + i, xI + j + 1)
+                         + (8 - xF) * yF * P(yI + i + 1, xI + j)
+                         + xF * yF * P(yI + i + 1, xI + j + 1) + 32) >> 6
+                    assert got[i, j] == v
+
+    def test_cbp_inter_table_is_permutation(self):
+        assert sorted(avcc._CBP_INTER) == list(range(48))
+        assert all(avcc._CBP_INTER[avcc._CBP_INTER_INV[c]] == c
+                   for c in range(48))
+
+    def test_gop_roundtrip_psnr_ladder(self):
+        rng = np.random.RandomState(0)
+        base = codecs.make_image(11, 48, 80, planes=1)[0].astype(np.int64)
+        frames = [np.clip(np.roll(base, t, axis=1)
+                          + rng.randint(-2, 3, base.shape), 0, 255)
+                  .astype(np.uint8) for t in range(8)]
+        prev = None
+        for qp in (6, 14, 20):
+            data = avcc.encode_h264(frames, qp=qp, gop=8)
+            outs = avcc.decode_h264(data)
+            ps = [codecs.psnr(f, o) for f, o in zip(frames, outs)]
+            assert min(ps) >= 40.0, (qp, ps)  # BASELINE invariant incl. P frames
+            if prev is not None:
+                assert len(data) < prev
+            prev = len(data)
+
+    def test_gop_beats_all_intra_on_motion(self):
+        base = codecs.make_image(5, 64, 96, planes=3)
+        frames = [np.roll(base, shift=(t, 2 * t), axis=(1, 2))
+                  for t in range(6)]
+        gop = avcc.encode_h264(frames, qp=10, gop=6)
+        intra = avcc.encode_h264(frames, qp=10)
+        assert len(gop) < 0.6 * len(intra)
+        outs = avcc.decode_h264_yuv(gop)
+        for f, (y, cb, cr) in zip(frames, outs):
+            assert codecs.psnr(f[0], y) >= 45.0
+
+    def test_static_content_p_frames_are_cheap(self):
+        img = codecs.make_image(7, 64, 64, planes=3)
+        one = avcc.encode_h264([img], qp=16)
+        five = avcc.encode_h264([img] * 5, qp=16, gop=5)
+        # 4 P frames of a static scene cost a fraction of one more IDR
+        assert len(five) - len(one) < 0.5 * len(one)
+        outs = avcc.decode_h264_yuv(five)
+        assert codecs.psnr(img[0], outs[-1][0]) >= 42.0
+
+    def test_crop_and_multi_gop(self):
+        imgs = [codecs.make_image(s, 30, 44, planes=3) for s in (1, 2, 9, 4)]
+        outs = avcc.decode_h264_yuv(avcc.encode_h264(imgs, qp=8, gop=4))
+        for im, (y, cb, cr) in zip(imgs, outs):
+            assert y.shape == (30, 44) and cb.shape == (15, 22)
+            assert codecs.psnr(im[0], y) >= 42.0
+        frames = [codecs.make_image(20 + t, 32, 48, planes=1)[0]
+                  for t in range(7)]
+        d = avcc.encode_h264(frames, qp=10, gop=3)  # IDR at 0, 3, 6
+        outs = avcc.decode_h264(d)
+        assert min(codecs.psnr(f, o) for f, o in zip(frames, outs)) >= 40.0
+        assert all(np.array_equal(a, b)
+                   for a, b in zip(avcc.decode_h264(d), outs))
+
+    def _p_stream(self, idr_img, p_body_bits, mb_w=2, mb_h=1, p_rbsp=None):
+        """IDR frame + one hand-built P slice (body bits or full rbsp)."""
+        y, cb, cr = avcc._to_yuv(idr_img)
+        body = avcc._BitWriter()
+        avcc._encode_frame(body, y.astype(np.int64), cb.astype(np.int64),
+                           cr.astype(np.int64), 12)
+        if p_rbsp is None:
+            p_rbsp = avcc._slice_rbsp_p(12, 12, 1, p_body_bits)
+        out = bytearray()
+        out += avcc._nal(7, avcc._sps_rbsp(mb_w, mb_h, 16 * mb_w, 16 * mb_h))
+        out += avcc._nal(8, avcc._pps_rbsp(12))
+        out += avcc._nal(5, avcc._slice_rbsp(12, 12, 0, body))
+        out += avcc._nal(1, p_rbsp, ref_idc=2)
+        return bytes(out)
+
+    def test_handbuilt_p_skip_and_pcm_intra_in_p(self):
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, size=(16, 32)).astype(np.uint8)
+        pcm_y = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+        # full slice rbsp by hand: PCM byte-alignment counts HEADER bits too
+        pw = avcc._BitWriter()
+        pw.ue(0); pw.ue(5); pw.ue(0)   # first_mb, slice_type P, pps_id
+        pw.u(1, 4)                     # frame_num
+        pw.u(0, 1); pw.u(0, 1); pw.u(0, 1)
+        pw.se(0)                       # slice_qp_delta
+        pw.ue(1)                       # deblock off
+        pw.ue(1)    # mb_skip_run = 1 (first MB is P_Skip)
+        pw.ue(30)   # mb_type 30 = I_PCM in P-slice numbering
+        pad = (-len("".join(pw.bits))) % 8
+        if pad:
+            pw.u(0, pad)
+        for v in pcm_y.ravel():
+            pw.u(int(v), 8)
+        for _ in range(2 * 64):   # cb, cr
+            pw.u(128, 8)
+        stream = self._p_stream(img, None, p_rbsp=pw.rbsp())
+        frames = avcc.decode_h264_yuv(stream)
+        assert len(frames) == 2
+        idr_y = frames[0][0]
+        p_y = frames[1][0]
+        # MB 0 was skipped with MV (0,0): identical to the reference
+        assert np.array_equal(p_y[:, :16], idr_y[:, :16])
+        # MB 1 is I_PCM: exact raw samples
+        assert np.array_equal(p_y[:, 16:], pcm_y)
+        assert np.all(frames[1][1][:, 8:] == 128)
+
+    def test_trailing_skip_run_covers_slice_end(self):
+        img = codecs.make_image(6, 16, 32, planes=1)[0]
+        pw = avcc._BitWriter()
+        pw.ue(2)  # both MBs skipped, no trailing mb data
+        frames = avcc.decode_h264_yuv(self._p_stream(img, pw))
+        assert np.array_equal(frames[1][0], frames[0][0])
+
+    def test_p_subset_raises_named(self):
+        img = codecs.make_image(6, 16, 32, planes=1)[0]
+        for bad_type, msg in ((1, "sub-16x16"), (3, "sub-16x16")):
+            pw = avcc._BitWriter()
+            pw.ue(0)
+            pw.ue(bad_type)
+            with pytest.raises(NotImplementedError, match=msg):
+                avcc.decode_h264(self._p_stream(img, pw))
+        # skip run overrunning the slice is corrupt, not a crash
+        pw = avcc._BitWriter()
+        pw.ue(40)
+        with pytest.raises(ValueError, match="mb_skip_run"):
+            avcc.decode_h264(self._p_stream(img, pw))
+
+    def test_p_slice_without_reference_raises(self):
+        img = codecs.make_image(6, 16, 32, planes=1)[0]
+        stream = self._p_stream(img, avcc._BitWriter())
+        nals = stream.split(b"\x00\x00\x00\x01")
+        # drop the IDR slice: SPS + PPS + P slice only
+        broken = b"\x00\x00\x00\x01".join([nals[0], nals[1], nals[2], nals[4]])
+        with pytest.raises(ValueError, match="no reference"):
+            avcc.decode_h264(broken)
+
+    def test_b_slice_raises_named(self):
+        img = codecs.make_image(6, 16, 32, planes=1)[0]
+        y, cb, cr = avcc._to_yuv(img)
+        body = avcc._BitWriter()
+        avcc._encode_frame(body, y.astype(np.int64), cb.astype(np.int64),
+                           cr.astype(np.int64), 12)
+        bw = avcc._BitWriter()
+        bw.ue(0)
+        bw.ue(6)  # slice_type B
+        out = (avcc._nal(7, avcc._sps_rbsp(2, 1, 32, 16))
+               + avcc._nal(8, avcc._pps_rbsp(12))
+               + avcc._nal(5, avcc._slice_rbsp(12, 12, 0, body))
+               + avcc._nal(1, bw.rbsp(), ref_idc=2))
+        with pytest.raises(NotImplementedError, match="B/SP/SI"):
+            avcc.decode_h264(out)
+
+    def test_gop_validation(self):
+        img = codecs.make_image(1, 16, 16, planes=1)[0]
+        with pytest.raises(ValueError, match="gop"):
+            avcc.encode_h264([img], qp=10, gop=0)

@@ -50,6 +50,8 @@ def _streams():
         "mjpeg": (mm.encode_mjpeg([img[:1], img[:1]]), mm.split_mjpeg),
         "mp4": (mm.encode_mp4_mjpeg([img[:1], img[:1]]), mm.split_mp4_mjpeg),
         "h264": (avcc.encode_h264([img[0], img[1]], qp=12), avcc.decode_h264),
+        "h264_gop": (avcc.encode_h264([img[0], img[1], img[0]], qp=12, gop=3),
+                     avcc.decode_h264),
         "mp4_avc1": (mm.encode_mp4_h264([img[0], img[1]], qp=12),
                      lambda b: [avcc.decode_h264(f) for f in mm.split_mp4_avc1(b)]),
         "wav": (mm.encode_wav(np.sin(np.arange(800) / 20.0) * 0.4, 8000),
@@ -261,6 +263,58 @@ def test_deep_fixture_fuzz_matrix(name, fixture, dec):
                 for _ in range(rng.randint(1, 4)):
                     mut[rng.randint(0, len(mut))] = rng.randint(0, 256)
                 b = bytes(mut)
+            signal.alarm(20)
+            try:
+                dec(b)
+            except OK:
+                pass
+            finally:
+                signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
+    assert not fired["hang"]
+
+
+def test_h264_deep_fuzz_nal_boundaries_and_expgolomb():
+    """Round-8 VERDICT #7: avcc gets the hdf5-grade fuzz depth.  A
+    multi-frame GOP fixture (IDR + P slices, the newest parser paths) is
+    swept with (1) truncations targeted AT every NAL start-code boundary
+    +-2 bytes (param-set/slice splits), (2) 4x-count random truncations,
+    which cut exp-Golomb symbols mid-bit, and (3) 4x-count bit flips.
+    Contract: named error or a decode — never a bare low-level exception,
+    never a hang."""
+    img = _img()
+    frames = [img[0], img[1], img[0], img[1]]
+    data = avcc.encode_h264(frames, qp=14, gop=4)
+    dec = avcc.decode_h264
+    dec(data)  # pristine decodes
+
+    cuts = []
+    pos = data.find(b"\x00\x00\x01")
+    while pos >= 0:
+        for d in (-2, -1, 0, 1, 2, 3):
+            if 0 < pos + d < len(data):
+                cuts.append(pos + d)
+        pos = data.find(b"\x00\x00\x01", pos + 3)
+    rng = np.random.RandomState(88)
+    muts = [bytes(data[:c]) for c in cuts]
+    for _ in range(4 * N):
+        muts.append(bytes(data[: rng.randint(1, len(data))]))
+    for _ in range(4 * N):
+        m = bytearray(data)
+        for _ in range(rng.randint(1, 6)):
+            m[rng.randint(0, len(m))] = rng.randint(0, 256)
+        muts.append(bytes(m))
+
+    fired = {"hang": False}
+
+    def _alarm(sig_, frm):
+        fired["hang"] = True
+        raise TimeoutError("h264 deep fuzz: decode exceeded budget")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for b in muts:
             signal.alarm(20)
             try:
                 dec(b)

@@ -230,6 +230,130 @@ def test_constellation_member_fallback(spark):
     assert got["S2A_MSIL2A_20240116T105309_rest"] == "S2"
 
 
+def test_maxar_member_refinement(spark):
+    """Round 8: SATID metadata resolves the MAXAR/VANTOR umbrella to the
+    per-member constellation (vantor_product.py:675-687); Legion platforms
+    fold to WVLG; missing/unknown SATIDs keep the umbrella; non-Maxar tags
+    pass through untouched."""
+    from eoreader_spark.sources import reader
+
+    rows = [
+        ("055670633040_01_P001_MUL", "QB02"),
+        ("055670633041_01_P001_PSH", "GE01"),
+        ("055670633042_01_P001_PAN", "WV01"),
+        ("055670633043_01_P001_MUL", "WV02"),
+        ("055670633044_01_P001_MOS", "WV03"),
+        ("055670633045_01_P001_MUL", "WV04"),
+        ("055670633046_01_P001_MUL", "LG03"),
+        ("055670633047_01_P001_MUL", None),
+        ("055670633048_01_P001_MUL", "XX99"),
+        ("S2A_MSIL2A_20240116T105309_rest", "QB02"),  # not Maxar: untouched
+    ]
+    df = spark.createDataFrame(rows, "product_name string, satid string")
+    got = {
+        r.product_name: r.constellation
+        for r in reader.detect(df)
+        .withColumn(
+            "constellation",
+            reader.refine_constellation("constellation", "satid"),
+        )
+        .collect()
+    }
+    assert got["055670633040_01_P001_MUL"] == "QB02"
+    assert got["055670633041_01_P001_PSH"] == "GE01"
+    assert got["055670633042_01_P001_PAN"] == "WV01"
+    assert got["055670633043_01_P001_MUL"] == "WV02"
+    assert got["055670633044_01_P001_MOS"] == "WV03"
+    assert got["055670633045_01_P001_MUL"] == "WV04"
+    assert got["055670633046_01_P001_MUL"] == "WVLG"
+    assert got["055670633047_01_P001_MUL"] == "MAXAR"
+    assert got["055670633048_01_P001_MUL"] == "MAXAR"
+    assert got["S2A_MSIL2A_20240116T105309_rest"] == "S2"
+
+
+def test_stac_item_stage_detection(spark):
+    """Round 8: STAC-hosted variants resolve from the item's collection and
+    href (reference reader.py:700-733): rtc collection -> S1_RTC_MPC; S2 on
+    Planetary Computer -> S2_MPC; S2 on Element84 -> S2_E84; other
+    constellations and already-specific ids pass through."""
+    from eoreader_spark.sources import reader
+
+    rows = [
+        ("any-id", "https://planetarycomputer.microsoft.com/x",
+         "sentinel-1-rtc", "S1_RTC_MPC"),
+        ("S2B_MSIL2A_20230715T104629_rest",
+         "https://planetarycomputer.microsoft.com/x", "sentinel-2-l2a",
+         "S2_MPC"),
+        ("S2B_MSIL2A_20230715T104629_rest",
+         "https://earth-search.aws.element84.com/v1/x", "sentinel-2-l2a",
+         "S2_E84"),
+        ("S2B_MSIL2A_20230715T104629_rest",
+         "https://elsewhere.example.org/x", "sentinel-2-l2a", "S2"),
+        ("S2A_31UDQ_20230714_0_L2A",
+         "https://earth-search.aws.element84.com/v1/x", "sentinel-2-l2a",
+         "S2_E84"),
+        ("LC08_L2SP_197029_20230604_20230614_02_T1",
+         "https://planetarycomputer.microsoft.com/x", "landsat-c2-l2", "L8"),
+        ("mystery-item", "https://example.org/x", "misc", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, c) for i, h, c, _ in rows],
+        "item_id string, self_href string, collection_id string",
+    )
+    got = [
+        r.constellation
+        for r in df.withColumn(
+            "constellation",
+            reader.stac_constellation_of("item_id", "self_href", "collection_id"),
+        ).collect()
+    ]
+    assert got == [want for _, _, _, want in rows]
+
+
+def test_vantor_member_layouts_and_gains(spark):
+    """Round 8: per-member dispatch parameters — QB02/GE01/WV04 are 4-band
+    BGRN, WV01 pan-only, WV02/WV03/WVLG keep the 8-band Multi; the public
+    white-paper calibration table exposes per-band (gain, offset) per
+    member and refuses the umbrella tag."""
+    import pytest
+
+    from eoreader_spark import bands, datagen
+    from eoreader_spark.plans import loader
+
+    assert bands.layout_for("QB02") == "MAXAR_BGRN"
+    assert bands.layout_for("GE01") == "MAXAR_BGRN"
+    assert bands.layout_for("WV04") == "MAXAR_BGRN"
+    assert bands.layout_for("WV01") == "VHR_PAN"
+    for m in ("WV02", "WV03", "WVLG", "VANTOR"):
+        assert bands.layout_for(m) == "MAXAR_MUL"
+    assert bands.layout_for("SATELLOGIC") == "ALEPH1_MS"
+    assert bands.n_planes("MAXAR_BGRN") == 4
+
+    assert bands.vantor_gains("WV01") == {"PAN": (1.016, -1.824)}
+    assert bands.vantor_gains("WV02")["YELLOW"] == (0.946, -5.675)
+    assert set(bands.vantor_gains("QB02")) == {
+        "PAN", "BLUE", "GREEN", "RED", "NIR", "NARROW_NIR"}
+    with pytest.raises(KeyError):
+        bands.vantor_gains("MAXAR")
+
+    # per-member tag drives a real load: QB02 resolves NDVI from the BGRN
+    # planes, and the 8-band YELLOW probe is absent
+    imgs = datagen.gen_images(spark, 4, layout="MAXAR_BGRN").filter(
+        "fmt = 'raw8'")
+    eng = loader.ImageEngine(imgs, band_map="QB02",
+                             gains=bands.vantor_gains("QB02"))
+    assert eng.has_band("NDVI") and eng.has_band("NARROW_NIR")
+    assert not eng.has_band("YELLOW")
+    n_imgs = imgs.count()
+    assert n_imgs >= 1
+    assert eng.load(["NDVI"], clean="raw").count() == n_imgs
+
+    pan_eng = loader.ImageEngine(
+        datagen.gen_images(spark, 2, layout="VHR_PAN").filter("fmt = 'raw8'"),
+        band_map="WV01", gains=bands.vantor_gains("WV01"))
+    assert pan_eng.has_band("PAN") and not pan_eng.has_band("RED")
+
+
 def test_knn_lazy_mode_exact(spark, tables):
     """adaptive=False: the fully lazy single-action plan (no probes, no
     persists) must still be exact."""
