@@ -3919,6 +3919,199 @@ def _h264_gop_oracle() -> str:
         """
 
 
+def _gen_h264_db_media(spark: SparkSession, n_videos: int = 3):
+    """Round-8 deblocking fixtures: the h264_gop GOP layout re-encoded at a
+    coarse qp with the in-loop deblocking filter ENABLED (idc 0 in the
+    slice headers; the encoder reconstructs its references through the
+    same clause-8.7 filter the decoder applies), so the gate pins the
+    filter across both the IDR path and the filtered-reference P
+    hand-off."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark.sources import avcc as _a
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                frames = _h264_gop_frames(j)
+                h, w = frames[0].shape
+                payload = _a.encode_h264(frames, qp=32, gop=3, deblock=True)
+                rows.append(
+                    (f"db{j:03d}", "video", payload, "h264", w, h, 0,
+                     len(frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    return (
+        spark.range(n_videos, numPartitions=n_videos)
+        .mapInPandas(gen, schema=(
+            "media_id string, kind string, bytes binary, fmt string,"
+            " w int, h int, sample_rate int, n_frames int"))
+    )
+
+
+def q_h264_deblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-loop deblocking on the gate (round 8): GOP streams encoded at a
+    coarse qp with the clause-8.7 filter active, decoded by
+    video_frame_sample through the engine's own decoder.  Any defect in
+    the boundary-strength rules, threshold tables, strong/clipped edge
+    filters, the MB-sequential edge order or the filtered-reference P
+    hand-off shifts decoded pixels and breaks the hash.  Same
+    integer-exact feature framing as h264_gop; replay oracle."""
+    from eoreader_spark.operators import multimodal
+
+    media = _gen_h264_db_media(spark)
+    feats = multimodal.video_frame_sample(media, every_n=2, resize=4)
+    block_px = (F.col("w") / 4 * (F.col("h") / 4)).cast("double")
+    scaled = F.transform("features", lambda x: x * block_px)
+    return (
+        feats.join(media.select("media_id", "w", "h"), "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x)
+            .cast("long").alias("feat_sum_px"),
+            F.array_min(scaled).cast("long").alias("feat_min_px"),
+            F.array_max(scaled).cast("long").alias("feat_max_px"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _h264_deblock_oracle() -> str:
+    """Single-process replay: own encoder (deblock on) -> own decoder."""
+    from eoreader_spark.sources import avcc as _a
+
+    rows = []
+    for j in range(3):
+        frames = _h264_gop_frames(j)
+        h, w = frames[0].shape
+        decoded = _a.decode_h264(
+            _a.encode_h264(frames, qp=32, gop=3, deblock=True))
+        bh, bw = h // 4, w // 4
+        for fi in range(0, len(decoded), 2):
+            luma = decoded[fi].astype(np.float32)
+            feat = luma.reshape(4, bh, 4, bw).mean(axis=(1, 3)).ravel()
+            sc = (feat * (bh * bw)).astype(np.int64)
+            rows.append(
+                f"('db{j:03d}', {fi}, 16, {int(sc.sum())}, {int(sc.min())}, {int(sc.max())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                   cast(n_feat AS BIGINT) AS n_feat,
+                   cast(feat_sum_px AS BIGINT) AS feat_sum_px,
+                   cast(feat_min_px AS BIGINT) AS feat_min_px,
+                   cast(feat_max_px AS BIGINT) AS feat_max_px
+            FROM (VALUES
+                {values}
+            ) AS t(media_id, frame_idx, n_feat, feat_sum_px, feat_min_px, feat_max_px)
+            ORDER BY media_id, frame_idx
+        """
+
+
+def _gen_h264_i4_media(spark: SparkSession, n_videos: int = 3):
+    """Round-8 (late) I_4x4 fixtures: the GOP layout with intra frames
+    coded as all-I_4x4 macroblocks (per-block directional prediction,
+    most-probable-mode signalling, Table 9-4 INTRA CBP) — the dominant
+    intra MB class in real encoder output; P frames predict from the
+    I_4x4 reconstruction, pinning the cross-class reference hand-off."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark.sources import avcc as _a
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                frames = _h264_gop_frames(j)
+                h, w = frames[0].shape
+                payload = _a.encode_h264(frames, qp=12, gop=3, intra4x4=True)
+                rows.append(
+                    (f"i4{j:03d}", "video", payload, "h264", w, h, 0,
+                     len(frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    return (
+        spark.range(n_videos, numPartitions=n_videos)
+        .mapInPandas(gen, schema=(
+            "media_id string, kind string, bytes binary, fmt string,"
+            " w int, h int, sample_rate int, n_frames int"))
+    )
+
+
+def q_h264_i4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I_4x4 intra decoding on the gate (round 8, late): GOP streams whose
+    intra frames are all-I_4x4; a defect in any of the nine 8.3.1.2
+    prediction modes, the most-probable-mode derivation, the INTRA CBP
+    table or the z-scan reconstruction order shifts pixels and breaks the
+    hash.  Same framing as h264_gop; replay oracle."""
+    from eoreader_spark.operators import multimodal
+
+    media = _gen_h264_i4_media(spark)
+    feats = multimodal.video_frame_sample(media, every_n=2, resize=4)
+    block_px = (F.col("w") / 4 * (F.col("h") / 4)).cast("double")
+    scaled = F.transform("features", lambda x: x * block_px)
+    return (
+        feats.join(media.select("media_id", "w", "h"), "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x)
+            .cast("long").alias("feat_sum_px"),
+            F.array_min(scaled).cast("long").alias("feat_min_px"),
+            F.array_max(scaled).cast("long").alias("feat_max_px"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _h264_i4_oracle() -> str:
+    """Single-process replay: own encoder (intra4x4) -> own decoder."""
+    from eoreader_spark.sources import avcc as _a
+
+    rows = []
+    for j in range(3):
+        frames = _h264_gop_frames(j)
+        h, w = frames[0].shape
+        decoded = _a.decode_h264(
+            _a.encode_h264(frames, qp=12, gop=3, intra4x4=True))
+        bh, bw = h // 4, w // 4
+        for fi in range(0, len(decoded), 2):
+            luma = decoded[fi].astype(np.float32)
+            feat = luma.reshape(4, bh, 4, bw).mean(axis=(1, 3)).ravel()
+            sc = (feat * (bh * bw)).astype(np.int64)
+            rows.append(
+                f"('i4{j:03d}', {fi}, 16, {int(sc.sum())}, {int(sc.min())}, {int(sc.max())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                   cast(n_feat AS BIGINT) AS n_feat,
+                   cast(feat_sum_px AS BIGINT) AS feat_sum_px,
+                   cast(feat_min_px AS BIGINT) AS feat_min_px,
+                   cast(feat_max_px AS BIGINT) AS feat_max_px
+            FROM (VALUES
+                {values}
+            ) AS t(media_id, frame_idx, n_feat, feat_sum_px, feat_min_px, feat_max_px)
+            ORDER BY media_id, frame_idx
+        """
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 clean-band cache / memoized resume on the gate: run 1 commits the
     even cells only (a simulated kill between stages), the resumed run's
@@ -4842,6 +5035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_feats": q_video_feats,
         "h264_feats": q_h264_feats,
         "h264_gop": q_h264_gop,
+        "h264_deblock": q_h264_deblock,
+        "h264_i4": q_h264_i4,
         # new round-7 operators: static STAC catalog walk, Apply-Orbit-File
         "stac_open": q_stac_open,
         "orbit_interp": q_orbit_interp,
@@ -5815,6 +6010,8 @@ def oracle_sql() -> dict[str, str]:
         "jp2_rate": _jp2_rate_oracle(),
         "h264_feats": _h264_feats_oracle(),
         "h264_gop": _h264_gop_oracle(),
+        "h264_deblock": _h264_deblock_oracle(),
+        "h264_i4": _h264_i4_oracle(),
         "maxar_members": _maxar_members_oracle(),
         "stac_mpc": _stac_mpc_oracle(),
         # audio_info: integer duration arithmetic restated from the fixture

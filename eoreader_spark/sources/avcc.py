@@ -5,21 +5,25 @@ Round-7 VERDICT #6 resolution, option (a): the one media class the engine
 could previously only inventory (multimodal.py raised for non-MJPEG MP4
 tracks) gets a real decode path for the bounded slice of the format a
 training-data pipeline actually needs from stills-in-video: baseline-
-profile streams — I_16x16 macroblocks, CAVLC entropy coding, 4:2:0,
-deblocking disabled via the bitstream's own
-``disable_deblocking_filter_idc`` (a legitimate encoder choice, not a
-shortcut: with it the normative reconstruction is complete).
+profile streams — I_16x16 macroblocks, CAVLC entropy coding, 4:2:0.
 Round 8 (VERDICT #1) adds the dominant real-world frame class: P slices
 with single-reference P_L0_16x16 + P_Skip partitions and quarter-pel
 luma / eighth-pel chroma motion compensation (clauses 8.4.1-8.4.2), so a
-GOP-structured stream (IDR + P) encodes and decodes end to end.
+GOP-structured stream (IDR + P) encodes and decodes end to end; round 8
+also implements the IN-LOOP DEBLOCKING FILTER (clause 8.7 — boundary
+strengths, Table 8-16/8-17 thresholds, strong + clipped-delta edge
+filters in the spec's MB-sequential order), so streams that enable the
+filter — libx264's default — decode conformantly instead of being
+rejected.
 
 Written against the PUBLIC ITU-T Rec. H.264 spec text (syntax clause 7,
 CAVLC clause 9.2, transform/quant clause 8.5, intra prediction clause 8.3,
-inter prediction clause 8.4).
+inter prediction clause 8.4, deblocking clause 8.7).
 No code from any reference implementation; the VLC tables are transcribed
-from the spec's Tables 9-4/9-5/9-7/9-8/9-9/9-10 and structurally validated
-(prefix-free, arity/permutation) by tests/test_avcc.py.  The reference repo
+from the spec's Tables 9-4/9-5/9-7/9-8/9-9/9-10 and the deblocking
+threshold tables from Tables 8-16/8-17, all structurally validated
+(prefix-free, arity/permutation, monotone + endpoint pins) by
+tests/test_avcc.py.  The reference repo
 (/root/reference) contains no H.264 code at all — it delegates video-ish
 reads to rasterio/GDAL, so this module has no reference analog to copy.
 
@@ -29,12 +33,19 @@ spec ceilings):
 - slices: I and P, one slice per picture, CAVLC (entropy_coding_mode=0);
   B/SP/SI slices and CABAC raise NotImplementedError
 - macroblocks: I_16x16 (all four prediction modes 0-3 on decode; the
-  encoder searches V/H/DC), I_PCM on decode, P_L0_16x16 and P_Skip;
+  encoder searches V/H/DC), I_4x4 (round 8, late: all nine 8.3.1.2
+  prediction modes with most-probable-mode signalling; the encoder emits
+  them with ``intra4x4=True``), I_PCM on decode, P_L0_16x16 and P_Skip;
   P 16x8/8x16/8x8 partitions raise NotImplementedError (named)
 - inter: exactly one reference frame (the most recent reference picture);
   multiple references, list modification, weighted prediction and MMCO
   raise NotImplementedError (named)
 - I_4x4 raises NotImplementedError (named) — the encoder never emits it
+- deblocking: fully supported on decode (idc 0/1/2 + slice alpha/beta
+  offsets; idc 2 == idc 0 in this one-slice-per-picture subset); the
+  encoder emits idc 0 with ``deblock=True`` (reconstructing its reference
+  frames through the same filter) and idc 1 by default (the round-7
+  byte-identical layout)
 
 Decoder reconstruction is NORMATIVE (clause 8.5 integer transforms); the
 encoder reconstructs through the very same functions, so encoder-side
@@ -676,6 +687,152 @@ def _pred_chroma(mode: int, rec: np.ndarray, y0: int, x0: int) -> np.ndarray:
 _ZSCAN = [(2 * ((i >> 2) & 1) + (i & 1), 2 * (i >> 3) + ((i >> 1) & 1))
           for i in range(16)]
 
+# ------------------------------------------------------ Intra_4x4 prediction
+# Round 8 (late): the I_4x4 macroblock class (8.3.1) — the dominant intra MB
+# type in real encoder output (libx264 codes detailed intra regions as I_4x4
+# almost exclusively).  Nine prediction modes over reconstructed neighbours,
+# per-block most-probable-mode signalling, Table 9-4 INTRA CBP mapping.
+
+# within-MB (bx, by) whose top-right 4x4 neighbour is later in z-scan order
+# (luma4x4BlkIdx 3/7/11/13/15) — for these p[4..7,-1] substitutes p[3,-1]
+_I4_NO_TR = {(1, 1), (3, 1), (1, 3), (3, 2), (3, 3)}
+
+
+def _i4_pred_mode(i4: np.ndarray, bxg: int, byg: int) -> int:
+    """predIntra4x4PredMode (8.3.1.1): min of the left/above neighbours'
+    modes, where a picture-edge neighbour forces DC (2) outright and an
+    available neighbour not coded I_4x4 contributes 2."""
+    if bxg == 0 or byg == 0:
+        return 2
+    a, b = int(i4[byg, bxg - 1]), int(i4[byg - 1, bxg])
+    return min(2 if a < 0 else a, 2 if b < 0 else b)
+
+
+def _pred4(mode: int, rec: np.ndarray, y: int, x: int) -> np.ndarray:
+    """One 4x4 luma prediction (8.3.1.2.1-9) from reconstructed samples.
+    Availability mirrors the spec: top/left from picture position, the
+    top-right from z-scan decode order (substituted with p[3,-1] when
+    absent); a mode whose required samples are unavailable is a corrupt
+    stream (conforming encoders cannot emit it)."""
+    H, W = rec.shape
+    top_av, left_av = y > 0, x > 0
+    top = rec[y - 1, x : x + 4].astype(np.int64) if top_av else None
+    left = rec[y : y + 4, x - 1].astype(np.int64) if left_av else None
+    if mode == 2:  # DC — the always-available mode
+        if top_av and left_av:
+            return np.full((4, 4), (int(top.sum()) + int(left.sum()) + 4) >> 3,
+                           np.int64)
+        if top_av:
+            return np.full((4, 4), (int(top.sum()) + 2) >> 2, np.int64)
+        if left_av:
+            return np.full((4, 4), (int(left.sum()) + 2) >> 2, np.int64)
+        return np.full((4, 4), 128, np.int64)
+    if mode in (0, 3, 7) and not top_av:
+        raise ValueError("corrupt h264 stream: I4x4 mode needs top row")
+    if mode in (1, 8) and not left_av:
+        raise ValueError("corrupt h264 stream: I4x4 mode needs left column")
+    if mode in (4, 5, 6) and not (top_av and left_av):
+        raise ValueError("corrupt h264 stream: I4x4 mode needs both edges")
+    if mode == 0:  # Vertical
+        return np.tile(top, (4, 1))
+    if mode == 1:  # Horizontal
+        return np.tile(left[:, None], (1, 4))
+    out = np.empty((4, 4), np.int64)
+    if mode in (3, 7):  # need the 8-sample top row incl. top-right
+        bx, by = (x // 4) % 4, (y // 4) % 4
+        tr_av = x + 4 < W and (by == 0 or (bx, by) not in _I4_NO_TR)
+        t = np.concatenate(
+            [top, rec[y - 1, x + 4 : x + 8].astype(np.int64) if tr_av
+             else np.full(4, top[3], np.int64)])
+        if mode == 3:  # Diagonal-Down-Left (8.3.1.2.4)
+            for yy in range(4):
+                for xx in range(4):
+                    if xx == 3 and yy == 3:
+                        out[yy, xx] = (t[6] + 3 * t[7] + 2) >> 2
+                    else:
+                        s = xx + yy
+                        out[yy, xx] = (t[s] + 2 * t[s + 1] + t[s + 2] + 2) >> 2
+        else:  # Vertical-Left (8.3.1.2.8)
+            for yy in range(4):
+                for xx in range(4):
+                    i = xx + (yy >> 1)
+                    if yy % 2 == 0:
+                        out[yy, xx] = (t[i] + t[i + 1] + 1) >> 1
+                    else:
+                        out[yy, xx] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    tl = int(rec[y - 1, x - 1])
+    if mode == 4:  # Diagonal-Down-Right (8.3.1.2.5)
+        for yy in range(4):
+            for xx in range(4):
+                if xx > yy:
+                    d = xx - yy  # p[x-y-2..x-y, -1], p[-1,-1] = tl
+                    a = top[d - 2] if d >= 2 else tl
+                    out[yy, xx] = (a + 2 * top[d - 1] + top[d] + 2) >> 2
+                elif xx < yy:
+                    d = yy - xx
+                    a = left[d - 2] if d >= 2 else tl
+                    out[yy, xx] = (a + 2 * left[d - 1] + left[d] + 2) >> 2
+                else:
+                    out[yy, xx] = (top[0] + 2 * tl + left[0] + 2) >> 2
+        return out
+    if mode == 5:  # Vertical-Right (8.3.1.2.6)
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * xx - yy
+                if z >= 0 and z % 2 == 0:
+                    i = xx - (yy >> 1)
+                    out[yy, xx] = ((tl if i == 0 else top[i - 1])
+                                   + top[i] + 1) >> 1
+                elif z >= 0:
+                    i = xx - (yy >> 1)
+                    a = top[i - 2] if i >= 2 else tl
+                    b = top[i - 1] if i >= 1 else tl
+                    out[yy, xx] = (a + 2 * b + top[i] + 2) >> 2
+                elif z == -1:
+                    out[yy, xx] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                else:
+                    out[yy, xx] = (left[yy - 1] + 2 * left[yy - 2]
+                                   + (left[yy - 3] if yy >= 3 else tl)
+                                   + 2) >> 2
+        return out
+    if mode == 6:  # Horizontal-Down (8.3.1.2.7)
+        for yy in range(4):
+            for xx in range(4):
+                z = 2 * yy - xx
+                if z >= 0 and z % 2 == 0:
+                    i = yy - (xx >> 1)
+                    out[yy, xx] = ((tl if i == 0 else left[i - 1])
+                                   + left[i] + 1) >> 1
+                elif z >= 0:
+                    i = yy - (xx >> 1)
+                    a = left[i - 2] if i >= 2 else tl
+                    b = left[i - 1] if i >= 1 else tl
+                    out[yy, xx] = (a + 2 * b + left[i] + 2) >> 2
+                elif z == -1:
+                    out[yy, xx] = (left[0] + 2 * tl + top[0] + 2) >> 2
+                else:
+                    out[yy, xx] = (top[xx - 1] + 2 * top[xx - 2]
+                                   + (top[xx - 3] if xx >= 3 else tl)
+                                   + 2) >> 2
+        return out
+    if mode == 8:  # Horizontal-Up (8.3.1.2.9)
+        for yy in range(4):
+            for xx in range(4):
+                z = xx + 2 * yy
+                i = yy + (xx >> 1)
+                if z in (0, 2, 4):
+                    out[yy, xx] = (left[i] + left[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    out[yy, xx] = (left[i] + 2 * left[i + 1]
+                                   + left[i + 2] + 2) >> 2
+                elif z == 5:
+                    out[yy, xx] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    out[yy, xx] = left[3]
+        return out
+    raise ValueError(f"corrupt h264 stream: Intra4x4 pred mode {mode}")
+
 
 def _nC(counts: np.ndarray, bx: int, by: int) -> int:
     """9.2.1 nC from left/top neighbour TotalCoeff grids (-1 = unavailable)."""
@@ -732,6 +889,14 @@ def _recon_chroma(pred: np.ndarray, dc_dq: np.ndarray, ac_blocks, qpc: int) -> n
 # and eighth-pel bilinear chroma per 8.4.2.2.2.  B slices, sub-16x16
 # partitions, multiple references, weighted prediction, and MMCO raise
 # named NotImplementedError (the documented subset contract).
+
+# Table 9-4, Intra column: me(v) codeNum -> coded_block_pattern (I_4x4).
+_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_CBP_INTRA_INV = {cbp: code for code, cbp in enumerate(_CBP_INTRA)}
 
 # Table 9-4, Inter column: me(v) codeNum -> coded_block_pattern.
 _CBP_INTER = [
@@ -821,6 +986,9 @@ class _Grids:
         self.cr_cnt = np.zeros((mb_h * 2, mb_w * 2), np.int64)
         self.mv = np.zeros((mb_h, mb_w, 2), np.int64)   # quarter-pel units
         self.ref = np.full((mb_h, mb_w), -1, np.int64)  # -1 = intra/unset
+        self.qp = np.zeros((mb_h, mb_w), np.int64)      # per-MB QPy (deblock)
+        # per-4x4 Intra_4x4 prediction mode; < 0 = not an I_4x4 block
+        self.i4 = np.full((mb_h * 4, mb_w * 4), -2, np.int64)
         self.mb_w, self.mb_h = mb_w, mb_h
 
 
@@ -978,6 +1146,124 @@ def _encode_frame(w: _BitWriter, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return rec_y, rec_cb, rec_cr
 
 
+def _encode_frame_i4(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray, qp: int):
+    """All-I_4x4 intra frame encoder (round 8, late): per-4x4 mode search
+    over every available prediction mode (8.3.1.2) against reconstructed
+    neighbours, most-probable-mode signalling, Table 9-4 INTRA CBP; the
+    reconstruction runs through the same normative decode functions, so
+    streams replay bit-exactly.  Exercises the full I_4x4 decode surface
+    (the dominant intra MB class in real encoder output)."""
+    mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
+    rec_y = np.zeros_like(y, np.int64)
+    rec_cb = np.zeros_like(cb, np.int64)
+    rec_cr = np.zeros_like(cr, np.int64)
+    luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int64)
+    cb_cnt = np.zeros((mb_h * 2, mb_w * 2), np.int64)
+    cr_cnt = np.zeros((mb_h * 2, mb_w * 2), np.int64)
+    i4 = np.full((mb_h * 4, mb_w * 4), -2, np.int64)
+    qpc = _chroma_qp(qp)
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            y0, x0 = 16 * my, 16 * mx
+            gx, gy = 4 * mx, 4 * my
+            modes, zs = [], []
+            for idx in range(16):  # z-scan: serialized recon dependencies
+                bx, by = _ZSCAN[idx]
+                yb, xb = y0 + 4 * by, x0 + 4 * bx
+                sblk = y[yb : yb + 4, xb : xb + 4].astype(np.int64)
+                best = None
+                for m in range(9):
+                    try:
+                        p = _pred4(m, rec_y, yb, xb)
+                    except ValueError:
+                        continue  # mode needs unavailable neighbours
+                    sad = int(np.abs(sblk - p).sum())
+                    if best is None or sad < best[0]:
+                        best = (sad, m, p)
+                _, m, p = best
+                Z = _quant4(_fwd4(sblk - p), qp, intra_dc_skip=False)
+                rec = p + _inv4(_dequant4_ac(Z, qp)) if np.any(Z) else p
+                rec_y[yb : yb + 4, xb : xb + 4] = np.clip(rec, 0, 255)
+                modes.append(m)
+                zs.append(Z)
+                i4[gy + by, gx + bx] = m
+            cbp_luma = 0
+            for i8 in range(4):
+                if any(np.any(zs[4 * i8 + b]) for b in range(4)):
+                    cbp_luma |= 1 << i8
+
+            ch = {}
+            for name, plane, rec_c in (("cb", cb, rec_cb), ("cr", cr, rec_cr)):
+                c0, cx0 = 8 * my, 8 * mx
+                csrc = plane[c0 : c0 + 8, cx0 : cx0 + 8].astype(np.int64)
+                cpred = _pred_chroma(0, rec_c, c0, cx0)  # encoder: DC mode
+                cresid = csrc - cpred
+                cdc_raw = np.zeros((2, 2), np.int64)
+                cac = []
+                for idx in range(4):
+                    bx, by = idx % 2, idx // 2
+                    W = _fwd4(cresid[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4])
+                    cdc_raw[by, bx] = W[0, 0]
+                    cac.append(_quant4(W, qpc, intra_dc_skip=True))
+                ch[name] = (cpred, _chroma_dc_quant(cdc_raw, qpc), cac)
+            any_cdc = any(np.any(ch[n][1]) for n in ("cb", "cr"))
+            any_cac = any(np.any(z) for n in ("cb", "cr") for z in ch[n][2])
+            cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+            if cbp_chroma < 2:
+                for n in ("cb", "cr"):
+                    ch[n] = (ch[n][0], ch[n][1],
+                             [np.zeros((4, 4), np.int64) for _ in range(4)])
+            cbp = cbp_luma | (cbp_chroma << 4)
+
+            # --- write the macroblock layer ---
+            w.ue(0)  # mb_type I_4x4
+            for idx in range(16):
+                bx, by = _ZSCAN[idx]
+                pm = _i4_pred_mode(i4, gx + bx, gy + by)
+                m = modes[idx]
+                if m == pm:
+                    w.u(1, 1)
+                else:
+                    w.u(0, 1)
+                    w.u(m - (1 if m > pm else 0), 3)
+            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.ue(_CBP_INTRA_INV[cbp])
+            if cbp:
+                w.se(0)  # mb_qp_delta
+            for i8 in range(4):
+                if cbp_luma & (1 << i8):
+                    for b in range(4):
+                        idx = 4 * i8 + b
+                        bx, by = _ZSCAN[idx]
+                        nc = _nC(luma_cnt, gx + bx, gy + by)
+                        coeffs = [int(zs[idx][i, j]) for i, j in _ZIG]
+                        tc = _write_block(w, coeffs, nc, 16)
+                        luma_cnt[gy + by, gx + bx] = tc
+            if cbp_chroma >= 1:
+                for n in ("cb", "cr"):
+                    dcs = ch[n][1]
+                    _write_block(
+                        w, [int(dcs[0, 0]), int(dcs[0, 1]), int(dcs[1, 0]),
+                            int(dcs[1, 1])], -1, 4)
+            if cbp_chroma == 2:
+                cgx, cgy = 2 * mx, 2 * my
+                for n, cnt in (("cb", cb_cnt), ("cr", cr_cnt)):
+                    for idx in range(4):
+                        bx, by = idx % 2, idx // 2
+                        nc = _nC(cnt, cgx + bx, cgy + by)
+                        tc = _write_block(w, _scan_ac(ch[n][2][idx]), nc, 15)
+                        cnt[cgy + by, cgx + bx] = tc
+            c0, cx0 = 8 * my, 8 * mx
+            rec_cb[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
+                ch["cb"][0], _chroma_dc_dequant(ch["cb"][1], qpc),
+                ch["cb"][2], qpc)
+            rec_cr[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
+                ch["cr"][0], _chroma_dc_dequant(ch["cr"][1], qpc),
+                ch["cr"][2], qpc)
+    return rec_y, rec_cb, rec_cr
+
+
 def _mb_residual_inter(pred: np.ndarray, src: np.ndarray, qp: int):
     """Quantize a 16x16 inter luma residual: plain 4x4 transforms, DC kept
     in-block (no Hadamard for inter luma) -> (ac blocks, cbp_luma)."""
@@ -1038,6 +1324,7 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
     decode path (the stream replays bit-exactly)."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     g = _Grids(mb_w, mb_h)
+    g.qp[:] = qp  # this encoder never writes mb_qp_delta != 0
     ref_y, ref_cb, ref_cr = ref
     qpc = _chroma_qp(qp)
     skip_run = 0
@@ -1134,24 +1421,291 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
                     ch[n][0], _chroma_dc_dequant(ch[n][1], qpc), ch[n][2], qpc)
     if skip_run:
         w.ue(skip_run)
-    return g.y, g.cb, g.cr
+    return g
 
 
-def _check_deblock_off(r: _BitReader, pps: dict) -> None:
-    """Enforce the module's named subset: the in-loop deblocking filter is
-    not implemented, so any stream where it is effective (idc 0 or 2 —
-    including the PPS-absent default of 0) must be rejected rather than
-    decoded non-conformantly."""
-    if pps["deblock_present"]:
-        idc = r.ue()
-        if idc != 1:
-            raise NotImplementedError(
-                "h264: in-loop deblocking filter active "
-                f"(disable_deblocking_filter_idc={idc}) not in subset")
-    else:
-        raise NotImplementedError(
-            "h264: in-loop deblocking filter active (PPS default idc=0) "
-            "not in subset")
+def _parse_deblock(r: _BitReader, pps: dict) -> tuple[int, int, int]:
+    """Slice-header deblocking syntax (7.3.3) -> (idc, offset_a, offset_b).
+
+    idc 1 disables the filter; 0 filters every edge; 2 skips slice-boundary
+    edges — identical to 0 in this module's one-slice-per-picture subset
+    (picture boundaries are never filtered either way, 8.7).  When the PPS
+    carries no deblocking syntax the spec default is idc 0, offsets 0 —
+    i.e. the filter is ON (libx264's default output shape)."""
+    if not pps["deblock_present"]:
+        return 0, 0, 0
+    idc = r.ue()
+    if idc > 2:
+        raise ValueError(
+            f"corrupt h264 stream: disable_deblocking_filter_idc {idc}")
+    off_a = off_b = 0
+    if idc != 1:
+        da, db = r.se(), r.se()
+        if not (-6 <= da <= 6 and -6 <= db <= 6):
+            raise ValueError("corrupt h264 stream: deblocking offset out of range")
+        off_a, off_b = 2 * da, 2 * db
+    return idc, off_a, off_b
+
+
+# --------------------------------------------------- in-loop deblocking (8.7)
+# Tables 8-16 (alpha/beta as functions of indexA/indexB) and 8-17 (tc0 as a
+# function of indexA and bS), transcribed from the public spec text and
+# structurally validated (monotonicity + endpoint pins) in tests/test_avcc.py.
+_DB_ALPHA = np.array(
+    [0] * 16
+    + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+       40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+       226, 255, 255],
+    np.int64,
+)
+_DB_BETA = np.array(
+    [0] * 16
+    + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+       11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
+    np.int64,
+)
+_DB_TC0 = np.array(
+    [[0, 0, 0]] * 17
+    + [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1],
+       [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 2], [1, 1, 2],
+       [1, 1, 2], [1, 1, 2], [1, 2, 3], [1, 2, 3], [2, 2, 3], [2, 2, 4],
+       [2, 3, 4], [2, 3, 4], [3, 3, 5], [3, 4, 6], [3, 4, 6], [4, 5, 7],
+       [4, 5, 8], [5, 6, 9], [6, 7, 10], [6, 8, 11], [7, 9, 13],
+       [8, 10, 14], [9, 12, 16], [10, 13, 18], [11, 15, 20], [13, 17, 23],
+       [14, 19, 25]],
+    np.int64,
+)
+
+
+def _db_luma(seg: np.ndarray, bs: np.ndarray, ia: int, ib: int) -> None:
+    """Filter one luma edge in place (8.7.2.3/8.7.2.4).  ``seg`` is the
+    (n, 8) window [p3 p2 p1 p0 | q0 q1 q2 q3] across the edge, one row per
+    line; all n lines are filtered simultaneously from the pre-edge values
+    (the spec computes every output of one edge from that edge's inputs)."""
+    a, b = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
+    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
+    filt = (bs > 0) & (np.abs(p0 - q0) < a) & (np.abs(p1 - p0) < b) \
+        & (np.abs(q1 - q0) < b)
+    if not filt.any():
+        return
+    ap = np.abs(p2 - p0) < b
+    aq = np.abs(q2 - q0) < b
+    np0, np1, np2 = p0.copy(), p1.copy(), p2.copy()
+    nq0, nq1, nq2 = q0.copy(), q1.copy(), q2.copy()
+    # bS == 4: strong filter (8.7.2.4)
+    m4 = filt & (bs == 4)
+    small = np.abs(p0 - q0) < ((a >> 2) + 2)
+    mp = m4 & ap & small
+    np0 = np.where(
+        mp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+        np.where(m4, (2 * p1 + p0 + q1 + 2) >> 2, np0))
+    np1 = np.where(mp, (p2 + p1 + p0 + q0 + 2) >> 2, np1)
+    np2 = np.where(mp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, np2)
+    mq = m4 & aq & small
+    nq0 = np.where(
+        mq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+        np.where(m4, (2 * q1 + q0 + p1 + 2) >> 2, nq0))
+    nq1 = np.where(mq, (q2 + q1 + q0 + p0 + 2) >> 2, nq1)
+    nq2 = np.where(mq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, nq2)
+    # 0 < bS < 4: clipped delta filter (8.7.2.3)
+    mlt = filt & (bs < 4)
+    tc0 = _DB_TC0[ia, np.clip(bs, 1, 3) - 1]
+    tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = np.where(mlt, np.clip(p0 + delta, 0, 255), np0)
+    nq0 = np.where(mlt, np.clip(q0 - delta, 0, 255), nq0)
+    dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, -tc0, tc0)
+    np1 = np.where(mlt & ap, p1 + dp1, np1)
+    dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0)
+    nq1 = np.where(mlt & aq, q1 + dq1, nq1)
+    seg[:, 1], seg[:, 2], seg[:, 3] = np2, np1, np0
+    seg[:, 4], seg[:, 5], seg[:, 6] = nq0, nq1, nq2
+
+
+def _db_chroma(seg: np.ndarray, bs: np.ndarray, ia: int, ib: int) -> None:
+    """Filter one chroma edge in place: p0/q0 only, tc = tc0 + 1 (8.7.2.3),
+    strong path is the two-tap average (8.7.2.4).  ``seg`` is (n, 4)
+    [p1 p0 | q0 q1]."""
+    a, b = int(_DB_ALPHA[ia]), int(_DB_BETA[ib])
+    p1, p0, q0, q1 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    filt = (bs > 0) & (np.abs(p0 - q0) < a) & (np.abs(p1 - p0) < b) \
+        & (np.abs(q1 - q0) < b)
+    if not filt.any():
+        return
+    m4 = filt & (bs == 4)
+    np0 = np.where(m4, (2 * p1 + p0 + q1 + 2) >> 2, p0)
+    nq0 = np.where(m4, (2 * q1 + q0 + p1 + 2) >> 2, q0)
+    mlt = filt & (bs < 4)
+    tc = _DB_TC0[ia, np.clip(bs, 1, 3) - 1] + 1
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    np0 = np.where(mlt, np.clip(p0 + delta, 0, 255), np0)
+    nq0 = np.where(mlt, np.clip(q0 - delta, 0, 255), nq0)
+    seg[:, 1], seg[:, 2] = np0, nq0
+
+
+def _edge_bs(g: _Grids, my: int, mx: int, k: int, vertical: bool) -> np.ndarray:
+    """Boundary strength per luma line of one edge (8.7.2.1, frame coding):
+    4 on a macroblock edge touching an intra MB, 3 on an intra-internal
+    edge, else per-4x4: 2 when either side has non-zero luma coefficients,
+    1 when the 16x16 MVs differ by >= one integer sample (refs are always
+    list-0 index 0 in this subset), 0 otherwise.  Chroma edges reuse the
+    co-located luma bS (the spec derives bS from luma positions only)."""
+    mb_q = (my, mx)
+    mb_p = (my, mx - 1) if (vertical and k == 0) else (
+        (my - 1, mx) if (not vertical and k == 0) else mb_q)
+    if g.ref[mb_p] < 0 or g.ref[mb_q] < 0:
+        return np.full(16, 4 if k == 0 else 3, np.int64)
+    bs = np.zeros(16, np.int64)
+    gx, gy = 4 * mx, 4 * my
+    mv_d = (np.abs(g.mv[mb_p] - g.mv[mb_q]) >= 4).any()
+    for j in range(4):
+        if vertical:
+            pb, qb = (gy + j, gx + k - 1), (gy + j, gx + k)
+        else:
+            pb, qb = (gy + k - 1, gx + j), (gy + k, gx + j)
+        if g.luma_cnt[pb] or g.luma_cnt[qb]:
+            bs[4 * j : 4 * j + 4] = 2
+        elif mv_d:
+            bs[4 * j : 4 * j + 4] = 1
+    return bs
+
+
+def _deblock_frame(g: _Grids, chroma_qp_offset: int = 0,
+                   off_a: int = 0, off_b: int = 0) -> None:
+    """In-loop deblocking filter (clause 8.7) over a decoded frame, in
+    place.  Macroblocks are processed in raster order; within each MB all
+    four vertical edges left-to-right, then all four horizontal edges
+    top-to-bottom, every edge reading the live (already part-filtered)
+    planes — the spec's sequential semantics, which a frame-wide
+    edge-parallel sweep would violate (an MB's left edge reads columns its
+    left neighbour's HORIZONTAL pass already modified).  Each edge filter
+    is vectorized across its 16 luma / 8 chroma lines; at cluster scale the
+    filter stays inside the per-frame Arrow batch like the rest of the
+    decode, so MB-order sequencing costs nothing across frames."""
+
+    def _qpc(mb):
+        return _chroma_qp(min(max(int(g.qp[mb]) + chroma_qp_offset, 0), 51))
+
+    for my in range(g.mb_h):
+        for mx in range(g.mb_w):
+            mb_q = (my, mx)
+            for vertical in (True, False):
+                for k in range(4):
+                    if k == 0 and (mx == 0 if vertical else my == 0):
+                        continue  # picture boundaries are never filtered
+                    bs = _edge_bs(g, my, mx, k, vertical)
+                    if not bs.any():
+                        continue
+                    mb_p = (my, mx - 1) if (vertical and k == 0) else (
+                        (my - 1, mx) if (not vertical and k == 0) else mb_q)
+                    qp_avg = (int(g.qp[mb_p]) + int(g.qp[mb_q]) + 1) >> 1
+                    ia = min(max(qp_avg + off_a, 0), 51)
+                    ib = min(max(qp_avg + off_b, 0), 51)
+                    y0, x0 = 16 * my, 16 * mx
+                    if vertical:
+                        e = x0 + 4 * k
+                        seg = g.y[y0 : y0 + 16, e - 4 : e + 4]
+                        _db_luma(seg, bs, ia, ib)
+                    else:
+                        e = y0 + 4 * k
+                        seg = g.y[e - 4 : e + 4, x0 : x0 + 16].T.copy()
+                        _db_luma(seg, bs, ia, ib)
+                        g.y[e - 4 : e + 4, x0 : x0 + 16] = seg.T
+                    if k % 2:
+                        continue  # 4:2:0: only luma edges 0 and 2 have chroma
+                    cqp = (_qpc(mb_p) + _qpc(mb_q) + 1) >> 1
+                    ica = min(max(cqp + off_a, 0), 51)
+                    icb = min(max(cqp + off_b, 0), 51)
+                    cbs = bs[::2]
+                    c0, cx0 = 8 * my, 8 * mx
+                    for plane in (g.cb, g.cr):
+                        if vertical:
+                            ce = cx0 + 2 * k
+                            cseg = plane[c0 : c0 + 8, ce - 2 : ce + 2]
+                            _db_chroma(cseg, cbs, ica, icb)
+                        else:
+                            ce = c0 + 2 * k
+                            cseg = plane[ce - 2 : ce + 2, cx0 : cx0 + 8].T.copy()
+                            _db_chroma(cseg, cbs, ica, icb)
+                            plane[ce - 2 : ce + 2, cx0 : cx0 + 8] = cseg.T
+
+
+def _decode_i4x4_mb(r: _BitReader, g: _Grids, my: int, mx: int, qp: int,
+                    chroma_qp_offset: int) -> int:
+    """One I_4x4 macroblock (7.3.5.1 mb_pred + residual): sixteen
+    per-block prediction modes with most-probable-mode signalling
+    (8.3.1.1), Table 9-4 INTRA CBP, full 16-coefficient luma blocks, and
+    sequential per-block reconstruction in z-scan order (each block
+    predicts from already-reconstructed pixels, including earlier blocks
+    of the same macroblock)."""
+    gx, gy = 4 * mx, 4 * my
+    modes = []
+    for idx in range(16):
+        bx, by = _ZSCAN[idx]
+        pm = _i4_pred_mode(g.i4, gx + bx, gy + by)
+        if r.u(1):
+            m = pm
+        else:
+            rem = r.u(3)
+            m = rem if rem < pm else rem + 1
+        modes.append(m)
+        g.i4[gy + by, gx + bx] = m
+    chroma_pred = r.ue()
+    if chroma_pred > 3:
+        raise ValueError("corrupt h264 stream: chroma pred mode > 3")
+    code = r.ue()
+    if code > 47:
+        raise ValueError(f"corrupt h264 stream: coded_block_pattern code {code}")
+    cbp = _CBP_INTRA[code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        qp = qp + r.se()
+        if not 0 <= qp <= 51:
+            raise ValueError("corrupt h264 stream: QP out of range")
+    qpc = _chroma_qp(min(max(qp + chroma_qp_offset, 0), 51))
+    blocks = [np.zeros((4, 4), np.int64) for _ in range(16)]
+    for i8 in range(4):
+        if cbp_luma & (1 << i8):
+            for b in range(4):
+                idx = 4 * i8 + b
+                bx, by = _ZSCAN[idx]
+                nc = _nC(g.luma_cnt, gx + bx, gy + by)
+                coeffs, tc = _read_block(r, nc, 16)
+                blocks[idx] = _unscan16(coeffs)
+                g.luma_cnt[gy + by, gx + bx] = tc
+    cdc = {"cb": np.zeros((2, 2), np.int64), "cr": np.zeros((2, 2), np.int64)}
+    cac = {"cb": [np.zeros((4, 4), np.int64) for _ in range(4)],
+           "cr": [np.zeros((4, 4), np.int64) for _ in range(4)]}
+    if cbp_chroma >= 1:
+        for n in ("cb", "cr"):
+            coeffs, _ = _read_block(r, -1, 4)
+            cdc[n][0, 0], cdc[n][0, 1] = coeffs[0], coeffs[1]
+            cdc[n][1, 0], cdc[n][1, 1] = coeffs[2], coeffs[3]
+    if cbp_chroma == 2:
+        cgx, cgy = 2 * mx, 2 * my
+        for n, cnt in (("cb", g.cb_cnt), ("cr", g.cr_cnt)):
+            for idx in range(4):
+                bx, by = idx % 2, idx // 2
+                nc = _nC(cnt, cgx + bx, cgy + by)
+                coeffs, tc = _read_block(r, nc, 15)
+                cac[n][idx] = _unscan_ac(coeffs)
+                cnt[cgy + by, cgx + bx] = tc
+
+    for idx in range(16):  # z-scan reconstruction (intra-MB dependencies)
+        bx, by = _ZSCAN[idx]
+        yb, xb = 16 * my + 4 * by, 16 * mx + 4 * bx
+        pred = _pred4(modes[idx], g.y, yb, xb)
+        if np.any(blocks[idx]):
+            pred = pred + _inv4(_dequant4_ac(blocks[idx], qp))
+        g.y[yb : yb + 4, xb : xb + 4] = np.clip(pred, 0, 255)
+    c0, cx0 = 8 * my, 8 * mx
+    for n, rec_c in (("cb", g.cb), ("cr", g.cr)):
+        cpred = _pred_chroma(chroma_pred, rec_c, c0, cx0)
+        rec_c[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
+            cpred, _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
+    g.qp[my, mx] = qp
+    return qp
 
 
 def _decode_intra_mb(r: _BitReader, mb_type: int, g: _Grids, my: int,
@@ -1173,9 +1727,10 @@ def _decode_intra_mb(r: _BitReader, mb_type: int, g: _Grids, my: int,
         g.luma_cnt[gy : gy + 4, gx : gx + 4] = 16
         g.cb_cnt[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 16
         g.cr_cnt[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 16
+        g.qp[my, mx] = 0  # 8.7.2: QPy of an I_PCM macroblock is 0
         return qp
     if mb_type == 0:
-        raise NotImplementedError("h264: I_4x4 macroblocks not in subset")
+        return _decode_i4x4_mb(r, g, my, mx, qp, chroma_qp_offset)
     if not 1 <= mb_type <= 24:
         raise ValueError(f"corrupt h264 stream: I-slice mb_type {mb_type}")
     t = mb_type - 1
@@ -1229,17 +1784,18 @@ def _decode_intra_mb(r: _BitReader, mb_type: int, g: _Grids, my: int,
         cpred = _pred_chroma(chroma_pred, rec_c, c0, cx0)
         rec_c[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
             cpred, _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
+    g.qp[my, mx] = qp
     return qp
 
 
 def _decode_frame(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
-                  chroma_qp_offset: int = 0):
+                  chroma_qp_offset: int = 0) -> _Grids:
     g = _Grids(mb_w, mb_h)
     qp = qp_slice
     for my in range(mb_h):
         for mx in range(mb_w):
             qp = _decode_intra_mb(r, r.ue(), g, my, mx, qp, chroma_qp_offset)
-    return g.y, g.cb, g.cr
+    return g
 
 
 def _recon_skip(g: _Grids, my: int, mx: int, ref) -> None:
@@ -1310,6 +1866,7 @@ def _decode_inter_mb(r: _BitReader, g: _Grids, my: int, mx: int, qp: int,
         cpred = _mc_chroma(rplane, c0, cx0, mvx, mvy)
         rec_c[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
             cpred, _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
+    g.qp[my, mx] = qp
     return qp
 
 
@@ -1328,6 +1885,7 @@ def _decode_frame_p(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
         for _ in range(run):
             my, mx = divmod(i, mb_w)
             _recon_skip(g, my, mx, ref)
+            g.qp[my, mx] = qp  # P_Skip: slice QP unchanged (7.4.5)
             i += 1
         if i >= n_mbs:
             break
@@ -1347,7 +1905,7 @@ def _decode_frame_p(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
         else:
             raise ValueError(f"corrupt h264 stream: P-slice mb_type {mb_type}")
         i += 1
-    return g.y, g.cb, g.cr
+    return g
 
 
 # --------------------------------------------------------- NAL / SPS / PPS
@@ -1459,7 +2017,19 @@ def _parse_pps(rbsp: bytes) -> dict:
     return pps
 
 
-def _slice_rbsp(qp: int, init_qp: int, idr_pic_id: int, body: _BitWriter) -> bytes:
+def _write_deblock(bw: _BitWriter, deblock: bool) -> None:
+    """Slice-header deblocking syntax: idc 1 (off — the round-7 layout,
+    byte-identical) or idc 0 with zero offsets (filter on, 7.3.3)."""
+    if deblock:
+        bw.ue(0)    # disable_deblocking_filter_idc = 0 (on)
+        bw.se(0)    # slice_alpha_c0_offset_div2
+        bw.se(0)    # slice_beta_offset_div2
+    else:
+        bw.ue(1)    # disable_deblocking_filter_idc = 1 (off)
+
+
+def _slice_rbsp(qp: int, init_qp: int, idr_pic_id: int, body: _BitWriter,
+                deblock: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)        # first_mb_in_slice
     bw.ue(7)        # slice_type: I (all slices in picture)
@@ -1469,13 +2039,13 @@ def _slice_rbsp(qp: int, init_qp: int, idr_pic_id: int, body: _BitWriter) -> byt
     bw.u(0, 1)      # no_output_of_prior_pics
     bw.u(0, 1)      # long_term_reference
     bw.se(qp - init_qp)  # slice_qp_delta
-    bw.ue(1)        # disable_deblocking_filter_idc = 1 (off)
+    _write_deblock(bw, deblock)
     bw.bits += body.bits
     return bw.rbsp()
 
 
 def _slice_rbsp_p(qp: int, init_qp: int, frame_num: int,
-                  body: _BitWriter) -> bytes:
+                  body: _BitWriter, deblock: bool = False) -> bytes:
     bw = _BitWriter()
     bw.ue(0)        # first_mb_in_slice
     bw.ue(5)        # slice_type: P (all slices in picture)
@@ -1485,7 +2055,7 @@ def _slice_rbsp_p(qp: int, init_qp: int, frame_num: int,
     bw.u(0, 1)      # ref_pic_list_modification_flag_l0
     bw.u(0, 1)      # adaptive_ref_pic_marking_mode_flag (sliding window)
     bw.se(qp - init_qp)  # slice_qp_delta
-    bw.ue(1)        # disable_deblocking_filter_idc = 1 (off)
+    _write_deblock(bw, deblock)
     bw.bits += body.bits
     return bw.rbsp()
 
@@ -1514,7 +2084,8 @@ def _to_yuv(frame: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     raise ValueError(f"encode_h264: frame shape {frame.shape} not (h,w) or (c,h,w)")
 
 
-def encode_h264(frames, qp: int = 24, gop: int = 1) -> bytes:
+def encode_h264(frames, qp: int = 24, gop: int = 1,
+                deblock: bool = False, intra4x4: bool = False) -> bytes:
     """Frames -> Annex-B H.264 stream.
 
     Each frame is (h, w) luma uint8 (chroma coded flat 128) or (3, h, w)
@@ -1523,7 +2094,15 @@ def encode_h264(frames, qp: int = 24, gop: int = 1) -> bytes:
     ``qp`` in [0, 51].  ``gop`` = IDR period: 1 (default) codes every frame
     as an IDR slice (the round-7 all-intra layout, byte-identical); gop>1
     codes frame i as IDR when i % gop == 0 and as a P slice (P_Skip +
-    P_L0_16x16, single reference, quarter-pel MC) otherwise."""
+    P_L0_16x16, single reference, quarter-pel MC) otherwise.
+    ``deblock`` = in-loop deblocking filter (8.7, round 8): the slice
+    header signals idc 0 / zero offsets and the encoder reconstructs its
+    reference frames THROUGH the same normative filter the decoder applies
+    (the deblock=False default stays byte-identical to the legacy layout).
+    ``intra4x4`` = code intra frames as all-I_4x4 macroblocks (per-block
+    mode search over the nine 8.3.1.2 predictions) instead of I_16x16 —
+    the real-encoder detailed-intra layout; default False stays
+    byte-identical."""
     if not frames:
         raise ValueError("encode_h264: no frames")
     if not 0 <= qp <= 51:
@@ -1553,14 +2132,26 @@ def encode_h264(frames, qp: int = 24, gop: int = 1) -> bytes:
                      mode="edge") for c in (cb, cr)]
         body = _BitWriter()
         if fi % gop == 0:
-            ref = _encode_frame(body, yp, cp[0], cp[1], qp)
-            out += _nal(5, _slice_rbsp(qp, qp, idr_id % 2, body))
+            enc_i = _encode_frame_i4 if intra4x4 else _encode_frame
+            rec = enc_i(body, yp, cp[0], cp[1], qp)
+            out += _nal(5, _slice_rbsp(qp, qp, idr_id % 2, body, deblock))
             idr_id += 1
             frame_num = 1
+            if deblock:
+                gi = _Grids(mb_w, mb_h)
+                gi.y[:], gi.cb[:], gi.cr[:] = rec  # ref -1 => all-intra bS
+                gi.qp[:] = qp
+                _deblock_frame(gi)
+                rec = (gi.y, gi.cb, gi.cr)
+            ref = rec
         else:
-            ref = _encode_frame_p(body, yp, cp[0], cp[1], qp, ref)
-            out += _nal(1, _slice_rbsp_p(qp, qp, frame_num, body), ref_idc=2)
+            gp = _encode_frame_p(body, yp, cp[0], cp[1], qp, ref)
+            out += _nal(1, _slice_rbsp_p(qp, qp, frame_num, body, deblock),
+                        ref_idc=2)
             frame_num = (frame_num + 1) & 15
+            if deblock:
+                _deblock_frame(gp)
+            ref = (gp.y, gp.cb, gp.cr)
     return bytes(out)
 
 
@@ -1644,16 +2235,19 @@ def decode_h264_yuv(data: bytes) -> list[tuple[np.ndarray, np.ndarray, np.ndarra
             qp = pps["init_qp"] + r.se()
             if not 0 <= qp <= 51:
                 raise ValueError("corrupt h264 stream: slice QP out of range")
-            _check_deblock_off(r, pps)
+            idc, off_a, off_b = _parse_deblock(r, pps)
             if is_p:
                 if ref is None:
                     raise ValueError(
                         "corrupt h264 stream: P slice with no reference frame")
-                y, cb, cr = _decode_frame_p(r, sps["mb_w"], sps["mb_h"], qp,
-                                            pps["chroma_qp_offset"], ref)
+                g = _decode_frame_p(r, sps["mb_w"], sps["mb_h"], qp,
+                                    pps["chroma_qp_offset"], ref)
             else:
-                y, cb, cr = _decode_frame(r, sps["mb_w"], sps["mb_h"], qp,
-                                          pps["chroma_qp_offset"])
+                g = _decode_frame(r, sps["mb_w"], sps["mb_h"], qp,
+                                  pps["chroma_qp_offset"])
+            if idc != 1:  # filter ON (incl. idc 2: slice == picture here)
+                _deblock_frame(g, pps["chroma_qp_offset"], off_a, off_b)
+            y, cb, cr = g.y, g.cb, g.cr
             if ref_idc:
                 ref = (y, cb, cr)
             cl, crp, ct, cbm = sps["crop"]

@@ -298,26 +298,46 @@ class TestAdviceRegressions:
             assert np.array_equal(a, b)
 
     @pytest.mark.parametrize("idc", [0, 2])
-    def test_deblock_active_raises_named(self, idc):
-        img = codecs.make_image(1, 16, 16, planes=1)[0]
-        body = _frame_body(img, 12)
-        stream = (avcc._nal(7, _sps_poc0(1, 1))
-                  + avcc._nal(8, _pps_custom(12))
-                  + avcc._nal(5, _idr_slice(12, 12, body, poc_lsb=0,
-                                            deblock_idc=idc,
-                                            deblock_offsets=True)))
-        with pytest.raises(NotImplementedError, match="deblocking"):
-            avcc.decode_h264(stream)
+    def test_deblock_active_decodes_filtered(self, idc):
+        """Round 8: deblock-active streams DECODE (8.7); with one slice
+        per picture idc 2 (skip slice boundaries) equals idc 0, and the
+        output equals the plain decode run through the engine's own
+        filter with the matching grids."""
+        img = codecs.make_image(1, 32, 32, planes=1)[0]
+        qp = 30
+        body = _frame_body(img, qp)
 
-    def test_deblock_pps_absent_default_on_raises_named(self):
-        img = codecs.make_image(1, 16, 16, planes=1)[0]
-        body = _frame_body(img, 12)
-        stream = (avcc._nal(7, _sps_poc0(1, 1))
-                  + avcc._nal(8, _pps_custom(12, deblock_present=False))
-                  + avcc._nal(5, _idr_slice(12, 12, body, poc_lsb=0,
-                                            deblock_idc=None)))
-        with pytest.raises(NotImplementedError, match="deblocking"):
-            avcc.decode_h264(stream)
+        def stream(dbi):
+            return (avcc._nal(7, _sps_poc0(2, 2))
+                    + avcc._nal(8, _pps_custom(qp))
+                    + avcc._nal(5, _idr_slice(qp, qp, body, poc_lsb=0,
+                                              deblock_idc=dbi,
+                                              deblock_offsets=True)))
+
+        out = avcc.decode_h264(stream(idc))[0]
+        g = avcc._decode_frame(
+            avcc._BitReader(_frame_body(img, qp).rbsp()), 2, 2, qp)
+        avcc._deblock_frame(g)
+        assert np.array_equal(out, g.y.astype(np.uint8))
+        plain = avcc.decode_h264(stream(1))[0]
+        assert not np.array_equal(out, plain)  # the filter did something
+
+    def test_deblock_pps_absent_defaults_on(self):
+        """PPS with no deblocking syntax -> spec default idc 0 (filter
+        ON, zero offsets) — matches the explicit-idc-0 decode exactly."""
+        img = codecs.make_image(1, 32, 32, planes=1)[0]
+        qp = 30
+        with_syntax = (avcc._nal(7, _sps_poc0(2, 2))
+                       + avcc._nal(8, _pps_custom(qp))
+                       + avcc._nal(5, _idr_slice(qp, qp, _frame_body(img, qp),
+                                                 poc_lsb=0, deblock_idc=0,
+                                                 deblock_offsets=True)))
+        without = (avcc._nal(7, _sps_poc0(2, 2))
+                   + avcc._nal(8, _pps_custom(qp, deblock_present=False))
+                   + avcc._nal(5, _idr_slice(qp, qp, _frame_body(img, qp),
+                                             poc_lsb=0, deblock_idc=None)))
+        assert np.array_equal(avcc.decode_h264(with_syntax)[0],
+                              avcc.decode_h264(without)[0])
 
     def test_chroma_qp_index_offset_applied(self):
         # Body coded at qp=34 (offset 0).  Declaring offset=-6 in the PPS
@@ -578,3 +598,258 @@ class TestInterPrediction:
         img = codecs.make_image(1, 16, 16, planes=1)[0]
         with pytest.raises(ValueError, match="gop"):
             avcc.encode_h264([img], qp=10, gop=0)
+
+
+# ----------------------------------------------------- in-loop deblocking 8.7
+
+
+def _db_luma_spec(line, bs, ia, ib):
+    """Scalar transcription of 8.7.2.3/8.7.2.4 (luma), written separately
+    from the vectorized implementation — the differential oracle."""
+    a, b = int(avcc._DB_ALPHA[ia]), int(avcc._DB_BETA[ib])
+    p3, p2, p1, p0, q0, q1, q2, q3 = (int(v) for v in line)
+    out = [p3, p2, p1, p0, q0, q1, q2, q3]
+    if bs == 0 or not (abs(p0 - q0) < a and abs(p1 - p0) < b
+                       and abs(q1 - q0) < b):
+        return out
+    ap, aq = abs(p2 - p0) < b, abs(q2 - q0) < b
+    if bs == 4:
+        small = abs(p0 - q0) < (a >> 2) + 2
+        if ap and small:
+            out[3] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+            out[2] = (p2 + p1 + p0 + q0 + 2) >> 2
+            out[1] = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        else:
+            out[3] = (2 * p1 + p0 + q1 + 2) >> 2
+        if aq and small:
+            out[4] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+            out[5] = (q2 + q1 + q0 + p0 + 2) >> 2
+            out[6] = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        else:
+            out[4] = (2 * q1 + q0 + p1 + 2) >> 2
+        return out
+    tc0 = int(avcc._DB_TC0[ia, bs - 1])
+    tc = tc0 + ap + aq
+    d = max(-tc, min(tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
+    out[3] = max(0, min(255, p0 + d))
+    out[4] = max(0, min(255, q0 - d))
+    if ap:
+        out[2] = p1 + max(-tc0, min(tc0,
+                          (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+    if aq:
+        out[5] = q1 + max(-tc0, min(tc0,
+                          (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+    return out
+
+
+def _db_chroma_spec(line, bs, ia, ib):
+    a, b = int(avcc._DB_ALPHA[ia]), int(avcc._DB_BETA[ib])
+    p1, p0, q0, q1 = (int(v) for v in line)
+    out = [p1, p0, q0, q1]
+    if bs == 0 or not (abs(p0 - q0) < a and abs(p1 - p0) < b
+                       and abs(q1 - q0) < b):
+        return out
+    if bs == 4:
+        out[1] = (2 * p1 + p0 + q1 + 2) >> 2
+        out[2] = (2 * q1 + q0 + p1 + 2) >> 2
+        return out
+    tc = int(avcc._DB_TC0[ia, bs - 1]) + 1
+    d = max(-tc, min(tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3))
+    out[1] = max(0, min(255, p0 + d))
+    out[2] = max(0, min(255, q0 - d))
+    return out
+
+
+class TestDeblocking:
+    def test_threshold_tables_structure(self):
+        """Tables 8-16/8-17 pins: lengths, zero prefixes, monotonicity,
+        endpoints (alpha ends 255, beta 18, tc0 row (14,19,25)) and the
+        spec's per-index bS ordering tc0[bS=1] <= tc0[bS=2] <= tc0[bS=3]."""
+        A, B, T = avcc._DB_ALPHA, avcc._DB_BETA, avcc._DB_TC0
+        assert A.shape == (52,) and B.shape == (52,) and T.shape == (52, 3)
+        assert not A[:16].any() and not B[:16].any() and not T[:17].any()
+        assert (np.diff(A) >= 0).all() and (np.diff(B) >= 0).all()
+        assert (np.diff(T, axis=0) >= 0).all()
+        assert (np.diff(T, axis=1) >= 0).all()
+        assert A[51] == 255 and B[51] == 18
+        assert list(T[51]) == [14, 19, 25]
+        assert A[26] == 15 and B[26] == 6 and list(T[30]) == [1, 1, 2]
+
+    def test_db_luma_matches_scalar_spec(self):
+        rng = np.random.RandomState(42)
+        for _ in range(60):
+            n = 16
+            # half the lines near-flat (filterable), half arbitrary
+            base = rng.randint(0, 256)
+            seg = rng.randint(0, 256, size=(n, 8)).astype(np.int64)
+            seg[::2] = np.clip(
+                base + rng.randint(-6, 7, size=(n // 2 + n % 2, 8)), 0, 255)
+            bs = rng.randint(0, 5, size=n).astype(np.int64)
+            ia, ib = rng.randint(0, 52), rng.randint(0, 52)
+            want = np.array([_db_luma_spec(row, int(b), ia, ib)
+                             for row, b in zip(seg.tolist(), bs)])
+            got = seg.copy()
+            avcc._db_luma(got, bs, ia, ib)
+            assert np.array_equal(got, want)
+
+    def test_db_chroma_matches_scalar_spec(self):
+        rng = np.random.RandomState(43)
+        for _ in range(60):
+            n = 8
+            base = rng.randint(0, 256)
+            seg = rng.randint(0, 256, size=(n, 4)).astype(np.int64)
+            seg[::2] = np.clip(
+                base + rng.randint(-5, 6, size=(n // 2, 4)), 0, 255)
+            bs = rng.randint(0, 5, size=n).astype(np.int64)
+            ia, ib = rng.randint(0, 52), rng.randint(0, 52)
+            want = np.array([_db_chroma_spec(row, int(b), ia, ib)
+                             for row, b in zip(seg.tolist(), bs)])
+            got = seg.copy()
+            avcc._db_chroma(got, bs, ia, ib)
+            assert np.array_equal(got, want)
+
+    def test_real_edges_survive(self):
+        """|p0-q0| >= alpha means a real content edge: untouched (8.7.2.2)."""
+        seg = np.array([[10, 10, 10, 10, 240, 240, 240, 240]] * 4, np.int64)
+        before = seg.copy()
+        avcc._db_luma(seg, np.full(4, 4, np.int64), 30, 30)
+        assert np.array_equal(seg, before)
+
+    def test_edge_bs_rules(self):
+        """8.7.2.1 boundary strengths on a synthetic grid: intra MB edge 4,
+        intra internal 3, inter coeffs 2, inter MV >= one integer sample 1,
+        quiescent inter 0."""
+        g = avcc._Grids(2, 1)
+        g.ref[:] = 0
+        assert not avcc._edge_bs(g, 0, 1, 0, True).any()       # quiet inter
+        g.mv[0, 1] = (4, 0)                                    # 1 int sample
+        assert (avcc._edge_bs(g, 0, 1, 0, True) == 1).all()
+        g.mv[0, 1] = (3, 0)                                    # sub-integer
+        assert not avcc._edge_bs(g, 0, 1, 0, True).any()
+        g.luma_cnt[2, 4] = 5   # block row 2 of the right MB's first column
+        bs = avcc._edge_bs(g, 0, 1, 0, True)
+        assert list(bs) == [0] * 8 + [2] * 4 + [0] * 4
+        g.ref[0, 0] = -1                                       # intra left
+        assert (avcc._edge_bs(g, 0, 1, 0, True) == 4).all()    # MB edge
+        assert (avcc._edge_bs(g, 0, 0, 1, True) == 3).all()    # internal
+        assert (avcc._edge_bs(g, 0, 0, 2, False) == 3).all()
+
+    def test_deblock_gop_roundtrip_and_blockiness(self):
+        """encode(deblock=True) decodes deterministically; at a coarse QP
+        the filter cuts the 4x4-grid blockiness (mean step across block
+        boundaries) on smooth content without wrecking PSNR, and P frames
+        stay consistent across the filtered reference hand-off."""
+        yy, xx = np.mgrid[0:48, 0:64]
+        base = np.clip(96 + 0.9 * xx + 0.6 * yy
+                       + 18 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+                       0, 255).astype(np.uint8)
+        frames = [np.roll(base, (3 * i, 5 * i), axis=(0, 1)) for i in range(4)]
+        enc_db = avcc.encode_h264(frames, qp=38, gop=4, deblock=True)
+        enc_pl = avcc.encode_h264(frames, qp=38, gop=4, deblock=False)
+        out_db = avcc.decode_h264(enc_db)
+        out_pl = avcc.decode_h264(enc_pl)
+        assert len(out_db) == 4
+        # determinism across a second decode (replay-oracle property)
+        again = avcc.decode_h264(enc_db)
+        for a, b in zip(out_db, again):
+            assert np.array_equal(a, b)
+
+        def edge_step(y):
+            d = np.abs(np.diff(y.astype(np.int64), axis=1))
+            return d[:, 3::4].mean()  # steps across x = 4k-1 | 4k
+
+        def psnr(a, b):
+            mse = np.mean((a.astype(np.float64) - b) ** 2)
+            return 10 * np.log10(255.0 ** 2 / mse)
+
+        steps_db = np.mean([edge_step(f) for f in out_db])
+        steps_pl = np.mean([edge_step(f) for f in out_pl])
+        assert steps_db < steps_pl
+        p_db = np.mean([psnr(o, f) for o, f in zip(out_db, frames)])
+        p_pl = np.mean([psnr(o, f) for o, f in zip(out_pl, frames)])
+        assert p_db > p_pl - 0.5  # the filter must not cost real fidelity
+
+    def test_deblock_default_off_byte_identical(self):
+        img = codecs.make_image(7, 32, 32, planes=1)[0]
+        frames = [img, np.roll(img, 3, axis=1)]
+        assert avcc.encode_h264(frames, qp=12, gop=2) == \
+            avcc.encode_h264(frames, qp=12, gop=2, deblock=False)
+
+
+# ------------------------------------------------------------------ Intra_4x4
+
+
+class TestIntra4x4:
+    def test_cbp_intra_table_is_permutation(self):
+        assert sorted(avcc._CBP_INTRA) == list(range(48))
+        # spec spot pins: codeNum 0 -> 47 (all coded), codeNum 3 -> 0
+        assert avcc._CBP_INTRA[0] == 47 and avcc._CBP_INTRA[3] == 0
+
+    def test_pred4_constant_preservation(self):
+        """Every prediction mode is a weighted neighbour average: constant
+        surroundings must predict the constant exactly."""
+        rec = np.full((16, 16), 77, np.int64)
+        for mode in range(9):
+            assert (avcc._pred4(mode, rec, 8, 8) == 77).all(), mode
+
+    def test_pred4_hand_cases(self):
+        """Hand-computed 8.3.1.2 cells: DDL from a ramp top row, VR corner,
+        HU tail."""
+        rec = np.zeros((16, 16), np.int64)
+        rec[7, 8:16] = [10, 20, 30, 40, 50, 60, 70, 80]
+        p = avcc._pred4(3, rec, 8, 8)  # Diagonal-Down-Left
+        assert p[0, 0] == (10 + 2 * 20 + 30 + 2) >> 2 == 20
+        assert p[3, 3] == (70 + 3 * 80 + 2) >> 2 == 78
+        rec2 = np.zeros((16, 16), np.int64)
+        rec2[7, 7] = 5          # top-left
+        rec2[7, 8:12] = 10      # top row
+        rec2[8:12, 7] = 9       # left column
+        p = avcc._pred4(5, rec2, 8, 8)  # Vertical-Right
+        assert p[0, 0] == (5 + 10 + 1) >> 1
+        rec3 = np.zeros((16, 16), np.int64)
+        rec3[8:12, 7] = [10, 20, 30, 40]
+        p = avcc._pred4(8, rec3, 8, 8)  # Horizontal-Up
+        assert p[0, 0] == (10 + 20 + 1) >> 1 and p[3, 3] == 40
+
+    def test_pred4_mode_prediction_rules(self):
+        i4 = np.full((8, 8), -2, np.int64)
+        assert avcc._i4_pred_mode(i4, 0, 3) == 2   # picture edge -> DC
+        assert avcc._i4_pred_mode(i4, 3, 0) == 2
+        assert avcc._i4_pred_mode(i4, 3, 3) == 2   # neighbours not I4x4
+        i4[3, 2], i4[2, 3] = 7, 4                  # left=7, above=4
+        assert avcc._i4_pred_mode(i4, 3, 3) == 4   # min rule
+
+    def test_i4x4_roundtrip_psnr(self):
+        """encode(intra4x4=True) decodes at >=40 dB on diagonal-edge
+        content, and the coded stream genuinely takes the I_4x4 path (its
+        bytes differ from the I_16x16 encoding of the same source at the
+        same qp)."""
+        yy, xx = np.mgrid[0:48, 0:64]
+        img = (((xx + yy) // 8) % 2 * 160 + 40).astype(np.uint8)
+        d4 = avcc.encode_h264([img], qp=12, intra4x4=True)
+        d16 = avcc.encode_h264([img], qp=12)
+        assert d4 != d16
+        out = avcc.decode_h264(d4)[0]
+        assert codecs.psnr(img, out) >= 40.0
+
+    def test_i4x4_multi_frame_gop_with_deblock(self):
+        """The full round-8 stack in one stream: I_4x4 intra frames, P
+        inter frames predicting from them, in-loop deblocking on — decode
+        is deterministic and every frame lands within the qp's fidelity."""
+        img = codecs.make_image(11, 32, 48, planes=3)
+        frames = [np.stack([np.roll(p, 2 * i, axis=1) for p in img])
+                  for i in range(3)]
+        data = avcc.encode_h264(frames, qp=14, gop=3, deblock=True,
+                                intra4x4=True)
+        outs = avcc.decode_h264_yuv(data)
+        assert len(outs) == 3
+        again = avcc.decode_h264_yuv(data)
+        for (y1, *_), (y2, *_) in zip(outs, again):
+            assert np.array_equal(y1, y2)
+        for fr, (yd, _, _) in zip(frames, outs):
+            assert codecs.psnr(fr[0], yd) >= 38.0
+
+    def test_i4x4_default_off_byte_identical(self):
+        img = codecs.make_image(13, 32, 32, planes=1)[0]
+        assert avcc.encode_h264([img], qp=10) == \
+            avcc.encode_h264([img], qp=10, intra4x4=False)

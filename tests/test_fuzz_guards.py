@@ -52,6 +52,11 @@ def _streams():
         "h264": (avcc.encode_h264([img[0], img[1]], qp=12), avcc.decode_h264),
         "h264_gop": (avcc.encode_h264([img[0], img[1], img[0]], qp=12, gop=3),
                      avcc.decode_h264),
+        "h264_db": (avcc.encode_h264([img[0], img[1], img[0]], qp=30, gop=3,
+                                     deblock=True),
+                    avcc.decode_h264),
+        "h264_i4": (avcc.encode_h264([img[0], img[1]], qp=14, intra4x4=True),
+                    avcc.decode_h264),
         "mp4_avc1": (mm.encode_mp4_h264([img[0], img[1]], qp=12),
                      lambda b: [avcc.decode_h264(f) for f in mm.split_mp4_avc1(b)]),
         "wav": (mm.encode_wav(np.sin(np.arange(800) / 20.0) * 0.4, 8000),
