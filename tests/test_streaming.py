@@ -161,3 +161,38 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert got.select("event_id").distinct().count() == 200
     want = {r.event_id for r in src.select("event_id").collect()}
     assert {r.event_id for r in got.select("event_id").collect()} == want
+
+
+def test_stac_feed_matches_batch(spark, tmp_path):
+    """Round 8: the streaming STAC item feed (file-source tail of the
+    items/ directory) parses with the batch schema and its windowed
+    arrival stats equal the batch aggregation over read_stac_catalog;
+    maxFilesPerTrigger bounds micro-batches so a backlog drains
+    incrementally (exactly-once per document via the source checkpoint)."""
+    from eoreader_spark import datagen
+    from eoreader_spark.lineage import LineageStore
+    from eoreader_spark.sources import stac
+    from eoreader_spark.streaming import stac_feed
+
+    scenes = datagen.gen_scenes(spark, 48)
+    root = str(tmp_path / "cat")
+    stac.write_stac_catalog(stac.to_stac_items(scenes).repartition(4), root)
+
+    metrics = stac_feed.run_stac_feed_to_lineage(
+        spark, f"{root}/items", str(tmp_path / "store"),
+        max_files_per_trigger=13,
+    )
+    assert metrics["batches"] > 1  # the backlog drained in bounded batches
+
+    store = LineageStore(spark, str(tmp_path / "store"))
+    got = {
+        (r.window_start, r.constellation): (r.n_items, r.avg_cc, r.best_gsd)
+        for r in store.read_stage("stream_stac").collect()
+    }
+    batch_items = stac.read_stac_catalog(spark, root)
+    want = {
+        (r.window_start, r.constellation): (r.n_items, r.avg_cc, r.best_gsd)
+        for r in stac_feed.windowed_arrivals(batch_items).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in want.values()) == 48
