@@ -4112,6 +4112,117 @@ def _h264_i4_oracle() -> str:
         """
 
 
+def _h264_parts_frames(j: int):
+    """Shear-motion GOP fixture: rows 0-7 and rows 8+ of each frame roll
+    in OPPOSITE directions, so the motion boundary cuts through the top
+    macroblock row and the encoder's mode decision picks two-partition
+    P_L0_L0_16x8 macroblocks (the round-8-late P surface)."""
+    from eoreader_spark import codecs as _c
+
+    base = _c.make_image(2500 + j * 16, 32, 64, planes=1)[0]
+    frames = []
+    for fi in range(6):
+        f = np.empty_like(base)
+        f[:8] = np.roll(base[:8], 4 * fi, axis=1)
+        f[8:] = np.roll(base[8:], (-3 * fi, 2 * fi), axis=(1, 0))
+        frames.append(f)
+    return frames
+
+
+def _gen_h264_parts_media(spark: SparkSession, n_videos: int = 3):
+    """Partitioned-P fixtures (round 8, late): shear-motion GOP streams
+    encoded by the engine's own encoder, whose SAD mode decision splits
+    the boundary macroblocks into 16x8/8x16 partitions — per-partition MV
+    prediction (8.4.1.3 directional cases), the 4x4-granular motion field
+    and the multi-partition MC assembly all sit on the decode path."""
+    from collections.abc import Iterator as _It
+
+    def gen(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from eoreader_spark.sources import avcc as _a
+
+        for pdf in it:
+            rows = []
+            for j in pdf["id"].astype("int64"):
+                j = int(j)
+                frames = _h264_parts_frames(j)
+                h, w = frames[0].shape
+                payload = _a.encode_h264(frames, qp=10, gop=3)
+                rows.append(
+                    (f"pp{j:03d}", "video", payload, "h264", w, h, 0,
+                     len(frames))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "bytes", "fmt", "w", "h",
+                         "sample_rate", "n_frames"],
+            )
+
+    return (
+        spark.range(n_videos, numPartitions=n_videos)
+        .mapInPandas(gen, schema=(
+            "media_id string, kind string, bytes binary, fmt string,"
+            " w int, h int, sample_rate int, n_frames int"))
+    )
+
+
+def q_h264_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-partition P macroblocks on the gate (round 8, late): shear
+    motion forces 16x8/8x16 splits, so a defect in the partition syntax
+    order, the directional MV predictors, the per-partition MC assembly
+    or the block-granular deblock bS shifts pixels and breaks the hash.
+    Same framing as h264_gop; replay oracle."""
+    from eoreader_spark.operators import multimodal
+
+    media = _gen_h264_parts_media(spark)
+    feats = multimodal.video_frame_sample(media, every_n=2, resize=4)
+    block_px = (F.col("w") / 4 * (F.col("h") / 4)).cast("double")
+    scaled = F.transform("features", lambda x: x * block_px)
+    return (
+        feats.join(media.select("media_id", "w", "h"), "media_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            F.size("features").cast("long").alias("n_feat"),
+            F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x)
+            .cast("long").alias("feat_sum_px"),
+            F.array_min(scaled).cast("long").alias("feat_min_px"),
+            F.array_max(scaled).cast("long").alias("feat_max_px"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def _h264_parts_oracle() -> str:
+    """Single-process replay: own encoder (shear fixtures) -> own decoder."""
+    from eoreader_spark.sources import avcc as _a
+
+    rows = []
+    for j in range(3):
+        frames = _h264_parts_frames(j)
+        h, w = frames[0].shape
+        decoded = _a.decode_h264(_a.encode_h264(frames, qp=10, gop=3))
+        bh, bw = h // 4, w // 4
+        for fi in range(0, len(decoded), 2):
+            luma = decoded[fi].astype(np.float32)
+            feat = luma.reshape(4, bh, 4, bw).mean(axis=(1, 3)).ravel()
+            sc = (feat * (bh * bw)).astype(np.int64)
+            rows.append(
+                f"('pp{j:03d}', {fi}, 16, {int(sc.sum())}, {int(sc.min())}, {int(sc.max())})"
+            )
+    values = ",\n                ".join(rows)
+    return f"""
+            SELECT media_id, cast(frame_idx AS INTEGER) AS frame_idx,
+                   cast(n_feat AS BIGINT) AS n_feat,
+                   cast(feat_sum_px AS BIGINT) AS feat_sum_px,
+                   cast(feat_min_px AS BIGINT) AS feat_min_px,
+                   cast(feat_max_px AS BIGINT) AS feat_max_px
+            FROM (VALUES
+                {values}
+            ) AS t(media_id, frame_idx, n_feat, feat_sum_px, feat_min_px, feat_max_px)
+            ORDER BY media_id, frame_idx
+        """
+
+
 def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 clean-band cache / memoized resume on the gate: run 1 commits the
     even cells only (a simulated kill between stages), the resumed run's
@@ -5037,6 +5148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h264_gop": q_h264_gop,
         "h264_deblock": q_h264_deblock,
         "h264_i4": q_h264_i4,
+        "h264_parts": q_h264_parts,
         # new round-7 operators: static STAC catalog walk, Apply-Orbit-File
         "stac_open": q_stac_open,
         "orbit_interp": q_orbit_interp,
@@ -6012,6 +6124,7 @@ def oracle_sql() -> dict[str, str]:
         "h264_gop": _h264_gop_oracle(),
         "h264_deblock": _h264_deblock_oracle(),
         "h264_i4": _h264_i4_oracle(),
+        "h264_parts": _h264_parts_oracle(),
         "maxar_members": _maxar_members_oracle(),
         "stac_mpc": _stac_mpc_oracle(),
         # audio_info: integer duration arithmetic restated from the fixture

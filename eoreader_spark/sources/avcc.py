@@ -35,8 +35,11 @@ spec ceilings):
 - macroblocks: I_16x16 (all four prediction modes 0-3 on decode; the
   encoder searches V/H/DC), I_4x4 (round 8, late: all nine 8.3.1.2
   prediction modes with most-probable-mode signalling; the encoder emits
-  them with ``intra4x4=True``), I_PCM on decode, P_L0_16x16 and P_Skip;
-  P 16x8/8x16/8x8 partitions raise NotImplementedError (named)
+  them with ``intra4x4=True``), I_PCM on decode, P_L0_16x16, P_Skip, and
+  (round 8, late) the two-partition P_L0_L0_16x8 / P_L0_L0_8x16 types
+  with per-partition MV prediction (8.4.1.3 directional special cases)
+  and a 4x4-granular motion field; P_8x8 sub-macroblock partitions raise
+  NotImplementedError (named)
 - inter: exactly one reference frame (the most recent reference picture);
   multiple references, list modification, weighted prediction and MMCO
   raise NotImplementedError (named)
@@ -974,8 +977,10 @@ def _mc_chroma(ref: np.ndarray, y0: int, x0: int, mvx: int, mvy: int,
 
 class _Grids:
     """Per-frame reconstruction state: planes, CAVLC TotalCoeff contexts,
-    and the per-MB motion field (16x16-partition granularity is exact for
-    the supported P subset)."""
+    and the per-4x4-BLOCK motion field (round 8, late: P macroblocks may
+    split into two 16x8 / 8x16 partitions, so MV/ref live at 4x4
+    granularity — also the granularity the deblocking bS derivation
+    actually wants)."""
 
     def __init__(self, mb_w: int, mb_h: int) -> None:
         self.y = np.zeros((16 * mb_h, 16 * mb_w), np.int64)
@@ -984,33 +989,59 @@ class _Grids:
         self.luma_cnt = np.zeros((mb_h * 4, mb_w * 4), np.int64)
         self.cb_cnt = np.zeros((mb_h * 2, mb_w * 2), np.int64)
         self.cr_cnt = np.zeros((mb_h * 2, mb_w * 2), np.int64)
-        self.mv = np.zeros((mb_h, mb_w, 2), np.int64)   # quarter-pel units
-        self.ref = np.full((mb_h, mb_w), -1, np.int64)  # -1 = intra/unset
+        # per-4x4-block motion: quarter-pel MV and refIdx (-1 = intra/unset)
+        self.mv = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
+        self.ref = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
         self.qp = np.zeros((mb_h, mb_w), np.int64)      # per-MB QPy (deblock)
         # per-4x4 Intra_4x4 prediction mode; < 0 = not an I_4x4 block
         self.i4 = np.full((mb_h * 4, mb_w * 4), -2, np.int64)
         self.mb_w, self.mb_h = mb_w, mb_h
 
+    def set_inter(self, byg: int, bxg: int, h4: int, w4: int,
+                  mvx: int, mvy: int) -> None:
+        """Record one decoded inter partition's motion over its 4x4 blocks."""
+        self.mv[byg : byg + h4, bxg : bxg + w4] = (mvx, mvy)
+        self.ref[byg : byg + h4, bxg : bxg + w4] = 0
 
-def _mv_pred(g: _Grids, my: int, mx: int) -> tuple[int, int]:
-    """Median MV predictor for a 16x16 partition (8.4.1.3): neighbours
-    A=left, B=above, C=above-right (D=above-left when C is outside);
-    intra neighbours contribute mv (0,0) with refIdx -1."""
-    availA = mx > 0
-    refA = int(g.ref[my, mx - 1]) if availA else -1
-    mvA = tuple(int(v) for v in g.mv[my, mx - 1]) if availA else (0, 0)
-    availB = my > 0
-    refB = int(g.ref[my - 1, mx]) if availB else -1
-    mvB = tuple(int(v) for v in g.mv[my - 1, mx]) if availB else (0, 0)
-    if my > 0 and mx + 1 < g.mb_w:
-        availC, cy, cx = True, my - 1, mx + 1
-    elif my > 0 and mx > 0:   # D substitutes
-        availC, cy, cx = True, my - 1, mx - 1
-    else:
-        availC = False
-    refC = int(g.ref[cy, cx]) if availC else -1
-    mvC = tuple(int(v) for v in g.mv[cy, cx]) if availC else (0, 0)
-    if availA and not availB and not availC:
+
+def _blk(g: _Grids, bxg: int, byg: int, my: int, mx: int):
+    """Neighbour 4x4 block (refIdx, mv) with decode-order availability:
+    in-picture AND in a macroblock at or before (my, mx) in raster order
+    (within the current MB only already-decoded partitions are ever
+    queried).  Unavailable -> (None, (0, 0)) like the spec's refIdx -1 /
+    zero-mv convention."""
+    if bxg < 0 or byg < 0 or bxg >= 4 * g.mb_w:
+        return None, (0, 0)
+    nmy, nmx = byg // 4, bxg // 4
+    if nmy > my or (nmy == my and nmx > mx):
+        return None, (0, 0)
+    return int(g.ref[byg, bxg]), (int(g.mv[byg, bxg, 0]),
+                                  int(g.mv[byg, bxg, 1]))
+
+
+def _mv_pred(g: _Grids, my: int, mx: int, byg: int, bxg: int,
+             w4: int = 4, h4: int = 4, part: str = "16x16") -> tuple[int, int]:
+    """MV predictor for a P partition (8.4.1.3): neighbours A=left,
+    B=above, C=above-right of the partition (D=above-left substitutes an
+    unavailable C); intra neighbours contribute mv (0,0) with refIdx -1.
+    The 16x8/8x16 directional special cases of 8.4.1.3.1 pick a single
+    neighbour when its reference matches; everything else takes the
+    component-wise median (8.4.1.3.2)."""
+    refA, mvA = _blk(g, bxg - 1, byg, my, mx)
+    refB, mvB = _blk(g, bxg, byg - 1, my, mx)
+    refC, mvC = _blk(g, bxg + w4, byg - 1, my, mx)
+    if refC is None:  # D substitutes
+        refC, mvC = _blk(g, bxg - 1, byg - 1, my, mx)
+    # directional special cases (8.4.1.3, items 2-5)
+    if part == "16x8_top" and refB == 0:
+        return mvB
+    if part == "16x8_bot" and refA == 0:
+        return mvA
+    if part == "8x16_left" and refA == 0:
+        return mvA
+    if part == "8x16_right" and refC == 0:
+        return mvC
+    if refA is not None and refB is None and refC is None:
         return mvA
     matches = [mv for rf, mv in ((refA, mvA), (refB, mvB), (refC, mvC))
                if rf == 0]
@@ -1024,14 +1055,16 @@ def _mv_pred(g: _Grids, my: int, mx: int) -> tuple[int, int]:
 def _skip_mv(g: _Grids, my: int, mx: int) -> tuple[int, int]:
     """P_Skip motion derivation (8.4.1.1): zero MV when a 16x16 edge
     neighbour is missing or is a zero-MV ref-0 block, else the predictor."""
-    availA, availB = mx > 0, my > 0
-    if not availA or not availB:
+    byg, bxg = 4 * my, 4 * mx
+    refA, mvA = _blk(g, bxg - 1, byg, my, mx)
+    refB, mvB = _blk(g, bxg, byg - 1, my, mx)
+    if refA is None or refB is None:
         return 0, 0
-    if int(g.ref[my, mx - 1]) == 0 and not g.mv[my, mx - 1].any():
+    if refA == 0 and mvA == (0, 0):
         return 0, 0
-    if int(g.ref[my - 1, mx]) == 0 and not g.mv[my - 1, mx].any():
+    if refB == 0 and mvB == (0, 0):
         return 0, 0
-    return _mv_pred(g, my, mx)
+    return _mv_pred(g, my, mx, byg, bxg)
 
 
 def _unscan16(coeffs: list[int]) -> np.ndarray:
@@ -1293,24 +1326,28 @@ def _recon_inter_luma(pred: np.ndarray, ac_q, qp: int) -> np.ndarray:
 def _search_mv(src: np.ndarray, ref_y: np.ndarray, y0: int, x0: int,
                rng: int) -> tuple[int, int]:
     """Integer full search +-rng then half- and quarter-pel refinement,
-    SAD metric (encoder-side, non-normative)."""
+    SAD metric (encoder-side, non-normative).  Block size = src's shape
+    (16x16 MBs or 16x8 / 8x16 partitions)."""
+    bh, bw = src.shape
     H, W = ref_y.shape
-    ys = np.clip(np.arange(y0 - rng, y0 + 16 + rng), 0, H - 1)
-    xs = np.clip(np.arange(x0 - rng, x0 + 16 + rng), 0, W - 1)
+    ys = np.clip(np.arange(y0 - rng, y0 + bh + rng), 0, H - 1)
+    xs = np.clip(np.arange(x0 - rng, x0 + bw + rng), 0, W - 1)
     win = ref_y[np.ix_(ys, xs)]
-    cand = np.lib.stride_tricks.sliding_window_view(win, (16, 16))
+    cand = np.lib.stride_tricks.sliding_window_view(win, (bh, bw))
     sads = np.abs(cand - src[None, None]).sum(axis=(2, 3))
     dy, dx = np.unravel_index(int(np.argmin(sads)), sads.shape)
     mvx, mvy = 4 * (int(dx) - rng), 4 * (int(dy) - rng)
     for step in (2, 1):  # half then quarter pel
-        best = int(np.abs(_mc_luma(ref_y, y0, x0, mvx, mvy) - src).sum())
+        best = int(np.abs(
+            _mc_luma(ref_y, y0, x0, mvx, mvy, bh=bh, bw=bw) - src).sum())
         bx, by = mvx, mvy
         for ddy in (-step, 0, step):
             for ddx in (-step, 0, step):
                 if ddx == 0 and ddy == 0:
                     continue
                 sad = int(np.abs(
-                    _mc_luma(ref_y, y0, x0, mvx + ddx, mvy + ddy) - src).sum())
+                    _mc_luma(ref_y, y0, x0, mvx + ddx, mvy + ddy,
+                             bh=bh, bw=bw) - src).sum())
                 if sad < best:
                     best, bx, by = sad, mvx + ddx, mvy + ddy
         mvx, mvy = bx, by
@@ -1319,9 +1356,12 @@ def _search_mv(src: np.ndarray, ref_y: np.ndarray, y0: int, x0: int,
 
 def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
                     cr: np.ndarray, qp: int, ref, search: int = 8):
-    """P-slice frame encoder: P_Skip / P_L0_16x16 only, single reference,
+    """P-slice frame encoder: P_Skip, P_L0_16x16 and (round 8, late) the
+    two-partition P_L0_L0_16x8 / 8x16 types, single reference, per-block
     motion search + quarter-pel MC, reconstruction through the normative
-    decode path (the stream replays bit-exactly)."""
+    decode path (the stream replays bit-exactly).  A macroblock splits
+    when the summed partition SADs beat the 16x16 SAD by a fixed margin
+    (non-normative mode decision)."""
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
     g = _Grids(mb_w, mb_h)
     g.qp[:] = qp  # this encoder never writes mb_qp_delta != 0
@@ -1336,13 +1376,23 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
             csrc = {n: p[c0 : c0 + 8, cx0 : cx0 + 8].astype(np.int64)
                     for n, p in (("cb", cb), ("cr", cr))}
 
-            def quant_at(mvx, mvy):
-                pred = _mc_luma(ref_y, y0, x0, mvx, mvy)
+            def quant_at(parts):
+                pred = np.empty((16, 16), np.int64)
+                cpred = {n: np.empty((8, 8), np.int64) for n in ("cb", "cr")}
+                for oy, ox, h4, w4, mvx, mvy, _tag in parts:
+                    py, px = 4 * oy, 4 * ox
+                    pred[py : py + 4 * h4, px : px + 4 * w4] = _mc_luma(
+                        ref_y, y0 + py, x0 + px, mvx, mvy,
+                        bh=4 * h4, bw=4 * w4)
+                    for n, rplane in (("cb", ref_cb), ("cr", ref_cr)):
+                        cy, cx = py >> 1, px >> 1
+                        cpred[n][cy : cy + 2 * h4, cx : cx + 2 * w4] = \
+                            _mc_chroma(rplane, c0 + cy, cx0 + cx, mvx, mvy,
+                                       bh=2 * h4, bw=2 * w4)
                 ac_q, cbp_luma = _mb_residual_inter(pred, src, qp)
                 ch = {}
-                for n, rplane in (("cb", ref_cb), ("cr", ref_cr)):
-                    cpred = _mc_chroma(rplane, c0, cx0, mvx, mvy)
-                    cresid = csrc[n] - cpred
+                for n in ("cb", "cr"):
+                    cresid = csrc[n] - cpred[n]
                     cdc_raw = np.zeros((2, 2), np.int64)
                     cac = []
                     for idx in range(4):
@@ -1350,7 +1400,7 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
                         W = _fwd4(cresid[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4])
                         cdc_raw[by, bx] = W[0, 0]
                         cac.append(_quant4(W, qpc, intra_dc_skip=True))
-                    ch[n] = (cpred, _chroma_dc_quant(cdc_raw, qpc), cac)
+                    ch[n] = (cpred[n], _chroma_dc_quant(cdc_raw, qpc), cac)
                 any_cdc = any(np.any(ch[n][1]) for n in ("cb", "cr"))
                 any_cac = any(np.any(z) for n in ("cb", "cr") for z in ch[n][2])
                 cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
@@ -1358,25 +1408,56 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
 
             # skip probe first: zero residual at the P_Skip-derived MV
             smx, smy = _skip_mv(g, my, mx)
-            pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(smx, smy)
-            mvx, mvy = smx, smy
+            parts = [(0, 0, 4, 4, smx, smy, "16x16")]
+            pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(parts)
+            skip_possible = True
             if cbp_luma or cbp_chroma:
+                skip_possible = False
                 mvx, mvy = _search_mv(src, ref_y, y0, x0, search)
+                parts = [(0, 0, 4, 4, mvx, mvy, "16x16")]
                 if (mvx, mvy) != (smx, smy):
-                    pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(mvx, mvy)
-            cbp = cbp_luma | (cbp_chroma << 4)
-            g.mv[my, mx] = (mvx, mvy)
-            g.ref[my, mx] = 0
+                    pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(parts)
+                # two-partition probe: split when the summed partition
+                # SADs beat 16x16 by a margin that pays for the extra mvd
+                sad16 = int(np.abs(src - pred).sum())
+                if sad16 > 128:
+                    t = _search_mv(src[0:8], ref_y, y0, x0, search)
+                    b = _search_mv(src[8:16], ref_y, y0 + 8, x0, search)
+                    lf = _search_mv(src[:, 0:8], ref_y, y0, x0, search)
+                    rt = _search_mv(src[:, 8:16], ref_y, y0, x0 + 8, search)
 
-            if cbp == 0 and (mvx, mvy) == (smx, smy):
+                    def _sad(blk, yy, xx, mv, bh, bw):
+                        return int(np.abs(
+                            _mc_luma(ref_y, yy, xx, *mv, bh=bh, bw=bw)
+                            - blk).sum())
+
+                    s168 = (_sad(src[0:8], y0, x0, t, 8, 16)
+                            + _sad(src[8:16], y0 + 8, x0, b, 8, 16))
+                    s816 = (_sad(src[:, 0:8], y0, x0, lf, 16, 8)
+                            + _sad(src[:, 8:16], y0, x0 + 8, rt, 16, 8))
+                    if min(s168, s816) + 128 < sad16:
+                        if s168 <= s816:
+                            parts = [(0, 0, 2, 4, *t, "16x8_top"),
+                                     (2, 0, 2, 4, *b, "16x8_bot")]
+                        else:
+                            parts = [(0, 0, 4, 2, *lf, "8x16_left"),
+                                     (0, 2, 4, 2, *rt, "8x16_right")]
+                        pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(parts)
+            cbp = cbp_luma | (cbp_chroma << 4)
+
+            if cbp == 0 and skip_possible:
+                g.set_inter(4 * my, 4 * mx, 4, 4, smx, smy)
                 skip_run += 1   # P_Skip: MC-only reconstruction, counts 0
             else:
                 w.ue(skip_run)
                 skip_run = 0
-                w.ue(0)  # mb_type P_L0_16x16
-                pmx, pmy = _mv_pred(g, my, mx)
-                w.se(mvx - pmx)
-                w.se(mvy - pmy)
+                w.ue({"16x16": 0, "16x8_top": 1, "8x16_left": 2}[parts[0][6]])
+                for oy, ox, h4, w4, mvx, mvy, tag in parts:
+                    pmx, pmy = _mv_pred(g, my, mx, 4 * my + oy, 4 * mx + ox,
+                                        w4, h4, tag)
+                    w.se(mvx - pmx)
+                    w.se(mvy - pmy)
+                    g.set_inter(4 * my + oy, 4 * mx + ox, h4, w4, mvx, mvy)
                 w.ue(_CBP_INTER_INV[cbp])
                 if cbp:
                     w.se(0)  # mb_qp_delta
@@ -1413,7 +1494,7 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
             if cbp_chroma < 1:
                 for n in ("cb", "cr"):
                     ch[n] = (ch[n][0], np.zeros((2, 2), np.int64), ch[n][2])
-            if cbp == 0 and (mvx, mvy) == (smx, smy):
+            if cbp == 0 and skip_possible:
                 ac_q = [np.zeros((4, 4), np.int64) for _ in range(16)]
             g.y[y0 : y0 + 16, x0 : x0 + 16] = _recon_inter_luma(pred, ac_q, qp)
             for n, plane in (("cb", g.cb), ("cr", g.cr)):
@@ -1551,22 +1632,18 @@ def _edge_bs(g: _Grids, my: int, mx: int, k: int, vertical: bool) -> np.ndarray:
     1 when the 16x16 MVs differ by >= one integer sample (refs are always
     list-0 index 0 in this subset), 0 otherwise.  Chroma edges reuse the
     co-located luma bS (the spec derives bS from luma positions only)."""
-    mb_q = (my, mx)
-    mb_p = (my, mx - 1) if (vertical and k == 0) else (
-        (my - 1, mx) if (not vertical and k == 0) else mb_q)
-    if g.ref[mb_p] < 0 or g.ref[mb_q] < 0:
-        return np.full(16, 4 if k == 0 else 3, np.int64)
     bs = np.zeros(16, np.int64)
     gx, gy = 4 * mx, 4 * my
-    mv_d = (np.abs(g.mv[mb_p] - g.mv[mb_q]) >= 4).any()
     for j in range(4):
         if vertical:
             pb, qb = (gy + j, gx + k - 1), (gy + j, gx + k)
         else:
             pb, qb = (gy + k - 1, gx + j), (gy + k, gx + j)
-        if g.luma_cnt[pb] or g.luma_cnt[qb]:
+        if g.ref[pb] < 0 or g.ref[qb] < 0:  # intra on either side
+            bs[4 * j : 4 * j + 4] = 4 if k == 0 else 3
+        elif g.luma_cnt[pb] or g.luma_cnt[qb]:
             bs[4 * j : 4 * j + 4] = 2
-        elif mv_d:
+        elif (np.abs(g.mv[pb] - g.mv[qb]) >= 4).any():
             bs[4 * j : 4 * j + 4] = 1
     return bs
 
@@ -1802,8 +1879,7 @@ def _recon_skip(g: _Grids, my: int, mx: int, ref) -> None:
     """P_Skip: MC-only reconstruction at the derived skip MV, zero
     residual, TotalCoeff contexts stay 0."""
     mvx, mvy = _skip_mv(g, my, mx)
-    g.mv[my, mx] = (mvx, mvy)
-    g.ref[my, mx] = 0
+    g.set_inter(4 * my, 4 * mx, 4, 4, mvx, mvy)
     y0, x0 = 16 * my, 16 * mx
     c0, cx0 = 8 * my, 8 * mx
     ref_y, ref_cb, ref_cr = ref
@@ -1813,11 +1889,15 @@ def _recon_skip(g: _Grids, my: int, mx: int, ref) -> None:
 
 
 def _decode_inter_mb(r: _BitReader, g: _Grids, my: int, mx: int, qp: int,
-                     chroma_qp_offset: int, mvx: int, mvy: int, ref) -> int:
-    """P_L0_16x16 macroblock: CBP via the Table 9-4 inter mapping, plain
-    4x4 luma residual transforms (no Hadamard), chroma DC+AC as intra."""
-    g.mv[my, mx] = (mvx, mvy)
-    g.ref[my, mx] = 0
+                     chroma_qp_offset: int, parts, ref) -> int:
+    """Inter macroblock (P_L0_16x16 or two 16x8 / 8x16 partitions, round 8
+    late): CBP via the Table 9-4 inter mapping, per-partition quarter-pel
+    MC assembled into one 16x16 prediction, plain 4x4 luma residual
+    transforms (no Hadamard), chroma DC+AC as intra.  ``parts`` =
+    [(block_dy, block_dx, h4, w4, mvx, mvy), ...] in 4x4-block units
+    relative to the MB."""
+    for oy, ox, h4, w4, mvx, mvy in parts:
+        g.set_inter(4 * my + oy, 4 * mx + ox, h4, w4, mvx, mvy)
     ref_y, ref_cb, ref_cr = ref
     code = r.ue()
     if code > 47:
@@ -1859,13 +1939,21 @@ def _decode_inter_mb(r: _BitReader, g: _Grids, my: int, mx: int, qp: int,
                 cnt[cgy + by, cgx + bx] = tc
 
     y0, x0 = 16 * my, 16 * mx
-    pred = _mc_luma(ref_y, y0, x0, mvx, mvy)
-    g.y[y0 : y0 + 16, x0 : x0 + 16] = _recon_inter_luma(pred, ac_q, qp)
     c0, cx0 = 8 * my, 8 * mx
-    for n, rplane, rec_c in (("cb", ref_cb, g.cb), ("cr", ref_cr, g.cr)):
-        cpred = _mc_chroma(rplane, c0, cx0, mvx, mvy)
+    pred = np.empty((16, 16), np.int64)
+    cpred = {"cb": np.empty((8, 8), np.int64), "cr": np.empty((8, 8), np.int64)}
+    for oy, ox, h4, w4, mvx, mvy in parts:
+        py, px = 4 * oy, 4 * ox
+        pred[py : py + 4 * h4, px : px + 4 * w4] = _mc_luma(
+            ref_y, y0 + py, x0 + px, mvx, mvy, bh=4 * h4, bw=4 * w4)
+        for n, rplane in (("cb", ref_cb), ("cr", ref_cr)):
+            cy, cx = py >> 1, px >> 1
+            cpred[n][cy : cy + 2 * h4, cx : cx + 2 * w4] = _mc_chroma(
+                rplane, c0 + cy, cx0 + cx, mvx, mvy, bh=2 * h4, bw=2 * w4)
+    g.y[y0 : y0 + 16, x0 : x0 + 16] = _recon_inter_luma(pred, ac_q, qp)
+    for n, rec_c in (("cb", g.cb), ("cr", g.cr)):
         rec_c[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
-            cpred, _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
+            cpred[n], _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
     g.qp[my, mx] = qp
     return qp
 
@@ -1891,14 +1979,34 @@ def _decode_frame_p(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
             break
         my, mx = divmod(i, mb_w)
         mb_type = r.ue()
+        byg, bxg = 4 * my, 4 * mx
         if mb_type == 0:  # P_L0_16x16
             mvd_x, mvd_y = r.se(), r.se()
-            pmx, pmy = _mv_pred(g, my, mx)
+            pmx, pmy = _mv_pred(g, my, mx, byg, bxg)
+            qp = _decode_inter_mb(
+                r, g, my, mx, qp, chroma_qp_offset,
+                [(0, 0, 4, 4, pmx + mvd_x, pmy + mvd_y)], ref)
+        elif mb_type in (1, 2):  # P_L0_L0_16x8 / P_L0_L0_8x16 (round 8 late)
+            # mb_pred (7.3.5.2): both partitions' mvd pairs precede the
+            # residual; partition 1's predictor may use partition 0's MV,
+            # so motion is recorded per partition as it resolves.
+            if mb_type == 1:
+                geo = [(0, 0, 2, 4, "16x8_top"), (2, 0, 2, 4, "16x8_bot")]
+            else:
+                geo = [(0, 0, 4, 2, "8x16_left"), (0, 2, 4, 2, "8x16_right")]
+            parts = []
+            for oy, ox, h4, w4, tag in geo:
+                mvd_x, mvd_y = r.se(), r.se()
+                pmx, pmy = _mv_pred(g, my, mx, byg + oy, bxg + ox,
+                                    w4, h4, tag)
+                mvx, mvy = pmx + mvd_x, pmy + mvd_y
+                g.set_inter(byg + oy, bxg + ox, h4, w4, mvx, mvy)
+                parts.append((oy, ox, h4, w4, mvx, mvy))
             qp = _decode_inter_mb(r, g, my, mx, qp, chroma_qp_offset,
-                                  pmx + mvd_x, pmy + mvd_y, ref)
-        elif mb_type in (1, 2, 3, 4):
+                                  parts, ref)
+        elif mb_type in (3, 4):
             raise NotImplementedError(
-                "h264: P-slice sub-16x16 partitions not in subset")
+                "h264: P_8x8 sub-macroblock partitions not in subset")
         elif 5 <= mb_type <= 30:
             qp = _decode_intra_mb(r, mb_type - 5, g, my, mx, qp,
                                   chroma_qp_offset)

@@ -557,7 +557,7 @@ class TestInterPrediction:
 
     def test_p_subset_raises_named(self):
         img = codecs.make_image(6, 16, 32, planes=1)[0]
-        for bad_type, msg in ((1, "sub-16x16"), (3, "sub-16x16")):
+        for bad_type, msg in ((3, "P_8x8"), (4, "P_8x8")):
             pw = avcc._BitWriter()
             pw.ue(0)
             pw.ue(bad_type)
@@ -720,16 +720,21 @@ class TestDeblocking:
         intra internal 3, inter coeffs 2, inter MV >= one integer sample 1,
         quiescent inter 0."""
         g = avcc._Grids(2, 1)
-        g.ref[:] = 0
+        g.ref[:] = 0           # all blocks inter, ref 0 (4x4 granularity)
         assert not avcc._edge_bs(g, 0, 1, 0, True).any()       # quiet inter
-        g.mv[0, 1] = (4, 0)                                    # 1 int sample
+        g.mv[:, 4:8] = (4, 0)  # right MB: one integer sample
         assert (avcc._edge_bs(g, 0, 1, 0, True) == 1).all()
-        g.mv[0, 1] = (3, 0)                                    # sub-integer
+        g.mv[:, 4:8] = (3, 0)  # sub-integer
         assert not avcc._edge_bs(g, 0, 1, 0, True).any()
+        # round 8 late: PARTITION granularity — only the right MB's lower
+        # 16x8 partition moves; the MB edge gets bS 1 on those lines only
+        g.mv[2:4, 4:8] = (4, 0)
+        assert list(avcc._edge_bs(g, 0, 1, 0, True)) == [0] * 8 + [1] * 8
+        g.mv[:, 4:8] = (0, 0)
         g.luma_cnt[2, 4] = 5   # block row 2 of the right MB's first column
         bs = avcc._edge_bs(g, 0, 1, 0, True)
         assert list(bs) == [0] * 8 + [2] * 4 + [0] * 4
-        g.ref[0, 0] = -1                                       # intra left
+        g.ref[0:4, 0:4] = -1                                   # intra left
         assert (avcc._edge_bs(g, 0, 1, 0, True) == 4).all()    # MB edge
         assert (avcc._edge_bs(g, 0, 0, 1, True) == 3).all()    # internal
         assert (avcc._edge_bs(g, 0, 0, 2, False) == 3).all()
@@ -853,3 +858,75 @@ class TestIntra4x4:
         img = codecs.make_image(13, 32, 32, planes=1)[0]
         assert avcc.encode_h264([img], qp=10) == \
             avcc.encode_h264([img], qp=10, intra4x4=False)
+
+
+class TestPPartitions:
+    """Round-8 (late) P_L0_L0_16x8 / 8x16 two-partition macroblocks."""
+
+    @staticmethod
+    def _shear(seed):
+        """Frame pair whose motion boundary cuts through the TOP MB row
+        (rows 0-7 shift +4 px, rows 8+ shift -4), so a 16x8 split is the
+        natural coding choice for those MBs."""
+        base = codecs.make_image(seed, 32, 32, planes=1)[0]
+        cur = np.empty_like(base)
+        cur[:8] = np.roll(base[:8], 4, axis=1)
+        cur[8:] = np.roll(base[8:], -4, axis=1)
+        return base, cur
+
+    def test_mv_pred_directional_special_cases(self):
+        """8.4.1.3 items 2-5: the 16x8/8x16 partitions take a single
+        directional neighbour when its reference matches, bypassing the
+        median."""
+        g = avcc._Grids(3, 2)
+        g.ref[:] = 0
+        g.mv[3, 4:8] = (40, 4)    # above the lower 16x8 of MB (1,1)? no:
+        # MB (1,1) spans blocks [4:8, 4:8].  Top 16x8 partition B-neighbour
+        # = block (4, 3) row above; A-neighbour of bottom = block (6, 3).
+        g.mv[3, 4] = (12, -8)     # B of top partition
+        g.mv[6, 3] = (-16, 20)    # A of bottom partition
+        g.mv[3, 8] = (24, 36)     # C of right 8x16 partition (above-right)
+        top = avcc._mv_pred(g, 1, 1, 4, 4, 4, 2, "16x8_top")
+        bot = avcc._mv_pred(g, 1, 1, 6, 4, 4, 2, "16x8_bot")
+        left = avcc._mv_pred(g, 1, 1, 4, 4, 2, 4, "8x16_left")
+        right = avcc._mv_pred(g, 1, 1, 4, 6, 2, 4, "8x16_right")
+        assert top == (12, -8)      # mvB, refB == 0
+        assert bot == (-16, 20)     # mvA
+        assert left == (-16, 20) or left == tuple(
+            int(v) for v in g.mv[4, 3])  # mvA of the left partition
+        assert right == (24, 36)    # mvC (above-right of the partition)
+
+    def test_encoder_splits_on_shear_motion(self):
+        prev, cur = self._shear(21)
+        yp, cbp_, crp = avcc._to_yuv(prev)
+        yc, cbc, crc = avcc._to_yuv(cur)
+        body = avcc._BitWriter()
+        g = avcc._encode_frame_p(
+            body, yc.astype(np.int64), cbc.astype(np.int64),
+            crc.astype(np.int64), 8,
+            (yp.astype(np.int64), cbp_.astype(np.int64),
+             crp.astype(np.int64)))
+        # at least one top-row MB carries two distinct MVs (a partition)
+        top_mbs_mvs = {tuple(v) for v in g.mv[0:4, :].reshape(-1, 2).tolist()}
+        assert len(top_mbs_mvs) >= 2
+
+    def test_partitioned_gop_roundtrip(self):
+        prev, cur = self._shear(22)
+        data = avcc.encode_h264([prev, cur, prev], qp=8, gop=3)
+        outs = avcc.decode_h264(data)
+        assert len(outs) == 3
+        assert codecs.psnr(cur, outs[1]) >= 40.0
+        assert codecs.psnr(prev, outs[2]) >= 40.0
+        again = avcc.decode_h264(data)
+        for a, b in zip(outs, again):
+            assert np.array_equal(a, b)
+
+    def test_partitions_with_deblock_and_i4x4(self):
+        """The complete round-8 P surface in one stream: I_4x4 intra,
+        partitioned P MBs, in-loop deblocking."""
+        prev, cur = self._shear(23)
+        data = avcc.encode_h264([prev, cur], qp=26, gop=2, deblock=True,
+                                intra4x4=True)
+        outs = avcc.decode_h264(data)
+        assert len(outs) == 2 and outs[1].shape == (32, 32)
+        assert codecs.psnr(cur, outs[1]) >= 28.0

@@ -57,6 +57,11 @@ def _streams():
                     avcc.decode_h264),
         "h264_i4": (avcc.encode_h264([img[0], img[1]], qp=14, intra4x4=True),
                     avcc.decode_h264),
+        "h264_pp": (avcc.encode_h264(
+            [img[0],
+             np.concatenate([np.roll(img[0][:8], 4, axis=1),
+                             np.roll(img[0][8:], -4, axis=1)])],
+            qp=10, gop=2), avcc.decode_h264),
         "mp4_avc1": (mm.encode_mp4_h264([img[0], img[1]], qp=12),
                      lambda b: [avcc.decode_h264(f) for f in mm.split_mp4_avc1(b)]),
         "wav": (mm.encode_wav(np.sin(np.arange(800) / 20.0) * 0.4, 8000),
@@ -280,17 +285,21 @@ def test_deep_fixture_fuzz_matrix(name, fixture, dec):
     assert not fired["hang"]
 
 
-def test_h264_deep_fuzz_nal_boundaries_and_expgolomb():
+@pytest.mark.parametrize("variant", ["gop", "deblock", "i4x4"])
+def test_h264_deep_fuzz_nal_boundaries_and_expgolomb(variant):
     """Round-8 VERDICT #7: avcc gets the hdf5-grade fuzz depth.  A
-    multi-frame GOP fixture (IDR + P slices, the newest parser paths) is
-    swept with (1) truncations targeted AT every NAL start-code boundary
-    +-2 bytes (param-set/slice splits), (2) 4x-count random truncations,
-    which cut exp-Golomb symbols mid-bit, and (3) 4x-count bit flips.
-    Contract: named error or a decode — never a bare low-level exception,
-    never a hang."""
+    multi-frame GOP fixture (IDR + P slices, the newest parser paths;
+    late-round variants add deblock-active and all-I_4x4 intra layouts)
+    is swept with (1) truncations targeted AT every NAL start-code
+    boundary +-2 bytes (param-set/slice splits), (2) 4x-count random
+    truncations, which cut exp-Golomb symbols mid-bit, and (3) 4x-count
+    bit flips.  Contract: named error or a decode — never a bare
+    low-level exception, never a hang."""
     img = _img()
     frames = [img[0], img[1], img[0], img[1]]
-    data = avcc.encode_h264(frames, qp=14, gop=4)
+    data = avcc.encode_h264(frames, qp=14 if variant != "deblock" else 30,
+                            gop=4, deblock=variant == "deblock",
+                            intra4x4=variant == "i4x4")
     dec = avcc.decode_h264
     dec(data)  # pristine decodes
 
