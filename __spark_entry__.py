@@ -4113,18 +4113,27 @@ def _h264_i4_oracle() -> str:
 
 
 def _h264_parts_frames(j: int):
-    """Shear-motion GOP fixture: rows 0-7 and rows 8+ of each frame roll
-    in OPPOSITE directions, so the motion boundary cuts through the top
-    macroblock row and the encoder's mode decision picks two-partition
-    P_L0_L0_16x8 macroblocks (the round-8-late P surface)."""
+    """Partition-forcing GOP fixture (two GOPs of 3 at gop=3): the first
+    GOP's P frames shear rows 0-7 against rows 8+ (motion boundary through
+    the top MB row -> two-partition P_L0_L0_16x8 macroblocks); the second
+    GOP's P frames move the four 8x8 quadrants of MB (0,0) in four
+    different directions against a global fallback motion -> the encoder's
+    P_8x8 probe splits that MB into four sub-macroblock partitions."""
     from eoreader_spark import codecs as _c
 
     base = _c.make_image(2500 + j * 16, 32, 64, planes=1)[0]
     frames = []
     for fi in range(6):
         f = np.empty_like(base)
-        f[:8] = np.roll(base[:8], 4 * fi, axis=1)
-        f[8:] = np.roll(base[8:], (-3 * fi, 2 * fi), axis=(1, 0))
+        if fi < 3:
+            f[:8] = np.roll(base[:8], 4 * fi, axis=1)
+            f[8:] = np.roll(base[8:], (-3 * fi, 2 * fi), axis=(1, 0))
+        else:
+            k = fi - 3
+            f[:] = np.roll(base, -2 * k, axis=0)
+            f[:8, :8] = np.roll(base[:8, :8], 3 * k, axis=1)
+            f[:8, 8:16] = np.roll(base[:8, 8:16], -3 * k, axis=1)
+            f[8:16, :8] = np.roll(base[8:16, :8], 2 * k, axis=0)
         frames.append(f)
     return frames
 

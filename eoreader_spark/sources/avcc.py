@@ -36,10 +36,12 @@ spec ceilings):
   encoder searches V/H/DC), I_4x4 (round 8, late: all nine 8.3.1.2
   prediction modes with most-probable-mode signalling; the encoder emits
   them with ``intra4x4=True``), I_PCM on decode, P_L0_16x16, P_Skip, and
-  (round 8, late) the two-partition P_L0_L0_16x8 / P_L0_L0_8x16 types
-  with per-partition MV prediction (8.4.1.3 directional special cases)
-  and a 4x4-granular motion field; P_8x8 sub-macroblock partitions raise
-  NotImplementedError (named)
+  (round 8, late) the FULL P partition tree: two-partition P_L0_L0_16x8
+  / P_L0_L0_8x16 with the 8.4.1.3 directional MV special cases, and
+  P_8x8 / P_8x8ref0 sub-macroblock partitions (sub_mb_types 8x8 / 8x4 /
+  4x8 / 4x4) over a 4x4-granular motion field with exact decode-order
+  neighbour availability; the encoder's mode decision emits 16x8/8x16
+  and four-way P_L0_8x8 splits
 - inter: exactly one reference frame (the most recent reference picture);
   multiple references, list modification, weighted prediction and MMCO
   raise NotImplementedError (named)
@@ -893,6 +895,15 @@ def _recon_chroma(pred: np.ndarray, dc_dq: np.ndarray, ac_blocks, qpc: int) -> n
 # partitions, multiple references, weighted prediction, and MMCO raise
 # named NotImplementedError (the documented subset contract).
 
+# sub_mb_type (P slices, Table 7-17) -> sub-partition geometry within one
+# 8x8: (block_dy, block_dx, h4, w4) in 4x4-block units, decode order.
+_SUB_GEO = {
+    0: [(0, 0, 2, 2)],                                     # P_L0_8x8
+    1: [(0, 0, 1, 2), (1, 0, 1, 2)],                       # P_L0_8x4
+    2: [(0, 0, 2, 1), (0, 1, 2, 1)],                       # P_L0_4x8
+    3: [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)],  # P_L0_4x4
+}
+
 # Table 9-4, Intra column: me(v) codeNum -> coded_block_pattern (I_4x4).
 _CBP_INTRA = [
     47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
@@ -992,6 +1003,11 @@ class _Grids:
         # per-4x4-block motion: quarter-pel MV and refIdx (-1 = intra/unset)
         self.mv = np.zeros((mb_h * 4, mb_w * 4, 2), np.int64)
         self.ref = np.full((mb_h * 4, mb_w * 4), -1, np.int64)
+        # decode-order availability (6.4.11.7): a block is a usable MV
+        # neighbour only once decoded — with P_8x8 sub-partitions this is
+        # finer than macroblock raster order (a sub-partition's above-right
+        # block can be LATER in the same MB's decode order)
+        self.done = np.zeros((mb_h * 4, mb_w * 4), bool)
         self.qp = np.zeros((mb_h, mb_w), np.int64)      # per-MB QPy (deblock)
         # per-4x4 Intra_4x4 prediction mode; < 0 = not an I_4x4 block
         self.i4 = np.full((mb_h * 4, mb_w * 4), -2, np.int64)
@@ -1002,24 +1018,28 @@ class _Grids:
         """Record one decoded inter partition's motion over its 4x4 blocks."""
         self.mv[byg : byg + h4, bxg : bxg + w4] = (mvx, mvy)
         self.ref[byg : byg + h4, bxg : bxg + w4] = 0
+        self.done[byg : byg + h4, bxg : bxg + w4] = True
+
+    def mark_intra(self, my: int, mx: int) -> None:
+        """Mark a decoded intra macroblock's blocks as available neighbours
+        (they contribute refIdx -1 / zero MV to MV prediction)."""
+        self.done[4 * my : 4 * my + 4, 4 * mx : 4 * mx + 4] = True
 
 
-def _blk(g: _Grids, bxg: int, byg: int, my: int, mx: int):
-    """Neighbour 4x4 block (refIdx, mv) with decode-order availability:
-    in-picture AND in a macroblock at or before (my, mx) in raster order
-    (within the current MB only already-decoded partitions are ever
-    queried).  Unavailable -> (None, (0, 0)) like the spec's refIdx -1 /
-    zero-mv convention."""
-    if bxg < 0 or byg < 0 or bxg >= 4 * g.mb_w:
-        return None, (0, 0)
-    nmy, nmx = byg // 4, bxg // 4
-    if nmy > my or (nmy == my and nmx > mx):
+def _blk(g: _Grids, bxg: int, byg: int):
+    """Neighbour 4x4 block (refIdx, mv) with decode-order availability
+    (6.4.11.7): in-picture AND already decoded — tracked per block in
+    g.done, which is exact even inside a P_8x8 macroblock where a
+    sub-partition's above-right block can be later in decode order.
+    Unavailable -> (None, (0, 0)) like the spec's refIdx -1 / zero-mv
+    convention."""
+    if bxg < 0 or byg < 0 or bxg >= 4 * g.mb_w or not g.done[byg, bxg]:
         return None, (0, 0)
     return int(g.ref[byg, bxg]), (int(g.mv[byg, bxg, 0]),
                                   int(g.mv[byg, bxg, 1]))
 
 
-def _mv_pred(g: _Grids, my: int, mx: int, byg: int, bxg: int,
+def _mv_pred(g: _Grids, byg: int, bxg: int,
              w4: int = 4, h4: int = 4, part: str = "16x16") -> tuple[int, int]:
     """MV predictor for a P partition (8.4.1.3): neighbours A=left,
     B=above, C=above-right of the partition (D=above-left substitutes an
@@ -1027,11 +1047,11 @@ def _mv_pred(g: _Grids, my: int, mx: int, byg: int, bxg: int,
     The 16x8/8x16 directional special cases of 8.4.1.3.1 pick a single
     neighbour when its reference matches; everything else takes the
     component-wise median (8.4.1.3.2)."""
-    refA, mvA = _blk(g, bxg - 1, byg, my, mx)
-    refB, mvB = _blk(g, bxg, byg - 1, my, mx)
-    refC, mvC = _blk(g, bxg + w4, byg - 1, my, mx)
+    refA, mvA = _blk(g, bxg - 1, byg)
+    refB, mvB = _blk(g, bxg, byg - 1)
+    refC, mvC = _blk(g, bxg + w4, byg - 1)
     if refC is None:  # D substitutes
-        refC, mvC = _blk(g, bxg - 1, byg - 1, my, mx)
+        refC, mvC = _blk(g, bxg - 1, byg - 1)
     # directional special cases (8.4.1.3, items 2-5)
     if part == "16x8_top" and refB == 0:
         return mvB
@@ -1056,15 +1076,15 @@ def _skip_mv(g: _Grids, my: int, mx: int) -> tuple[int, int]:
     """P_Skip motion derivation (8.4.1.1): zero MV when a 16x16 edge
     neighbour is missing or is a zero-MV ref-0 block, else the predictor."""
     byg, bxg = 4 * my, 4 * mx
-    refA, mvA = _blk(g, bxg - 1, byg, my, mx)
-    refB, mvB = _blk(g, bxg, byg - 1, my, mx)
+    refA, mvA = _blk(g, bxg - 1, byg)
+    refB, mvB = _blk(g, bxg, byg - 1)
     if refA is None or refB is None:
         return 0, 0
     if refA == 0 and mvA == (0, 0):
         return 0, 0
     if refB == 0 and mvB == (0, 0):
         return 0, 0
-    return _mv_pred(g, my, mx, byg, bxg)
+    return _mv_pred(g, byg, bxg)
 
 
 def _unscan16(coeffs: list[int]) -> np.ndarray:
@@ -1435,7 +1455,21 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
                             + _sad(src[8:16], y0 + 8, x0, b, 8, 16))
                     s816 = (_sad(src[:, 0:8], y0, x0, lf, 16, 8)
                             + _sad(src[:, 8:16], y0, x0 + 8, rt, 16, 8))
-                    if min(s168, s816) + 128 < sad16:
+                    # P_8x8 probe (four P_L0_8x8 sub-partitions): stronger
+                    # margin — three extra mvd pairs to pay for
+                    q8, s8x8 = [], 0
+                    for pi in range(4):
+                        oy, ox = 2 * (pi >> 1), 2 * (pi & 1)
+                        blk = src[4 * oy : 4 * oy + 8, 4 * ox : 4 * ox + 8]
+                        mv8 = _search_mv(blk, ref_y, y0 + 4 * oy,
+                                         x0 + 4 * ox, search)
+                        s8x8 += _sad(blk, y0 + 4 * oy, x0 + 4 * ox, mv8, 8, 8)
+                        q8.append((oy, ox, 2, 2, *mv8, "8x8"))
+                    best_split = min(s168, s816)
+                    if s8x8 + 256 < min(sad16, best_split + 128):
+                        parts = q8
+                        pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(parts)
+                    elif best_split + 128 < sad16:
                         if s168 <= s816:
                             parts = [(0, 0, 2, 4, *t, "16x8_top"),
                                      (2, 0, 2, 4, *b, "16x8_bot")]
@@ -1451,10 +1485,15 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
             else:
                 w.ue(skip_run)
                 skip_run = 0
-                w.ue({"16x16": 0, "16x8_top": 1, "8x16_left": 2}[parts[0][6]])
+                w.ue({"16x16": 0, "16x8_top": 1, "8x16_left": 2,
+                      "8x8": 3}[parts[0][6]])
+                if parts[0][6] == "8x8":
+                    for _ in range(4):
+                        w.ue(0)  # sub_mb_type P_L0_8x8 (this encoder's only)
                 for oy, ox, h4, w4, mvx, mvy, tag in parts:
-                    pmx, pmy = _mv_pred(g, my, mx, 4 * my + oy, 4 * mx + ox,
-                                        w4, h4, tag)
+                    pmx, pmy = _mv_pred(g, 4 * my + oy, 4 * mx + ox,
+                                        w4, h4, "16x16" if tag == "8x8"
+                                        else tag)
                     w.se(mvx - pmx)
                     w.se(mvy - pmy)
                     g.set_inter(4 * my + oy, 4 * mx + ox, h4, w4, mvx, mvy)
@@ -1782,6 +1821,7 @@ def _decode_i4x4_mb(r: _BitReader, g: _Grids, my: int, mx: int, qp: int,
         rec_c[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
             cpred, _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
     g.qp[my, mx] = qp
+    g.mark_intra(my, mx)
     return qp
 
 
@@ -1805,6 +1845,7 @@ def _decode_intra_mb(r: _BitReader, mb_type: int, g: _Grids, my: int,
         g.cb_cnt[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 16
         g.cr_cnt[2 * my : 2 * my + 2, 2 * mx : 2 * mx + 2] = 16
         g.qp[my, mx] = 0  # 8.7.2: QPy of an I_PCM macroblock is 0
+        g.mark_intra(my, mx)
         return qp
     if mb_type == 0:
         return _decode_i4x4_mb(r, g, my, mx, qp, chroma_qp_offset)
@@ -1862,6 +1903,7 @@ def _decode_intra_mb(r: _BitReader, mb_type: int, g: _Grids, my: int,
         rec_c[c0 : c0 + 8, cx0 : cx0 + 8] = _recon_chroma(
             cpred, _chroma_dc_dequant(cdc[n], qpc), cac[n], qpc)
     g.qp[my, mx] = qp
+    g.mark_intra(my, mx)
     return qp
 
 
@@ -1982,7 +2024,7 @@ def _decode_frame_p(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
         byg, bxg = 4 * my, 4 * mx
         if mb_type == 0:  # P_L0_16x16
             mvd_x, mvd_y = r.se(), r.se()
-            pmx, pmy = _mv_pred(g, my, mx, byg, bxg)
+            pmx, pmy = _mv_pred(g, byg, bxg)
             qp = _decode_inter_mb(
                 r, g, my, mx, qp, chroma_qp_offset,
                 [(0, 0, 4, 4, pmx + mvd_x, pmy + mvd_y)], ref)
@@ -1997,16 +2039,32 @@ def _decode_frame_p(r: _BitReader, mb_w: int, mb_h: int, qp_slice: int,
             parts = []
             for oy, ox, h4, w4, tag in geo:
                 mvd_x, mvd_y = r.se(), r.se()
-                pmx, pmy = _mv_pred(g, my, mx, byg + oy, bxg + ox,
-                                    w4, h4, tag)
+                pmx, pmy = _mv_pred(g, byg + oy, bxg + ox, w4, h4, tag)
                 mvx, mvy = pmx + mvd_x, pmy + mvd_y
                 g.set_inter(byg + oy, bxg + ox, h4, w4, mvx, mvy)
                 parts.append((oy, ox, h4, w4, mvx, mvy))
             qp = _decode_inter_mb(r, g, my, mx, qp, chroma_qp_offset,
                                   parts, ref)
-        elif mb_type in (3, 4):
-            raise NotImplementedError(
-                "h264: P_8x8 sub-macroblock partitions not in subset")
+        elif mb_type in (3, 4):  # P_8x8 / P_8x8ref0 (round 8, late)
+            # sub_mb_pred (7.3.5.3): FOUR sub_mb_type symbols first, then
+            # every sub-partition's mvd pair in z-order; with one active
+            # reference, ref_idx_l0 is absent and P_8x8ref0 == P_8x8.
+            subs = [r.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise ValueError(
+                    f"corrupt h264 stream: P sub_mb_type {max(subs)}")
+            parts = []
+            for pi, s in enumerate(subs):
+                p_oy, p_ox = 2 * (pi >> 1), 2 * (pi & 1)
+                for soy, sox, h4, w4 in _SUB_GEO[s]:
+                    oy, ox = p_oy + soy, p_ox + sox
+                    mvd_x, mvd_y = r.se(), r.se()
+                    pmx, pmy = _mv_pred(g, byg + oy, bxg + ox, w4, h4)
+                    mvx, mvy = pmx + mvd_x, pmy + mvd_y
+                    g.set_inter(byg + oy, bxg + ox, h4, w4, mvx, mvy)
+                    parts.append((oy, ox, h4, w4, mvx, mvy))
+            qp = _decode_inter_mb(r, g, my, mx, qp, chroma_qp_offset,
+                                  parts, ref)
         elif 5 <= mb_type <= 30:
             qp = _decode_intra_mb(r, mb_type - 5, g, my, mx, qp,
                                   chroma_qp_offset)

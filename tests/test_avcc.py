@@ -555,14 +555,22 @@ class TestInterPrediction:
         frames = avcc.decode_h264_yuv(self._p_stream(img, pw))
         assert np.array_equal(frames[1][0], frames[0][0])
 
-    def test_p_subset_raises_named(self):
+    def test_p_mb_type_bounds(self):
+        """P-slice mb_type/sub_mb_type outside their value ranges are
+        corrupt streams (every P partition class now decodes)."""
         img = codecs.make_image(6, 16, 32, planes=1)[0]
-        for bad_type, msg in ((3, "P_8x8"), (4, "P_8x8")):
-            pw = avcc._BitWriter()
-            pw.ue(0)
-            pw.ue(bad_type)
-            with pytest.raises(NotImplementedError, match=msg):
-                avcc.decode_h264(self._p_stream(img, pw))
+        pw = avcc._BitWriter()
+        pw.ue(0)
+        pw.ue(31)  # > 30: not a P or intra-in-P type
+        with pytest.raises(ValueError, match="mb_type"):
+            avcc.decode_h264(self._p_stream(img, pw))
+        pw = avcc._BitWriter()
+        pw.ue(0)
+        pw.ue(3)   # P_8x8 ...
+        for _ in range(4):
+            pw.ue(7)  # ... with an out-of-range sub_mb_type
+        with pytest.raises(ValueError, match="sub_mb_type"):
+            avcc.decode_h264(self._p_stream(img, pw))
         # skip run overrunning the slice is corrupt, not a crash
         pw = avcc._BitWriter()
         pw.ue(40)
@@ -880,21 +888,27 @@ class TestPPartitions:
         median."""
         g = avcc._Grids(3, 2)
         g.ref[:] = 0
-        g.mv[3, 4:8] = (40, 4)    # above the lower 16x8 of MB (1,1)? no:
+        g.done[:] = True
         # MB (1,1) spans blocks [4:8, 4:8].  Top 16x8 partition B-neighbour
         # = block (4, 3) row above; A-neighbour of bottom = block (6, 3).
         g.mv[3, 4] = (12, -8)     # B of top partition
         g.mv[6, 3] = (-16, 20)    # A of bottom partition
+        g.mv[4, 3] = (8, -4)      # A of left 8x16 partition
         g.mv[3, 8] = (24, 36)     # C of right 8x16 partition (above-right)
-        top = avcc._mv_pred(g, 1, 1, 4, 4, 4, 2, "16x8_top")
-        bot = avcc._mv_pred(g, 1, 1, 6, 4, 4, 2, "16x8_bot")
-        left = avcc._mv_pred(g, 1, 1, 4, 4, 2, 4, "8x16_left")
-        right = avcc._mv_pred(g, 1, 1, 4, 6, 2, 4, "8x16_right")
+        top = avcc._mv_pred(g, 4, 4, 4, 2, "16x8_top")
+        bot = avcc._mv_pred(g, 6, 4, 4, 2, "16x8_bot")
+        left = avcc._mv_pred(g, 4, 4, 2, 4, "8x16_left")
+        right = avcc._mv_pred(g, 4, 6, 2, 4, "8x16_right")
         assert top == (12, -8)      # mvB, refB == 0
         assert bot == (-16, 20)     # mvA
-        assert left == (-16, 20) or left == tuple(
-            int(v) for v in g.mv[4, 3])  # mvA of the left partition
+        assert left == (8, -4)      # mvA of the left partition
         assert right == (24, 36)    # mvC (above-right of the partition)
+        # decode-order availability: an undecoded C (and D) falls back to
+        # the median path instead of reading unset motion as real data
+        g.done[3, 8] = False
+        g.done[3, 3] = False
+        r2 = avcc._mv_pred(g, 4, 6, 2, 4, "8x16_right")
+        assert r2 != (24, 36)
 
     def test_encoder_splits_on_shear_motion(self):
         prev, cur = self._shear(21)
@@ -930,3 +944,97 @@ class TestPPartitions:
         outs = avcc.decode_h264(data)
         assert len(outs) == 2 and outs[1].shape == (32, 32)
         assert codecs.psnr(cur, outs[1]) >= 28.0
+
+
+class TestP8x8:
+    """Round-8 (late) P_8x8 sub-macroblock partitions."""
+
+    def test_handbuilt_mixed_sub_types_decode_exactly(self):
+        """One 16x16-frame MB coded P_8x8 with subs [8x8, 8x4, 4x8, 4x4]
+        and hand-chosen mvds; the expected per-block MVs below were
+        derived BY HAND from 8.4.1.3 (median + decode-order availability
+        + D substitution), and the decoded frame must equal the MC
+        assembly of the reference at exactly those MVs — any error in
+        sub_mb_type geometry, mvd order or the per-sub-partition
+        predictors shifts pixels."""
+        img = codecs.make_image(31, 16, 16, planes=1)[0]
+        pw = avcc._BitWriter()
+        pw.ue(0)      # mb_skip_run
+        pw.ue(3)      # mb_type P_8x8
+        for s in (0, 1, 2, 3):
+            pw.ue(s)  # sub_mb_types
+        for mvd in ((4, 8), (0, 4), (0, 0), (8, -8), (0, 0),
+                    (0, 0), (4, 4), (0, 0), (-4, -8)):
+            pw.se(mvd[0])
+            pw.se(mvd[1])
+        pw.ue(avcc._CBP_INTER_INV[0])  # cbp 0: no residual
+        helper = TestInterPrediction()
+        stream = helper._p_stream(img, pw, mb_w=1, mb_h=1)
+        idr, p = avcc.decode_h264_yuv(stream)
+        ry = idr[0].astype(np.int64)
+        rcb = idr[1].astype(np.int64)
+        rcr = idr[2].astype(np.int64)
+        # hand-derived MVs per sub-partition: (oy, ox, h4, w4, mv)
+        expect = [
+            (0, 0, 2, 2, (4, 8)),     # P_L0_8x8
+            (0, 2, 1, 2, (4, 12)),    # 8x4 top
+            (1, 2, 1, 2, (4, 8)),     # 8x4 bottom
+            (2, 0, 2, 1, (12, 0)),    # 4x8 left
+            (2, 1, 2, 1, (4, 8)),     # 4x8 right
+            (2, 2, 1, 1, (4, 8)),     # 4x4 z0
+            (2, 3, 1, 1, (8, 12)),    # 4x4 z1
+            (3, 2, 1, 1, (4, 8)),     # 4x4 z2
+            (3, 3, 1, 1, (0, 0)),     # 4x4 z3
+        ]
+        want_y = np.empty((16, 16), np.int64)
+        want_cb = np.empty((8, 8), np.int64)
+        want_cr = np.empty((8, 8), np.int64)
+        for oy, ox, h4, w4, (mvx, mvy) in expect:
+            py, px = 4 * oy, 4 * ox
+            want_y[py : py + 4 * h4, px : px + 4 * w4] = avcc._mc_luma(
+                ry, py, px, mvx, mvy, bh=4 * h4, bw=4 * w4)
+            cy, cx = py >> 1, px >> 1
+            want_cb[cy : cy + 2 * h4, cx : cx + 2 * w4] = avcc._mc_chroma(
+                rcb, cy, cx, mvx, mvy, bh=2 * h4, bw=2 * w4)
+            want_cr[cy : cy + 2 * h4, cx : cx + 2 * w4] = avcc._mc_chroma(
+                rcr, cy, cx, mvx, mvy, bh=2 * h4, bw=2 * w4)
+        assert np.array_equal(p[0].astype(np.int64), want_y)
+        assert np.array_equal(p[1].astype(np.int64), want_cb)
+        assert np.array_equal(p[2].astype(np.int64), want_cr)
+
+    def test_encoder_8x8_probe_on_quadrant_motion(self):
+        """Four quadrants moving in four directions force the encoder's
+        P_8x8 probe; the stream roundtrips and the MB carries 4 distinct
+        MVs."""
+        base = codecs.make_image(37, 16, 16, planes=1)[0]
+        cur = np.empty_like(base)
+        cur[:8, :8] = np.roll(base[:8, :8], 3, axis=1)
+        cur[:8, 8:] = np.roll(base[:8, 8:], -3, axis=1)
+        cur[8:, :8] = np.roll(base[8:, :8], 2, axis=0)
+        cur[8:, 8:] = np.roll(base[8:, 8:], (-2, 2), axis=(0, 1))
+        data = avcc.encode_h264([base, cur], qp=8, gop=2)
+        outs = avcc.decode_h264(data)
+        assert codecs.psnr(cur, outs[1]) >= 38.0
+        yp = avcc.decode_h264_yuv(avcc.encode_h264([base], qp=8))[0]
+        body = avcc._BitWriter()
+        yc, cbc, crc = avcc._to_yuv(cur)
+        g = avcc._encode_frame_p(
+            body, yc.astype(np.int64), cbc.astype(np.int64),
+            crc.astype(np.int64), 8,
+            tuple(pl.astype(np.int64) for pl in yp))
+        mvs = {tuple(v) for v in g.mv[0:4, 0:4].reshape(-1, 2).tolist()}
+        assert len(mvs) >= 3  # the quadrants genuinely split
+
+    def test_p8x8_with_deblock_roundtrip(self):
+        base = codecs.make_image(41, 32, 32, planes=1)[0]
+        cur = np.empty_like(base)
+        cur[:8, :8] = np.roll(base[:8, :8], 4, axis=1)
+        cur[:8, 8:] = np.roll(base[:8, 8:], -4, axis=1)
+        cur[8:] = np.roll(base[8:], -4, axis=0)
+        data = avcc.encode_h264([base, cur, base], qp=30, gop=3,
+                                deblock=True)
+        outs = avcc.decode_h264(data)
+        assert len(outs) == 3
+        again = avcc.decode_h264(data)
+        for a, b in zip(outs, again):
+            assert np.array_equal(a, b)
