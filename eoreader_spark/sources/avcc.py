@@ -1438,9 +1438,12 @@ def _encode_frame_p(w: _BitWriter, y: np.ndarray, cb: np.ndarray,
                 if (mvx, mvy) != (smx, smy):
                     pred, ac_q, cbp_luma, ch, cbp_chroma = quant_at(parts)
                 # two-partition probe: split when the summed partition
-                # SADs beat 16x16 by a margin that pays for the extra mvd
+                # SADs beat 16x16 by a margin that pays for the extra mvd.
+                # Probe only above ~3/px residual: below that the 16x16
+                # mode is already near-optimal and the probe searches
+                # (12 extra _search_mv calls) cannot recoup their cost.
                 sad16 = int(np.abs(src - pred).sum())
-                if sad16 > 128:
+                if sad16 > 768:
                     t = _search_mv(src[0:8], ref_y, y0, x0, search)
                     b = _search_mv(src[8:16], ref_y, y0 + 8, x0, search)
                     lf = _search_mv(src[:, 0:8], ref_y, y0, x0, search)
