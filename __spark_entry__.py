@@ -108,17 +108,17 @@ def q_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2 cell layer: encode points to res-7 cells (real cells.encode kernel),
-    count per cell — the tile-assignment histogram."""
+    """M2 cell layer: encode points to res-7 cells (cells.encode_expr, the
+    JVM codegen twin of the numpy kernel — bit-identical, parity-pinned in
+    tests/test_cells.py), count per cell — the tile-assignment histogram.
+    r9 (guide §4.1): the pandas-UDF encode paid an Arrow round-trip of the
+    full points table per run; encode_expr keeps the whole query inside
+    whole-stage codegen (ArrowEvalPython node removed from the plan)."""
     from eoreader_spark import cells
-
-    @F.pandas_udf("long")
-    def enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(cells.encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), 7))
 
     pts = _events_points(spark, sf_dir)
     return (
-        pts.withColumn("cell_r7", enc(F.col("lon"), F.col("lat")))
+        pts.withColumn("cell_r7", cells.encode_expr("lon", "lat", 7))
         .groupBy("cell_r7")
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy("cell_r7")
@@ -144,7 +144,21 @@ def q_pip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(out):
                 yield out
 
-    pts = _events_points(spark, sf_dir)
+    # r9 (guide §4.1): mapInPandas defeats column pruning, so project the 3
+    # columns the kernel reads BEFORE the Python boundary (event_type/value
+    # no longer cross Arrow), and prefilter with the ring's closed bbox
+    # JVM-side — ray-cast-inside is a subset of the closed bbox, so the
+    # kernel sees every row it could ever keep and results are unchanged
+    # while ~10x fewer rows pay the JVM->Python transfer.
+    bx0, by0, bx1, by1 = pip.polygon_bbox(pip.parse_wkt_polygon(ring_wkt))
+    pts = (
+        _events_points(spark, sf_dir)
+        .select("event_id", "lon", "lat")
+        .filter(
+            (F.col("lon") >= bx0) & (F.col("lon") <= bx1)
+            & (F.col("lat") >= by0) & (F.col("lat") <= by1)
+        )
+    )
     return pts.mapInPandas(kernel, schema="event_id long").orderBy("event_id")
 
 
@@ -153,12 +167,20 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 20 query points among all event points."""
     from eoreader_spark.operators import knn
 
-    # deterministic dedup of co-located points: keep the smallest event_id
+    # deterministic dedup of co-located points: keep the smallest event_id.
+    # persist() (r9, guide §2.4/§5): queries, points, the residue anti-join
+    # and the full-cover pass ALL reference this aggregate — uncached, the
+    # two-phase plan scanned events.parquet 4x and re-ran the groupBy
+    # shuffle each time (24-Exchange plan, plans/r09/knn_before.txt); cached
+    # it is computed once per run and every downstream leg reads the
+    # in-memory projection (~16 B/row — bounded by the distinct-point count,
+    # spills to disk beyond memory like any MEMORY_AND_DISK cache)
     pts = (
         _events_points(spark, sf_dir)
         .groupBy("lon", "lat")
         .agg(F.min("event_id").alias("image_id"))
         .select("image_id", "lon", "lat")
+        .persist()
     )
     queries = (
         pts.filter(F.col("image_id") <= 20)

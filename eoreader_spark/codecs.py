@@ -88,9 +88,19 @@ def pixel_plane(seed: int, plane: int, h: int, w: int) -> np.ndarray:
     Chosen so every kernel (index math, stats, tiles) has an analytic
     reference computable in numpy or SQL.
     """
-    y, x = np.mgrid[0:h, 0:w]
-    v = (seed * 7 + plane * 31 + x * 13 + y * 17 + (x * y) % 29) % 256
+    base, xy29 = _plane_base(h, w)
+    v = (seed * 7 + plane * 31 + base + xy29) % 256
     return v.astype(np.uint8)
+
+
+@functools.lru_cache(maxsize=32)
+def _plane_base(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seed-independent terms of pixel_plane, cached per (h, w) — the mgrid
+    and the two integer grids dominated the per-image generator cost (r9
+    profile); image dims cycle over a handful of sizes, so the cache is
+    tiny and every cached term is exact integer math (bit-identical)."""
+    y, x = np.mgrid[0:h, 0:w]
+    return x * 13 + y * 17, (x * y) % 29
 
 
 def make_image(seed: int, h: int, w: int, planes: int = PLANES) -> np.ndarray:

@@ -95,15 +95,23 @@ def _ring_pass(
     guarantee-radius test (and the >=k-hits test — a table with < k points
     can never satisfy it) is skipped."""
     # JVM ring expansion (cells.k_ring_expr == cells.k_ring, parity-tested):
-    # with encode_expr this makes the whole ring pass Python-free
-    qx = (
-        q.withColumn("cand_cell", F.explode(cells.k_ring_expr("qcell", res, k_cells)))
-        .select(q_id, F.col("lon").alias("qlon"), F.col("lat").alias("qlat"), "cand_cell")
+    # with encode_expr this makes the whole ring pass Python-free.
+    # r9: ops folded — every DataFrame call triggers a JVM analysis pass over
+    # the accumulated plan (measured: the two-phase build spent ~0.5s in py4j
+    # round-trips), so the explode rides the projection, the distance rides
+    # the window/select, and both resolution windows share one select.
+    qx = q.select(
+        q_id,
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+        F.explode(cells.k_ring_expr("qcell", res, k_cells)).alias("cand_cell"),
     )
-    cand = qx.join(p.withColumnRenamed("pcell", "cand_cell"), "cand_cell").withColumn(
-        "dist", _scaled_d2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat"), coslat)
-    )
-    ranked = _topk(cand, q_id, p_id, k)
+    cand = qx.join(p.withColumnRenamed("pcell", "cand_cell"), "cand_cell")
+    dist = _scaled_d2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat"), coslat)
+    w = Window.partitionBy(q_id).orderBy(dist.asc(), F.col(p_id).asc())
+    ranked = cand.select(
+        q_id, "qlat", p_id, dist.alias("dist"), F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
     if full_cover:
         return ranked.select(q_id, p_id, "dist", "rank")
 
@@ -117,11 +125,14 @@ def _ring_pass(
         g = g * F.cos(F.radians(F.col("qlat")))
     guarantee = g * g
     wq = Window.partitionBy(q_id)
-    ranked = ranked.withColumn("n_hits", F.count(F.lit(1)).over(wq)).withColumn(
-        "kth_d2", F.max("dist").over(wq)
+    is_resolved = (F.count(F.lit(1)).over(wq) >= k) & (
+        F.max("dist").over(wq) < guarantee
     )
-    is_resolved = (F.col("n_hits") >= k) & (F.col("kth_d2") < guarantee)
-    return ranked.filter(is_resolved).select(q_id, p_id, "dist", "rank")
+    return (
+        ranked.select(q_id, p_id, "dist", "rank", is_resolved.alias("_ok"))
+        .filter(F.col("_ok"))
+        .select(q_id, p_id, "dist", "rank")
+    )
 
 
 def knn_join(
@@ -170,8 +181,13 @@ def knn_join(
     exactness guarantee costs nothing.  Exact under any distribution, like
     rounds=None."""
     nx = 2 << res  # full-cover cap: a Chebyshev ring spanning all columns
-    q = _with_cell(queries.select(q_id, "lon", "lat"), "lon", "lat", res, "qcell")
-    p = _with_cell(points.select(p_id, "lon", "lat"), "lon", "lat", res, "pcell")
+    # single-select projections (r9 op folding — see _ring_pass note)
+    q = queries.select(
+        q_id, "lon", "lat", cells.encode_expr("lon", "lat", res).alias("qcell")
+    )
+    p = points.select(
+        p_id, "lon", "lat", cells.encode_expr("lon", "lat", res).alias("pcell")
+    )
     if two_phase:
         full1 = 2 * k_cells + 1 >= nx
         exact1 = _ring_pass(q, p, k, res, k_cells, q_id, p_id, coslat, full1)

@@ -204,6 +204,15 @@ def halo_rows(
 
     t, w = tile, halo
     nb = len(px_cols)
+    # The explicit centers repartition is load-bearing twice over (re-checked
+    # r9, measured): it lets the halo join reuse one exchange AND it fans the
+    # downstream compute-heavy kernel pass out to spark.sql.shuffle.partitions
+    # tasks — a tile table at rest often has far fewer input splits than
+    # cores (the r5 landmine: descriptor/tile inputs feeding expensive
+    # mapInPandas stages need an explicit repartition, sized by compute, not
+    # bytes).  An r9 experiment that dropped it for a broadcast-halo join
+    # saved the exchange but ran the kernel at input-split parallelism
+    # (8 tasks on a 32-core box) and was net slower.
     centers = tiles if partitioned else tiles.repartition(*_KEY)
     strips = _strip_rows(tiles, tile, px_cols, halo)
     halos = strips.groupBy(*_KEY).agg(

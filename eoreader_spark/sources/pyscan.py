@@ -102,9 +102,20 @@ def scan(
     optional ``predicate`` range prunes row groups at plan time (see
     parquet_splits); the kernel still sees every row of surviving groups."""
     splits = parquet_splits(path, predicate=predicate)
-    sdf = spark.createDataFrame(splits or [], "file string, rg0 int, rg1 int")
     n_part = partitions or max(1, min(len(splits), 256))
-    sdf = sdf.repartition(n_part, "file", "rg0")
+    # r9 (guide §2.5): keyless ROUND-ROBIN repartition, not a hash
+    # repartition on (file, rg0).  Hashing K split keys into K partitions
+    # leaves ~1/e of the tasks empty and stacks 2-4 splits on others (the
+    # synthetic-key collision problem) — with seconds-long decode per split
+    # the stacked tasks were the stage stragglers (measured: 2-3x stage
+    # tail).  Round-robin distributes exactly evenly; the input is a
+    # deterministic driver-local list and Spark's sort-before-repartition
+    # keeps the row->partition assignment stable under task retry.
+    # (A parallelize()-sliced RDD was measured too: balanced, but its
+    # Python-RDD scan pays a ~1.4s cold worker path — the JVM local-rows
+    # relation + one round-robin exchange is faster cold and warm.)
+    sdf = spark.createDataFrame(splits or [], "file string, rg0 int, rg1 int")
+    sdf = sdf.repartition(n_part)
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -79,7 +79,9 @@ def test_stencil_shuffles_strips_only(spark):
     strips, not the full pixel payload.  Pinned shape: exactly one
     full-payload exchange (the caller-controlled centers repartition, absent
     with partitioned=True) and one strips exchange fed by a map-side partial
-    collect_list."""
+    collect_list.  (r9 re-validated: dropping the centers repartition for a
+    broadcast-halo join saves the exchange but runs the kernel pass at
+    input-split parallelism — net slower; the repartition stays.)"""
     from eoreader_spark import datagen
     from eoreader_spark.operators import stencil
 
