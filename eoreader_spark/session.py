@@ -55,6 +55,13 @@ def get_spark(
         # pandas UDFs ANTI-scale with local core count (BENCH.md round 2:
         # slope 63s -> 13s at local[32] just from this knob)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # limit probes (assign_tiles' broadcast_limit+1 fetch, stats peeks)
+        # start at ONE partition by default and rescan with 4x growth —
+        # every retry re-runs generator/mapInPandas inputs.  One task wave
+        # (~core count) resolves small tables in a single job; CollectLimit
+        # still truncates at the limit, so the driver transfer stays bounded
+        # (r9, measured: 40-row AOI probe 0.52s -> 0.21s)
+        .config("spark.sql.limit.initialNumPartitions", "32")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
