@@ -187,9 +187,15 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("image_id").alias("query_id"), "lon", "lat")
     )
     # coslat=False: metric uses only exactly-rounded IEEE ops so ordering is
-    # bit-identical to the DuckDB oracle (libm cos differs in the last ulp)
+    # bit-identical to the DuckDB oracle (libm cos differs in the last ulp).
+    # k_cells=2 (r9, measured): at k_cells=1 pass 1 left a 4-query residue at
+    # sf0.1, so the full-cover guarantee pass actually executed its
+    # 4489-cell explode join; one ring wider resolves every query at every
+    # test SF and AQE collapses pass 2 to empty (results identical BY
+    # CONSTRUCTION at any k_cells — the two-phase exactness guarantee is
+    # unchanged and still covers distributions where a residue remains).
     out = knn.knn_join(
-        queries, pts, k=3, res=5, k_cells=1, q_id="query_id", p_id="image_id",
+        queries, pts, k=3, res=5, k_cells=2, q_id="query_id", p_id="image_id",
         coslat=False, two_phase=True,
     )
     return out.select(
