@@ -62,6 +62,13 @@ def get_spark(
         # still truncates at the limit, so the driver transfer stays bounded
         # (r9, measured: 40-row AOI probe 0.52s -> 0.21s)
         .config("spark.sql.limit.initialNumPartitions", "32")
+        # dims up to 64 MB broadcast instead of falling to a sort-merge
+        # shuffle of the fact side (guide §3.1: a few hundred MB of
+        # broadcast is routinely fine; 10 MB is conservative for executors
+        # sized in GBs).  Keeps the star-join shape (fact table never
+        # shuffled pre-aggregation) at 10x the bench scale, where the
+        # orders dimension crosses the default threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
